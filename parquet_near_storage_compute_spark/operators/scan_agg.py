@@ -1,0 +1,210 @@
+"""v1-engine parity: scan → prune → project → filter → aggregate.
+
+The reference's flagship query is a per-file filter + five streaming
+aggregates over one column (``v1/src/main.rs:218-225``):
+
+    filter:  memoryUsed > {workload threshold}
+    aggs:    SUM/AVG/MIN/MAX/COUNT(memoryUsed)
+
+with a named selectivity ladder for the threshold (``v1/src/main.rs:83-97``).
+Here the stand-in fact column is ``lineitem.l_extendedprice`` (FIXTURES.md)
+and the ladder thresholds are fixed literals at the same coverage points
+(~0/0.1/10/25/50/75/100% of rows selected).
+
+Spark-first design: the whole pipeline is one declarative chain —
+``read.parquet → filter → agg`` — which Catalyst compiles to a vectorized
+Parquet scan with pushed filters (row-group pruning = the reference's
+``keep_row_group``, ``v1/src/main.rs:626-685``), column pruning (early
+projection, ``:240-254``), and a partial→final HashAggregate (the reference's
+``Aggregator`` pipeline, ``:1246-1343``). At 100 TB this plan shuffles only
+the 5-value partial-aggregate rows — one row per task — so it scales linearly
+with input files, exactly like the reference's per-file independent tasks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.functions.grammar import (
+    parse_aggregations,
+    parse_predicate,
+)
+from parquet_near_storage_compute_spark.tables import load_table
+
+#: Selectivity ladder on l_extendedprice (min ~900, max ~105000) mirroring the
+#: named workloads of v1 (best-case/real/10/25/50/75/worst,
+#: ``v1/src/main.rs:83-97``). Values chosen at the same quantile coverage.
+LADDER: dict[str, float] = {
+    "best_case": 105000.0,  # ~0 rows survive
+    "real": 104875.0,  # ~0.1%
+    "p10": 94700.0,  # ~10%
+    "p25": 79200.0,  # ~25%
+    "p50": 53000.0,  # ~50%
+    "p75": 26880.0,  # ~75%
+    "worst": 0.0,  # all rows
+}
+
+#: The five v1 aggregate ops over the fact column (``v1/src/main.rs:219-225``).
+AGG_SPECS = [
+    ("SUM(l_extendedprice)", "sum_price"),
+    ("AVG(l_extendedprice)", "avg_price"),
+    ("MIN(l_extendedprice)", "min_price"),
+    ("MAX(l_extendedprice)", "max_price"),
+    ("COUNT(l_extendedprice)", "count_price"),
+]
+
+
+def scan_filter_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    table: str = "lineitem",
+    column: str = "l_extendedprice",
+) -> DataFrame:
+    """The v1 engine as one DataFrame chain (predicate via the P6 grammar)."""
+    df = load_table(spark, sf_dir, table)
+    pred = parse_predicate(f"{column} > {threshold}")
+    aggs = parse_aggregations(AGG_SPECS)
+    return df.filter(pred).agg(*aggs)
+
+
+def _ladder_query(level: str) -> Callable[[SparkSession, str], DataFrame]:
+    t = LADDER[level]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return scan_filter_agg(spark, sf_dir, t)
+
+    q.__name__ = f"v1_ladder_{level}"
+    return q
+
+
+def _ladder_oracle(level: str) -> str:
+    t = LADDER[level]
+    return f"""
+        SELECT CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price,
+               CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+               CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+               CAST(COUNT(l_extendedprice) AS BIGINT) AS count_price
+        FROM lineitem WHERE l_extendedprice > {t}
+    """
+
+
+def grammar_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P6: AND/OR/NOT + parens through the mini-grammar translator."""
+    df = load_table(spark, sf_dir, "lineitem")
+    pred = parse_predicate(
+        "NOT (l_quantity < 10 AND l_discount >= 0.05) OR l_returnflag == 'R'"
+    )
+    return df.filter(pred).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def grammar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: ISO-datetime literal (v1 format yyyy-MM-dd-HH:mm:ss) in a filter."""
+    df = load_table(spark, sf_dir, "lineitem")
+    pred = parse_predicate(
+        "l_shipdate >= 1997-01-01-00:00:00 AND l_shipdate < 1998-01-01-00:00:00"
+    )
+    return df.filter(pred).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+def grammar_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utf8 comparisons (v1 ``v1/src/main.rs:1132-1144``): lexicographic."""
+    df = load_table(spark, sf_dir, "lineitem")
+    pred = parse_predicate("l_returnflag >= 'N' AND NOT l_linestatus == 'F'")
+    return df.filter(pred).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def grammar_int_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: Int32 column vs int literal (v1 casts up to i64, Catalyst same)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    pred = parse_predicate("l_linenumber <= 3 AND l_linenumber != 2")
+    return df.filter(pred).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_linenumber").cast("long")).alias("sum_linenumber"),
+    )
+
+
+def count_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 vs A10: COUNT(col) counts non-null (v1 flatten-then-count,
+    ``v1/src/main.rs:1517``) vs COUNT(*) counts rows."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.count(F.lit(1)).alias("count_star"),
+        F.count("l_quantity").alias("count_qty"),
+        F.count(F.when(F.col("l_returnflag") != "R", F.lit(1))).alias(
+            "count_not_r"
+        ),
+    )
+
+
+def projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P5: early projection + filter returning a row set (the reference
+    only materializes scalars, ``v1/src/main.rs:1234-1244``; row output is the
+    natural Spark generalization)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return (
+        df.filter(F.col("l_extendedprice") > 104875.0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "v1_flagship": lambda spark, sf_dir: scan_filter_agg(spark, sf_dir, LADDER["p50"]),
+    **{f"v1_ladder_{lv}": _ladder_query(lv) for lv in LADDER},
+    "v1_grammar_boolean": grammar_boolean,
+    "v1_grammar_datetime": grammar_datetime,
+    "v1_grammar_utf8": grammar_utf8,
+    "v1_grammar_int_widening": grammar_int_widening,
+    "v1_count_semantics": count_semantics,
+    "v1_projection_rows": projection_rows,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "v1_flagship": _ladder_oracle("p50"),
+    **{f"v1_ladder_{lv}": _ladder_oracle(lv) for lv in LADDER},
+    "v1_grammar_boolean": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE NOT (l_quantity < 10 AND l_discount >= 0.05) OR l_returnflag = 'R'
+    """,
+    "v1_grammar_datetime": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    "v1_grammar_utf8": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_returnflag >= 'N' AND NOT l_linestatus = 'F'
+    """,
+    "v1_grammar_int_widening": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber
+        FROM lineitem
+        WHERE l_linenumber <= 3 AND l_linenumber != 2
+    """,
+    "v1_count_semantics": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS count_star,
+               CAST(COUNT(l_quantity) AS BIGINT) AS count_qty,
+               CAST(COUNT(CASE WHEN l_returnflag != 'R' THEN 1 END) AS BIGINT)
+                   AS count_not_r
+        FROM lineitem
+    """,
+    "v1_projection_rows": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem WHERE l_extendedprice > 104875.0
+    """,
+}

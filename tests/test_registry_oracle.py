@@ -1,0 +1,36 @@
+"""Differential test of EVERY registered query against its DuckDB oracle.
+
+This is the local mirror of the driver's t2 correctness gate: one
+parametrized case per (query, oracle) pair, run at sf0.001 for speed.
+``tests/test_full_oracle_sf001.py`` (marked slow) re-runs at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_near_storage_compute_spark.registry import all_oracles, all_queries
+from tests.oracle import compare, duckdb_con
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_con(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    df = _QUERIES[name](spark, sf_dir)
+    compare(df, con, _ORACLES[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_query_without_oracle_runs(name, spark, sf_dir):
+    """Rows-only check for non-SQL-expressible ops (driver's weaker gate)."""
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
