@@ -1,0 +1,227 @@
+"""Aggregation operators: A1-A11 parity + the grouped/statistical surface.
+
+The reference's aggregation engine is five streaming ops over one column with
+an implicit single group (``Aggregator`` trait, ``v1/src/main.rs:1246-1343``)
+plus SQL-layer GROUP BYs (``query_selectivity_distribution.sql:4-12,37-45``).
+Spark expresses all of it as partial→final HashAggregates; grouping sets /
+rollup / cube / distinct / percentiles are the built-in extensions the
+reference lacks (SURVEY.md §2.4 "absent" list).
+
+Scale design: every group-by here keys on low-cardinality columns
+(returnflag×linestatus = 6 groups, suppkey ≈ #suppliers), so map-side partial
+aggregation collapses the shuffle to #groups×#tasks rows. The re-aggregate
+query chains two aggs — the second input is already tiny. Nothing collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.tables import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the classic grouped aggregate (TPC-H Q1 shape) — group by
+    returnflag/linestatus with sums, averages and counts over expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_over_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: aggregates over arithmetic expressions — the reference's
+    ``MAX((scanBytes / NULLIF(scanFiles,0)) * scanOriginalFiles)`` and the
+    ``SUM(a*b)/SUM(b)`` weighted average (retrieval_rate.sql:27-29)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    est = (
+        F.col("l_extendedprice")
+        / F.nullif(F.col("l_quantity"), F.lit(0.0))
+        * (1 + F.col("l_tax"))
+    )
+    return li.agg(
+        F.max(est).alias("max_est"),
+        (
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity")
+        ).alias("weighted_avg_price"),
+    )
+
+
+def reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: aggregate of an aggregate (CTE chain
+    query_selectivity_distribution.sql:46-51) — global stats over
+    per-supplier sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("l_extendedprice").alias("supp_sum"))
+    return per_supp.agg(
+        F.sum("supp_sum").alias("total"),
+        F.avg("supp_sum").alias("avg_per_supp"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (beyond reference, SURVEY §2.4 absent list)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+        F.sum_distinct(F.col("l_linenumber").cast("long")).alias("sum_distinct_ln"),
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (beyond reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (beyond reference)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 2
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (beyond reference): stddev/var/corr/covar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.stddev_samp("l_extendedprice").alias("std_price"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.corr("l_extendedprice", "l_quantity").alias("corr_price_qty"),
+        F.covar_samp("l_extendedprice", "l_discount").alias("covar_price_disc"),
+    )
+
+
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (beyond reference); matches DuckDB
+    quantile_cont."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.percentile("l_quantity", 0.25).alias("p25_qty"),
+    )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct count — approximate, so no SQL oracle (sketches
+    differ across engines); the driver's rows-only check applies. The exact
+    counterpart is ``agg_distinct``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_pricing_summary": pricing_summary,
+    "agg_over_expression": agg_over_expression,
+    "agg_reaggregate": reaggregate,
+    "agg_distinct": distinct_agg,
+    "agg_rollup": rollup_agg,
+    "agg_cube": cube_agg,
+    "agg_stats": stats_agg,
+    "agg_percentile": percentile_agg,
+    "agg_approx_distinct": approx_distinct,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE)
+                   AS sum_charge,
+               CAST(AVG(l_quantity) AS DOUBLE) AS avg_qty,
+               CAST(AVG(l_extendedprice) AS DOUBLE) AS avg_price,
+               CAST(AVG(l_discount) AS DOUBLE) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg_over_expression": """
+        SELECT CAST(MAX((l_extendedprice / NULLIF(l_quantity, 0)) * (1 + l_tax))
+                    AS DOUBLE) AS max_est,
+               CAST(SUM(l_extendedprice * l_quantity) / SUM(l_quantity) AS DOUBLE)
+                   AS weighted_avg_price
+        FROM lineitem
+    """,
+    "agg_reaggregate": """
+        WITH per_supp AS (
+          SELECT l_suppkey, SUM(l_extendedprice) AS supp_sum
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT CAST(SUM(supp_sum) AS DOUBLE) AS total,
+               CAST(AVG(supp_sum) AS DOUBLE) AS avg_per_supp,
+               CAST(COUNT(*) AS BIGINT) AS n_supp
+        FROM per_supp
+    """,
+    "agg_distinct": """
+        SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               CAST((SELECT COUNT(*) FROM
+                     (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem))
+                    AS BIGINT) AS n_flag_status,
+               CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_ln
+        FROM lineitem
+    """,
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "agg_cube": """
+        SELECT event_type,
+               user_id % 2 AS user_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(value) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY CUBE (event_type, user_id % 2)
+    """,
+    "agg_stats": """
+        SELECT CAST(STDDEV_SAMP(l_extendedprice) AS DOUBLE) AS std_price,
+               CAST(VAR_SAMP(l_quantity) AS DOUBLE) AS var_qty,
+               CAST(CORR(l_extendedprice, l_quantity) AS DOUBLE) AS corr_price_qty,
+               CAST(COVAR_SAMP(l_extendedprice, l_discount) AS DOUBLE)
+                   AS covar_price_disc
+        FROM lineitem
+    """,
+    "agg_percentile": """
+        SELECT CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50_price,
+               CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90_price,
+               CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25_qty
+        FROM lineitem
+    """,
+    # agg_approx_distinct: intentionally no oracle (sketch-based).
+}

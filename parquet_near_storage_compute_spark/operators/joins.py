@@ -1,0 +1,235 @@
+"""Join operators: J1/J2 parity plus the join types the reference lacks.
+
+The reference implements exactly two joins (SURVEY.md §2.3): an inner
+equi-join of fact × aggregated-dim (``query_selectivity_distribution.sql:24-25``)
+and a 1×1 comma cross join against a global total (``:56-58``). Spark's join
+surface covers those and the rest (semi/anti/range/as-of) declaratively.
+
+Scale design (100 TB):
+- Dimension sides (supplier/nation/region/customer-agg) are orders of
+  magnitude smaller than the fact table → ``F.broadcast`` pins a
+  BroadcastHashJoin, so the lineitem scan never shuffles for the join.
+- The multiway chain joins facts to dims in decreasing-size order; only
+  orders×lineitem is a true big-big join, shuffled on the join key once and
+  reused (co-partitioned) by the following group-by on the same key.
+- The as-of join pre-aggregates the right side per (key, left-row) via a
+  conditional max instead of exploding a between-join; at scale this is the
+  classic "latest state per event" pattern with one shuffle per side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.tables import load_table
+
+
+def broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact × small-dim inner equi-join as BroadcastHashJoin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "inner")
+        .groupBy("s_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema 4-way join: lineitem ⋈ orders ⋈ customer ⋈ nation,
+    revenue per nation (TPC-H Q5 shape; beyond-reference completeness)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: orders having at least one high-value lineitem (EXISTS)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = li.filter(F.col("l_extendedprice") > 95000.0)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers with no orders (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def cross_join_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: percentage-of-total via an explicit 1-row cross join, exactly the
+    reference's comma-join pattern (query_selectivity_distribution.sql:56-58)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "n",
+            (F.col("n") * 100.0 / F.col("total")).alias("pct"),
+        )
+    )
+
+
+def window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idiomatic alternative to J2: same result via an empty-partition window
+    (SURVEY.md §2.3 note) — avoids a second aggregation pass."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "event_type",
+        "n",
+        (F.col("n") * 100.0 / F.sum("n").over(Window.partitionBy())).alias("pct"),
+    )
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond reference): for each purchase event, the most recent
+    signup by the same user at-or-before the purchase time.
+
+    Implemented as equi-join on user + range predicate, reduced by max();
+    time output formatted to string (timestamp_ntz vs DuckDB drift).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user_id"), F.col("ts").alias("s_ts")
+    )
+    joined = purchases.join(
+        signups,
+        (purchases.user_id == signups.s_user_id) & (signups.s_ts <= purchases.p_ts),
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        .agg(F.max("s_ts").alias("asof_ts"))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "asof_signup_time"
+            ),
+        )
+    )
+
+
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (beyond reference): lineitems shipped within 30 days after
+    their order's date — equi key + range predicate on timestamps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= F.timestamp_add("DAY", F.lit(30), orders.o_orderdate)),
+        "inner",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "join_broadcast_inner": broadcast_inner,
+    "join_multiway": multiway,
+    "join_semi": semi_join,
+    "join_anti": anti_join,
+    "join_cross_pct": cross_join_pct,
+    "join_window_pct": window_pct,
+    "join_asof": asof_join,
+    "join_range": range_join,
+}
+
+_PCT_ORACLE = """
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
+    ), total AS (SELECT SUM(n) AS total FROM counts)
+    SELECT c.event_type, c.n, CAST(c.n * 100.0 / t.total AS DOUBLE) AS pct
+    FROM counts c, total t
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "join_broadcast_inner": """
+        SELECT s.s_name,
+               CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+    """,
+    "join_multiway": """
+        SELECT n.n_name,
+               CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "join_semi": """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_extendedprice > 95000.0)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "join_cross_pct": _PCT_ORACLE,
+    "join_window_pct": _PCT_ORACLE,
+    "join_asof": """
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               strftime(MAX(s.ts), '%Y-%m-%d %H:%M:%S.%f') AS asof_signup_time
+        FROM events p
+        LEFT JOIN events s
+          ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+    """,
+    "join_range": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(l.l_extendedprice) AS DOUBLE) AS sum_price
+        FROM lineitem l JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    """,
+}

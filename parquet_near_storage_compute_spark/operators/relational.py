@@ -1,0 +1,152 @@
+"""Sorts / limits / set operations / scalar-function surface.
+
+Covers SURVEY.md §2.6 (O1 ORDER BY + the LIMIT/top-k the reference lacks),
+§2.7 (set operations — absent in reference, Spark built-ins), and §2.8
+(F1-F5 scalar functions: arithmetic, CEIL, LEAST, NULLIF, CASE WHEN).
+
+Scale design: global top-k uses ``orderBy(...).limit(k)`` which Spark
+compiles to TakeOrderedAndProject — per-partition heap + driver merge of k
+rows, never a global sort. Set operations on key columns are map-side
+distinct-able; union-all is a zero-shuffle concatenation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.tables import load_table
+
+
+def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + top-k: highest-value lineitems, deterministic tiebreaks,
+    TakeOrderedAndProject physical plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL: nation keys from customers and suppliers, tagged + counted."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    u = cust.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    ).unionAll(
+        sup.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier"))
+    )
+    return u.groupBy("nationkey", "side").agg(F.count(F.lit(1)).alias("n"))
+
+
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nation keys present on both sides."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    return cust.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        sup.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customer nations with no supplier."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    return cust.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
+        sup.select(F.col("s_nationkey").alias("nationkey"))
+    ).distinct()
+
+
+def case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F2/F3/F4: CASE WHEN + CEIL + LEAST + NULLIF bucketing chain — the
+    scalar-function cluster of query_selectivity_distribution.sql:19-33."""
+    orders = load_table(spark, sf_dir, "orders")
+    ratio = F.col("o_totalprice") / F.nullif(
+        F.lit(500000.0), F.lit(0.0)
+    )  # NULLIF guard mirrors the reference's div-by-zero idiom
+    bucket = F.least(F.ceil(ratio * 10), F.lit(10).cast("long")).cast("long")
+    labeled = orders.withColumn(
+        "price_bucket",
+        F.when(F.col("o_totalprice") > 0, bucket).otherwise(F.lit(None)),
+    )
+    return labeled.groupBy("price_bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+    )
+
+
+def arithmetic_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the reference's /14*365/12 scaling chain (retrieval_rate.sql:29)
+    applied per row then aggregated."""
+    orders = load_table(spark, sf_dir, "orders")
+    scaled = F.col("o_totalprice") / 14 * 365 / 12
+    return orders.agg(
+        F.sum(scaled).alias("sum_scaled"),
+        F.avg(scaled + F.lit(1.0) - F.lit(1.0)).alias("avg_scaled"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sort_limit_topk": order_by_limit,
+    "setop_union_all": union_all_counts,
+    "setop_intersect": intersect_keys,
+    "setop_except": except_keys,
+    "scalar_case_bucket": case_bucket,
+    "scalar_arithmetic_chain": arithmetic_chain,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "sort_limit_topk": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 10
+    """,
+    "setop_union_all": """
+        WITH u AS (
+          SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+          UNION ALL
+          SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+        )
+        SELECT nationkey, side, CAST(COUNT(*) AS BIGINT) AS n
+        FROM u GROUP BY nationkey, side
+    """,
+    "setop_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "setop_except": """
+        SELECT DISTINCT nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS nationkey FROM supplier
+        )
+    """,
+    "scalar_case_bucket": """
+        WITH labeled AS (
+          SELECT o_totalprice,
+                 CASE WHEN o_totalprice > 0
+                      THEN CAST(LEAST(CEIL(o_totalprice / NULLIF(500000.0, 0) * 10),
+                                      10) AS BIGINT)
+                      ELSE NULL END AS price_bucket
+          FROM orders
+        )
+        SELECT price_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+        FROM labeled GROUP BY price_bucket
+    """,
+    "scalar_arithmetic_chain": """
+        SELECT CAST(SUM(o_totalprice / 14 * 365 / 12) AS DOUBLE) AS sum_scaled,
+               CAST(AVG(o_totalprice / 14 * 365 / 12 + 1.0 - 1.0) AS DOUBLE)
+                   AS avg_scaled
+        FROM orders
+    """,
+}

@@ -1,0 +1,190 @@
+"""Time-series / semi-structured operators over the ``events`` table.
+
+The reference treats timestamps as plain Int64 columns (SURVEY.md §1.1); this
+module adds the time-bucketing, sessionization and JSON-extraction surface a
+telemetry workload (Snowset is one) actually needs — all with native
+functions, no UDFs.
+
+Time buckets are emitted as formatted strings: Spark reads the parquet
+timestamps as TIMESTAMP_NTZ while DuckDB sees TIMESTAMP, and a string output
+makes the oracle comparison representation-stable.
+
+Scale design: tumbling-window aggregation is a single hash aggregate on
+(bucket, key) — identical shuffle profile to any group-by. Sessionization is
+one window pass per user partition + one aggregate; no self-joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.tables import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window (Structured-Streaming-compatible
+    windowing in batch mode)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h window, 1h slide): each event lands in 2 buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", _FMT).alias("win_start"),
+            F.date_format("w.end", _FMT).alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
+    session ids, then per-user session stats."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts", 1).over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    with_sess = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("session_value").alias("total_value"),
+        )
+    )
+
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: parse the JSON payload with a declared schema
+    (F.from_json → typed struct; SURVEY §7.4) and aggregate on it."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.avg("k").alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.when(F.col("k") > 50, F.lit(1))).alias("n_k_gt_50"),
+    )
+
+
+def datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime field extraction (year/month/dow/hour) + group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour_of_day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "time_tumbling_hourly": tumbling_hourly,
+    "time_sliding_window": sliding_window,
+    "time_sessionize": sessionize,
+    "time_json_extract": json_extract,
+    "time_datetime_parts": datetime_parts,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "time_tumbling_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(value) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "time_sliding_window": """
+        -- each event belongs to 2 sliding buckets: [trunc(ts)-1h, +2h) and
+        -- [trunc(ts), +2h)
+        WITH expanded AS (
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) AS win_start FROM events
+        )
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+               strftime(win_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM expanded GROUP BY 1, 2
+    """,
+    "time_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, value, ts, event_id,
+                 -- date_trunc('second') matches Spark's unix_timestamp()
+                 -- truncation of sub-second parts
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR epoch(date_trunc('second', ts))
+                           - epoch(date_trunc('second', LAG(ts) OVER w)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessioned AS (
+          SELECT user_id, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
+          FROM flagged
+        ),
+        per_session AS (
+          SELECT user_id, session_id,
+                 COUNT(*) AS n_events, SUM(value) AS session_value
+          FROM sessioned GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+               CAST(SUM(session_value) AS DOUBLE) AS total_value
+        FROM per_session GROUP BY user_id
+    """,
+    "time_json_extract": """
+        WITH parsed AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               CAST(AVG(k) AS DOUBLE) AS avg_k,
+               CAST(MAX(k) AS INT) AS max_k,
+               CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_k_gt_50
+        FROM parsed GROUP BY event_type
+    """,
+    "time_datetime_parts": """
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+}

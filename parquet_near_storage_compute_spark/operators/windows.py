@@ -1,0 +1,169 @@
+"""Window functions (SURVEY.md §2.5: absent in the reference, provided as
+first-class engine surface via Spark's native window exec).
+
+All orderings carry unique tiebreak keys so results are deterministic and
+oracle-comparable.
+
+Scale design: window partitions key on user/supplier/group columns — the
+shuffle is one hash exchange per window spec, and partitions are bounded by
+per-key cardinality (no global sort). The only global window (percentage of
+total) runs post-aggregation on a tiny frame (join_window_pct in joins.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.tables import load_table
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number: top-3 lineitems by price within each returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+def rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank over order priorities per status (with ties)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_prio = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return per_prio.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: per-user event deltas ordered by time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta"),
+    )
+
+
+def moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame spec: rolling 3-row sum per user (ROWS BETWEEN 2 PRECEDING)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum("value").over(w).alias("moving_sum3")
+    )
+
+
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum: running spend per customer by order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("o_totalprice").over(w).alias("running_spend"),
+    )
+
+
+def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile: quartile assignment of customers by account balance."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return cust.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "window_topk_per_group": topk_per_group,
+    "window_rank_dense_rank": rank_dense_rank,
+    "window_lag_lead": lag_lead,
+    "window_moving_sum": moving_sum,
+    "window_running_total": running_total,
+    "window_ntile": ntile_buckets,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "window_topk_per_group": """
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               CAST(rn AS INT) AS rn
+        FROM (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice DESC,
+                                             l_orderkey, l_linenumber) AS rn
+          FROM lineitem
+        ) WHERE rn <= 3
+    """,
+    "window_rank_dense_rank": """
+        WITH per_prio AS (
+          SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus, o_orderpriority, n,
+               CAST(RANK() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY n DESC, o_orderpriority) AS INT) AS rnk,
+               CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY n DESC, o_orderpriority) AS INT)
+                   AS drnk
+        FROM per_prio
+    """,
+    "window_lag_lead": """
+        SELECT event_id, user_id, value,
+               LAG(value, 1) OVER w AS prev_value,
+               LEAD(value, 1) OVER w AS next_value,
+               CAST(value - LAG(value, 1) OVER w AS DOUBLE) AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "window_moving_sum": """
+        SELECT event_id, user_id,
+               CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS moving_sum3
+        FROM events
+    """,
+    "window_running_total": """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS DOUBLE)
+                   AS running_spend
+        FROM orders
+    """,
+    "window_ntile": """
+        SELECT c_custkey, c_acctbal,
+               CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS INT)
+                   AS quartile
+        FROM customer
+    """,
+}

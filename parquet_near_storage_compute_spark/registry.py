@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = [
     "parquet_near_storage_compute_spark.operators.scan_agg",
+    "parquet_near_storage_compute_spark.operators.snowset",
+    "parquet_near_storage_compute_spark.operators.joins",
+    "parquet_near_storage_compute_spark.operators.aggregates",
+    "parquet_near_storage_compute_spark.operators.windows",
+    "parquet_near_storage_compute_spark.operators.relational",
+    "parquet_near_storage_compute_spark.operators.timeseries",
 ]
 
 

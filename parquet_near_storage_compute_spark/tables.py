@@ -10,6 +10,8 @@ natively and reads footers at planning time (SURVEY.md §2.1 S1-S3, S7-S8).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Every table the driver materializes (TESTDATA.md).
 TABLES: tuple[str, ...] = (
@@ -30,9 +32,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+#: Columns written as parquet TIMESTAMP(NANOS); Spark reads them as long
+#: (spark.sql.legacy.parquet.nanosAsLong) and we rebuild a timestamp at
+#: microsecond precision — the same ns→µs truncation DuckDB applies.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Footer-driven scan of one table (schema inferred, S1/S2 automatic)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's
+            # 53-bit mantissa, so float division would corrupt microseconds
+            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
