@@ -1,0 +1,96 @@
+"""Text primitives for the training-data-pipeline operators.
+
+Everything here is built from native higher-order functions
+(``transform``/``filter``/``aggregate`` — JVM-side, codegen'd, zero Python in
+the hot path) so the dedup/text operators scale per-row with no UDF overhead.
+
+Cross-engine determinism: all hashing is ``md5(seed || token)`` — bitwise
+identical in Spark and DuckDB — which is what makes MinHash/SimHash
+fingerprints oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space; matches DuckDB string_split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles(ws: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array; empty when the doc has < n words.
+
+    Spark: ``transform(sequence(0, size-n), i -> concat_ws(' ', slice(ws,i+1,n)))``
+    mirrors DuckDB ``list_transform(range(len-n+1), i -> array_to_string(ws[i+1:i+n], ' '))``.
+    """
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def seeded_hash(seed: int, token: Column) -> Column:
+    """Deterministic per-seed hash: md5('<seed>:' || token), hex string.
+
+    String-min over these behaves as an independent-ish permutation per seed
+    (the standard k-mins MinHash construction)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), token))
+
+
+def minhash_aggs(token_col: str, k: int) -> list[Column]:
+    """k MinHash aggregate expressions over an exploded token column."""
+    return [
+        F.min(seeded_hash(j, F.col(token_col))).alias(f"mh{j}") for j in range(k)
+    ]
+
+
+def band_hash(minhash_cols: list[str], band: int, rows_per_band: int) -> Column:
+    """LSH banding: hash the band's minhash slice into one bucket key."""
+    parts = [
+        F.col(minhash_cols[band * rows_per_band + r]) for r in range(rows_per_band)
+    ]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def simhash_bit_value(bit: int, token: Column) -> Column:
+    """±1 contribution of a token to SimHash bit ``bit``: parity of the first
+    hex char of md5('<bit>:' || token). Matches DuckDB
+    ``ascii(substr(md5(...),1,1)) % 2``."""
+    parity = F.ascii(F.substring(seeded_hash(bit, token), 1, 1)) % 2
+    return parity * 2 - 1
+
+
+def char_ngrams(text: Column, n: int = 8) -> Column:
+    """Character n-grams (for winnowing-style fingerprints)."""
+    return F.when(
+        F.length(text) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.length(text) - n),
+            lambda i: F.substring(text, i + 1, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: Tiny public stopword sets used by the language-ID heuristic and quality
+#: scores. Deliberately small: the point is the operator plumbing, not NLP
+#: accuracy.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "is", "in")
+MARKERS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "los", "las", "que", "por", "una"),
+    "fr": ("le", "les", "et", "est", "une", "dans"),
+    "en": STOPWORDS_EN,
+}
+
+
+def count_in(ws: Column, vocab: tuple[str, ...]) -> Column:
+    """Occurrences of vocabulary words in a token array (JVM-side filter)."""
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(ws, lambda w: F.array_contains(vocab_arr, w)))

@@ -1,0 +1,351 @@
+"""Deduplication operators over ``documents`` (north-star, BASELINE.json).
+
+Five dedup families, all expressed as shuffle-bounded DataFrame plans:
+
+- exact:        hash-groupBy on md5(text) — one shuffle on the 16-byte hash.
+- key-based:    min-per-group dedup on (lang, source).
+- MinHash+LSH:  shingle → k-mins signature → banded bucket join. The only
+                pairwise work happens inside LSH buckets, so candidate
+                generation is O(Σ bucket²) not O(n²) — the standard 100 TB
+                near-dup pattern (the full similarity join never materializes).
+- n-gram Jaccard: exact verify step on the LSH candidates only.
+- SimHash:      16-bit fingerprint via per-token bit votes; duplicates =
+                fingerprint collisions (groupBy, no pairwise step at all).
+- embedding:    cosine-threshold pairs, blocked by sign-LSH bucket.
+
+Cross-engine determinism: every hash is md5-derived (functions/text.py), so
+the DuckDB oracles reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.functions.text import (
+    band_hash,
+    minhash_aggs,
+    shingles,
+    words,
+)
+from parquet_near_storage_compute_spark.functions.vectors import as_double, cosine
+from parquet_near_storage_compute_spark.tables import load_table
+
+MINHASH_K = 8
+LSH_BANDS = 4
+LSH_ROWS = 2  # MINHASH_K = LSH_BANDS * LSH_ROWS
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc per content hash (keep min doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based dedup (dropDuplicates semantics made deterministic): first
+    doc per (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → k MinHash values over distinct 3-word shingles."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
+    )
+    return sh.groupBy("doc_id").agg(*minhash_aggs("s", MINHASH_K))
+
+
+def _lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket → candidate pairs (a < b)."""
+    mh_cols = [f"mh{j}" for j in range(MINHASH_K)]
+    bands = None
+    for b in range(LSH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            band_hash(mh_cols, b, LSH_ROWS).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("bh").alias("bh_a")
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("bh").alias("bh_b")
+    )
+    return (
+        left.join(
+            right,
+            (left.band == right.band)
+            & (left.bh_a == right.bh_b)
+            & (left.doc_a < right.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _lsh_candidates(_minhash_signatures(docs)).orderBy("doc_a", "doc_b")
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard verification of the LSH candidates: true
+    near-dups at J ≥ 0.5. This is the canonical two-phase near-dup pipeline
+    (cheap candidate generation → exact verify on candidates only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_minhash_signatures(docs))
+    sets = docs.select(
+        "doc_id", F.array_distinct(shingles(words("text"), 3)).alias("sset")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    return (
+        joined.select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard within (lang, source) blocks — blocking strategy for
+    when a natural partition key exists; pairwise work stays inside blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(words("text")).alias("wset"),
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.wset", "b.wset")).cast("double")
+    union = F.size(F.array_union("a.wset", "b.wset")).cast("double")
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.lang").alias("lang"),
+        (inter / union).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.9)
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: per-token ±1 votes per bit over distinct tokens,
+    packed to a 16-bit int; output fingerprint groups (collision = near-dup
+    cluster). GroupBy-only — no pairwise join anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(words("text"))).alias("tok")
+    )
+    # per (doc, bit) vote sums
+    votes = (
+        toks.crossJoin(
+            spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+        )
+        .select(
+            "doc_id",
+            "bit",
+            simhash_bit_value_col().alias("v"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+    )
+    fp = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit"))).otherwise(0.0)
+        )
+        .cast("long")
+        .alias("fingerprint")
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def simhash_bit_value_col() -> Column:
+    """±1 vote for the (bit, tok) row pair (columns must exist in scope)."""
+    parity = (
+        F.ascii(
+            F.substring(
+                F.md5(F.concat(F.col("bit").cast("string"), F.lit(":"), F.col("tok"))),
+                1,
+                1,
+            )
+        )
+        % 2
+    )
+    return parity * 2 - 1
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ 0.4 pairs. Small-scale: all pairs; the
+    scale path is the sign-LSH blocked variant in similarity.py (same cosine
+    kernel)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double("embedding").alias("v"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": exact_dedup,
+    "dedup_key": key_dedup,
+    "dedup_minhash_lsh": minhash_lsh,
+    "dedup_ngram_jaccard": ngram_jaccard,
+    "dedup_blocked_jaccard": blocked_jaccard,
+    "dedup_simhash": simhash,
+    "dedup_embedding": embedding_neardup,
+}
+
+# Shared oracle CTEs for shingles/minhash (DuckDB).
+_SHINGLE_CTE = """
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             CASE WHEN len(ws) >= 3 THEN range(len(ws)-2) ELSE [] END,
+             i -> array_to_string(ws[i+1:i+3], ' ')))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  ),
+  mh AS (
+    SELECT doc_id,
+           min(md5('0:'||s)) AS mh0, min(md5('1:'||s)) AS mh1,
+           min(md5('2:'||s)) AS mh2, min(md5('3:'||s)) AS mh3,
+           min(md5('4:'||s)) AS mh4, min(md5('5:'||s)) AS mh5,
+           min(md5('6:'||s)) AS mh6, min(md5('7:'||s)) AS mh7
+    FROM sh GROUP BY doc_id
+  ),
+  bands AS (
+    SELECT doc_id, 0 AS band, md5(mh0||'|'||mh1) AS bh FROM mh UNION ALL
+    SELECT doc_id, 1, md5(mh2||'|'||mh3) FROM mh UNION ALL
+    SELECT doc_id, 2, md5(mh4||'|'||mh5) FROM mh UNION ALL
+    SELECT doc_id, 3, md5(mh6||'|'||mh7) FROM mh
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  )
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_key": """
+        SELECT lang, source,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang, source
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLE_CTE}
+        SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLE_CTE},
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   CASE WHEN len(ws) >= 3 THEN range(len(ws)-2) ELSE [] END,
+                   i -> array_to_string(ws[i+1:i+3], ' '))) AS sset
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+        FROM cand c
+        JOIN sets a ON c.doc_a = a.doc_id
+        JOIN sets b ON c.doc_b = b.doc_id
+        WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5
+        ORDER BY c.doc_a, c.doc_b
+    """,
+    "dedup_blocked_jaccard": """
+        WITH sets AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(string_split(text, ' ')) AS wset
+          FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+               CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.wset, b.wset))) AS jaccard
+        FROM sets a
+        JOIN sets b ON a.lang = b.lang AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.9
+    """,
+    "dedup_simhash": """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents
+        ),
+        votes AS (
+          SELECT doc_id, bit,
+                 SUM((ascii(substr(md5(bit || ':' || tok), 1, 1)) % 2) * 2 - 1) AS s
+          FROM toks, (SELECT unnest(range(16)) AS bit)
+          GROUP BY doc_id, bit
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN pow(2.0, bit) ELSE 0 END) AS BIGINT)
+                   AS fingerprint
+          FROM votes GROUP BY doc_id
+        )
+        SELECT fingerprint,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM fp GROUP BY fingerprint
+    """,
+    "dedup_embedding": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                 AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+              >= 0.4
+        ORDER BY vec_a, vec_b
+    """,
+}

@@ -1,0 +1,157 @@
+"""Multimodal-column plumbing (north-star extension).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata; the
+decode/feature kernels run as Arrow-batched ``mapInPandas`` (the image/audio
+libraries are not in this container, so the real decoders are clearly-marked
+stubs behind ``NotImplementedError`` — the Spark-side plumbing (schema,
+batch iteration, UDF signatures, partitioning) is real and tested with a
+deterministic fake "decoder").
+
+The binary payload here is the UTF-8 encoding of ``documents.text`` — a
+stand-in with the same storage/partitioning shape as an image blob column.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
+with ``spark.sql.execution.arrow.maxRecordsPerBatch`` tuned, a 1000-executor
+decode job is bounded by Python worker throughput per core, and the metadata
+aggregations stay fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.tables import load_table
+
+N_FEATURES = 4
+
+_FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, feature array<double>"
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata struct."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real image decode (PIL/opencv not in this container)."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; payload plumbing is exercised via "
+        "fake_features()"
+    )
+
+
+def decode_audio(payload: bytes) -> object:
+    """STUB: real audio decode (soundfile/librosa not in this container)."""
+    raise NotImplementedError("audio decode requires soundfile/librosa")
+
+
+def fake_features(payload: bytes) -> list[float]:
+    """Deterministic fake 'decoder': first N byte values as doubles. Stands
+    in for an image-embedding kernel with identical batch shape."""
+    return [float(b) for b in payload[:N_FEATURES]]
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(len),
+                "feature": pdf["payload"].map(fake_features),
+            }
+        )
+
+
+def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column
+    (mapInPandas — the multimodal decode execution pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(_feature_batches, _FEATURE_SCHEMA)
+
+
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM metadata aggregation over the binary column (no decode):
+    bytes per source — the cheap pre-decode accounting pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = with_binary_payload(docs)
+    return b.groupBy("source").agg(
+        F.sum(F.col("meta.n_bytes").cast("long")).alias("total_bytes"),
+        F.max(F.col("meta.n_bytes").cast("long")).alias("max_bytes"),
+        F.count(F.lit(1)).alias("n_payloads"),
+    )
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Frame sampling' shape: slice every k-th byte of the payload (stands
+    in for video frame extraction — same stride-sample plumbing), then
+    aggregate sampled sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs)
+    stride = 16
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pdf["payload"].map(
+                        lambda p: len(p[::stride])
+                    ),
+                }
+            )
+
+    sampled = payloads.select("doc_id", "payload").mapInPandas(
+        sample, "doc_id bigint, n_frames bigint"
+    )
+    return sampled.agg(
+        F.sum("n_frames").alias("total_frames"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mm_feature_extract": feature_extract,
+    "mm_binary_metadata": binary_metadata,
+    "mm_frame_sample": frame_sample,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "mm_feature_extract": f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               list_transform(range({N_FEATURES}),
+                              i -> CAST(ascii(substr(text, i + 1, 1)) AS DOUBLE))
+                 AS feature
+        FROM documents
+    """,
+    "mm_binary_metadata": """
+        SELECT source,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+               CAST(COUNT(*) AS BIGINT) AS n_payloads
+        FROM documents GROUP BY source
+    """,
+    "mm_frame_sample": """
+        -- ceil(len/16) sampled 'frames' per payload
+        SELECT CAST(SUM(CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT))
+                    AS BIGINT) AS total_frames,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+    """,
+}

@@ -1,0 +1,215 @@
+"""Similarity search over the ``embeddings`` table (north-star extension).
+
+- Brute-force cosine top-k: the correctness baseline. Query set broadcast,
+  candidates streamed — one pass over the big side, per-group heap via
+  window row_number.
+- Sign-LSH bucketed ANN: the scale path. Bucket assignment is a pure per-row
+  expression against constant ±1 hyperplanes (functions/vectors.py), so at
+  100 TB it's a narrow map + one equi-join on (bucket) instead of a cross
+  join — candidate volume drops by ~2^n_planes.
+- Label-centroid cosine: element-wise vector aggregation (posexplode →
+  per-position mean → re-assemble), the building block for IVF coarse
+  quantization.
+
+All vector math in double precision with deterministic sequential folds so
+the DuckDB oracle (list_dot_product on DOUBLE[]) matches bitwise-to-epsilon.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.functions.vectors import (
+    as_double,
+    cosine,
+    lsh_bucket,
+    random_hyperplanes,
+    sql_plane_literal,
+)
+from parquet_near_storage_compute_spark.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 3
+N_PLANES = 4
+DIM = 64
+
+_PLANES = random_hyperplanes(N_PLANES, DIM)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", as_double("embedding").alias("v"))
+
+
+def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest others."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = v.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH blocking: candidates share the query's bucket; top-k
+    by exact cosine within the bucket (recall < 1, cost « brute force)."""
+    v = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("v"), _PLANES))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("qb") == F.col("cb")) & (F.col("query_id") != F.col("cand_id")))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket occupancy — the tuning observable for plane count (skew in
+    this histogram = skew in the ANN join)."""
+    v = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("v"), _PLANES))
+    return v.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean), then each vector's cosine to
+    its own centroid, averaged per label — IVF-style coarse structure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", F.posexplode(as_double("embedding")))
+    cent = (
+        v.groupBy("label", "pos")
+        .agg(F.avg("col").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label", F.transform("pc", lambda x: x.getField("c")).alias("centroid")
+        )
+    )
+    vv = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    joined = vv.join(F.broadcast(cent), "label")
+    return (
+        joined.select(
+            "label", cosine(F.col("v"), F.col("centroid")).alias("cos_to_centroid")
+        )
+        .groupBy("label")
+        .agg(
+            F.avg("cos_to_centroid").alias("avg_cos"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sim_topk_bruteforce": topk_bruteforce,
+    "sim_topk_lsh": topk_lsh,
+    "sim_lsh_bucket_histogram": bucket_histogram,
+    "sim_label_centroid": label_centroid_cosine,
+}
+
+_COS = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+def _bucket_expr(vec_sql: str) -> str:
+    """DuckDB SQL for the same sign-LSH bucket id Spark computes."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_sql}, {sql_plane_literal(_PLANES[p])})"
+        f" >= 0 THEN {2**p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+
+ORACLE_SQL: dict[str, str] = {
+    "sim_topk_bruteforce": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 {_COS} AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {_COS} DESC, b.vec_id) AS rk
+          FROM v a JOIN v b ON b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    """,
+    "sim_topk_lsh": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {_bucket_expr("embedding::DOUBLE[]")} AS bucket
+          FROM embeddings
+        )
+        SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 {_COS} AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {_COS} DESC, b.vec_id) AS rk
+          FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    """,
+    "sim_lsh_bucket_histogram": f"""
+        SELECT {_bucket_expr("embedding::DOUBLE[]")} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM embeddings GROUP BY 1
+    """,
+    "sim_label_centroid": """
+        WITH pos AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos
+        ),
+        cvec AS (
+          SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+        ),
+        scored AS (
+          SELECT e.label,
+                 list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.centroid, c.centroid)))
+                   AS cos_to_centroid
+          FROM embeddings e JOIN cvec c ON e.label = c.label
+        )
+        SELECT label,
+               CAST(AVG(cos_to_centroid) AS DOUBLE) AS avg_cos,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM scored GROUP BY label
+    """,
+}

@@ -1,0 +1,208 @@
+"""Text-analysis operators over ``documents`` (north-star extension).
+
+Language-ID, quality scoring, token counting and document fingerprinting —
+all as per-row native expressions (higher-order functions; zero Python UDFs),
+so the operators are embarrassingly parallel: at 100 TB they are a narrow map
+over the scan with optional small group-bys on low-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.functions.text import (
+    MARKERS,
+    STOPWORDS_EN,
+    char_ngrams,
+    count_in,
+    words,
+)
+from parquet_near_storage_compute_spark.tables import load_table
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length, token stats, stopword ratio,
+    punctuation count — the standard pre-training quality-filter columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    n_words = F.size(ws)
+    total_wlen = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_words.cast("long").alias("n_words"),
+        (total_wlen.cast("double") / n_words).alias("avg_word_len"),
+        (count_in(ws, STOPWORDS_EN).cast("double") / n_words).alias(
+            "stopword_ratio"
+        ),
+        F.size(F.filter(ws, lambda w: F.length(w) > 6)).cast("long").alias(
+            "n_long_words"
+        ),
+    )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: docs passing minimum-quality thresholds (the filter form
+    of quality_scores), with per-source pass rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    n_words = F.size(ws)
+    stop_ratio = count_in(ws, STOPWORDS_EN).cast("double") / n_words
+    passed = (
+        (F.length("text") >= 100) & (n_words >= 20) & (stop_ratio >= 0.0)
+    )
+    return (
+        docs.withColumn("passed", passed)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("passed").cast("long")).alias("n_passed"),
+        )
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker counts with a
+    fixed priority order (de > es > fr > en) on ties, default en. Reported
+    against the dataset's ``lang`` column as a confusion summary."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    scores = {lang: count_in(ws, vocab) for lang, vocab in MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["de"] > scores["es"])
+            & (scores["de"] > scores["fr"])
+            & (scores["de"] > scores["en"]),
+            F.lit("de"),
+        )
+        .when(
+            (scores["es"] > scores["fr"]) & (scores["es"] > scores["en"]),
+            F.lit("es"),
+        )
+        .when(scores["fr"] > scores["en"], F.lit("fr"))
+        .otherwise(F.lit("en"))
+    )
+    return (
+        docs.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, two tokenizers: whitespace and a BPE-ish regex
+    ([a-z0-9]+ runs); per-source totals (pre-training size accounting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_count = F.size(words("text")).cast("long")
+    re_count = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    ).cast("long")
+    return (
+        docs.select("source", ws_count.alias("n_ws"), re_count.alias("n_re"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_re").alias("regex_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+FP_NGRAM = 8
+FP_KEEP = 4
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: the 4 smallest md5s of the
+    character 8-grams, concatenated. Content-defined, order-robust — a
+    compact near-dup key (groupable like simhash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = char_ngrams(F.col("text"), FP_NGRAM)
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    fp = F.array_join(F.slice(F.array_sort(hashes), 1, FP_KEEP), "")
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_quality_scores": quality_scores,
+    "text_quality_filter": quality_filter,
+    "text_language_id": language_id,
+    "text_token_counts": token_counts,
+    "text_fingerprint": fingerprint,
+}
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in vocab) + "]"
+    for lang, vocab in MARKERS.items()
+}
+
+
+def _score(lang: str) -> str:
+    return f"len(list_filter(ws, w -> list_contains({_MARKER_SQL[lang]}, w)))"
+
+
+ORACLE_SQL: dict[str, str] = {
+    "text_quality_scores": f"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars_actual,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                 / len(ws) AS avg_word_len,
+               CAST(len(list_filter(ws, w -> list_contains(
+                   {_MARKER_SQL['en']}, w))) AS DOUBLE) / len(ws) AS stopword_ratio,
+               CAST(len(list_filter(ws, w -> length(w) > 6)) AS BIGINT)
+                 AS n_long_words
+        FROM t
+    """,
+    "text_quality_filter": f"""
+        WITH t AS (SELECT source, text, string_split(text, ' ') AS ws FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN length(text) >= 100 AND len(ws) >= 20
+                             AND CAST(len(list_filter(ws, w -> list_contains(
+                                 {_MARKER_SQL['en']}, w))) AS DOUBLE) / len(ws) >= 0.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+        FROM t GROUP BY source
+    """,
+    "text_language_id": f"""
+        WITH t AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+        scored AS (
+          SELECT lang,
+                 {_score('de')} AS s_de, {_score('es')} AS s_es,
+                 {_score('fr')} AS s_fr, {_score('en')} AS s_en
+          FROM t
+        )
+        SELECT lang,
+               CASE WHEN s_de > s_es AND s_de > s_fr AND s_de > s_en THEN 'de'
+                    WHEN s_es > s_fr AND s_es > s_en THEN 'es'
+                    WHEN s_fr > s_en THEN 'fr'
+                    ELSE 'en' END AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM scored GROUP BY 1, 2
+    """,
+    "text_token_counts": """
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+                 AS regex_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               array_to_string(
+                 list_sort(list_transform(
+                   CASE WHEN length(text) >= {FP_NGRAM}
+                        THEN range(length(text) - {FP_NGRAM - 1})
+                        ELSE [] END,
+                   i -> md5(substr(text, i + 1, {FP_NGRAM}))))[1:{FP_KEEP}], '')
+                 AS fingerprint
+        FROM documents
+    """,
+}

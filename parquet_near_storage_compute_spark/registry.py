@@ -21,6 +21,10 @@ _MODULES = [
     "parquet_near_storage_compute_spark.operators.windows",
     "parquet_near_storage_compute_spark.operators.relational",
     "parquet_near_storage_compute_spark.operators.timeseries",
+    "parquet_near_storage_compute_spark.operators.dedup",
+    "parquet_near_storage_compute_spark.operators.similarity",
+    "parquet_near_storage_compute_spark.operators.textops",
+    "parquet_near_storage_compute_spark.operators.multimodal",
 ]
 
 
