@@ -1,0 +1,97 @@
+"""Benchmark runner (driver contract): headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Reference parity: per-query wall-clock with warm-up exclusion (M7,
+``v1/src/main.rs:148-151``) — one untimed warm-up execution of each query
+before the timed run (JIT/codegen caches warm, same rationale as the
+reference's excluded first/last file per task). Queries materialize through
+the noop sink so timing covers full execution without driver collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from parquet_near_storage_compute_spark.registry import all_queries
+    from parquet_near_storage_compute_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="pnsc-bench",
+        master=f"local[{cpus}]",
+        conf={"spark.sql.shuffle.partitions": str(max(int(cpus), 8))},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    #: headline set: the v1 flagship + ladder rung, both Snowset golden
+    #: queries, the heavy relational operators, and one per extension family.
+    headline = [
+        "v1_flagship",
+        "v1_ladder_real",
+        "snowset_selectivity_distribution",
+        "snowset_retrieval_rate",
+        "agg_pricing_summary",
+        "agg_reaggregate",
+        "join_broadcast_inner",
+        "join_multiway",
+        "join_range",
+        "window_topk_per_group",
+        "window_running_total",
+        "time_tumbling_hourly",
+        "time_sessionize",
+        "time_json_extract",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_quality_scores",
+        "text_token_counts",
+        "sim_topk_bruteforce",
+        "sim_topk_lsh",
+        "mm_binary_metadata",
+    ]
+    queries = all_queries()
+
+    def run(name: str) -> None:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # M7: warm-up pass, excluded from timing
+    for name in headline:
+        run(name)
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        run(name)
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,168 @@
+"""Near-storage observables: byte accounting + the M1-M7 metric set.
+
+The reference's thesis metric is bytes-that-must-move vs selectivity. v2
+computes it *from metadata alone*: fetch the footer (seek -8, read
+``metadata_len`` — ``v1/src/main.rs:325-385``), prune row groups on min/max
+(``v2/src/main.rs:527-641``), and count the surviving column-chunk ranges
+plus the footer (``v2/src/main.rs:400-503``). ``planned_scan_bytes`` is the
+same accounting over the same Parquet metadata — deterministic, and exactly
+what Spark's vectorized reader will fetch for a scan with the given
+projection + pushed predicate (modulo read-coalescing padding, which the
+reference's ``merge_chunks`` also has).
+
+Why not runtime counters: Spark 4's Parquet reader on ``file://`` bypasses
+the Hadoop FileSystem statistics for data pages (only footer I/O is
+counted), so physical-byte counters under-report locally. On a cluster the
+same numbers surface as ``inputMetrics.bytesRead``; the planned-bytes curve
+is the portable observable.
+
+Metric set (``v1/src/main.rs:158-192``): M1 bytes read · M2 total time ·
+M3 total throughput · M4 logical throughput · M5 selectivity % · M6
+relative metrics · M7 warm-up exclusion (bench.py excludes warm-up runs).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import time
+from dataclasses import dataclass
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def footer_bytes(path: str) -> int:
+    """Footer length: trailing 8 bytes are [metadata_len:u32][PAR1]
+    (the reference's footer fetch, ``v1/src/main.rs:325-385``)."""
+    with open(path, "rb") as fh:
+        fh.seek(-8, os.SEEK_END)
+        tail = fh.read(8)
+    if tail[4:] != b"PAR1":
+        raise ValueError(f"{path}: not a parquet file")
+    (meta_len,) = struct.unpack("<I", tail[:4])
+    return meta_len + 8
+
+
+def planned_scan_bytes(
+    path: str,
+    columns: list[str] | None = None,
+    predicate: list[tuple[str, str, float]] | None = None,
+) -> int:
+    """Bytes a selective scan must move: footer + surviving column chunks.
+
+    ``predicate`` is a conjunction of (column, op, literal) — the same
+    comparison set as the reference (``Comparison``, ``v1/src/main.rs:418-438``).
+    A row group survives unless its min/max statistics prove no row can match
+    (``keep_row_group``, ``v1/src/main.rs:626-685``).
+    """
+    meta = pq.ParquetFile(path).metadata
+    names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    col_idx = {n: i for i, n in enumerate(names)}
+    wanted = set(columns) if columns is not None else set(names)
+
+    total = footer_bytes(path)
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        keep = True
+        for col, op, lit in predicate or []:
+            stats = group.column(col_idx[col]).statistics
+            if stats is None or not stats.has_min_max:
+                continue  # no stats → cannot prune (same as the reference)
+            lo, hi = stats.min, stats.max
+            # prune iff the predicate is false for the whole [lo, hi] range
+            if op == ">" and not hi > lit:
+                keep = False
+            elif op == ">=" and not hi >= lit:
+                keep = False
+            elif op == "<" and not lo < lit:
+                keep = False
+            elif op == "<=" and not lo <= lit:
+                keep = False
+            elif op == "==" and not (lo <= lit <= hi):
+                keep = False
+        if not keep:
+            continue
+        for name in wanted:
+            total += group.column(col_idx[name]).total_compressed_size
+    return total
+
+
+@dataclass
+class ScanMetrics:
+    """The v1 metric set for one measured query."""
+
+    bytes_read: int  # M1 (planned, v2-style)
+    seconds: float  # M2
+    rows: int
+    dataset_bytes: int
+
+    @property
+    def logical_throughput_gbps(self) -> float:  # M4
+        return self.bytes_read / 1e9 / self.seconds if self.seconds else 0.0
+
+    @property
+    def total_throughput_gbps(self) -> float:  # M3
+        return self.dataset_bytes / 1e9 / self.seconds if self.seconds else 0.0
+
+    @property
+    def selectivity_pct(self) -> float:  # M5
+        return (
+            100.0 * self.bytes_read / self.dataset_bytes if self.dataset_bytes else 0.0
+        )
+
+    def as_dict(self) -> dict:
+        return {
+            "bytes_read": self.bytes_read,
+            "seconds": round(self.seconds, 4),
+            "rows": self.rows,
+            "dataset_bytes": self.dataset_bytes,
+            "logical_throughput_gbps": round(self.logical_throughput_gbps, 4),
+            "total_throughput_gbps": round(self.total_throughput_gbps, 4),
+            "selectivity_pct": round(self.selectivity_pct, 4),
+        }
+
+
+def dataset_size(paths: list[str]) -> int:
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def run_to_completion(df: DataFrame) -> float:
+    """Wall-clock for materializing every projected column (noop sink — a
+    bare count() would let Catalyst prune all columns and skip the work)."""
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def measure(
+    spark: SparkSession,
+    df: DataFrame,
+    input_paths: list[str],
+    columns: list[str] | None = None,
+    predicate: list[tuple[str, str, float]] | None = None,
+    count_rows: bool = True,
+) -> ScanMetrics:
+    """Execute ``df`` and assemble the M1-M5 metric set: wall-time from the
+    real execution, bytes from the v2-style metadata accounting."""
+    seconds = run_to_completion(df)
+    rows = df.count() if count_rows else -1
+    planned = sum(
+        planned_scan_bytes(p, columns, predicate)
+        for p in input_paths
+        if os.path.isfile(p)
+    )
+    return ScanMetrics(
+        bytes_read=planned,
+        seconds=seconds,
+        rows=rows,
+        dataset_bytes=dataset_size(input_paths),
+    )

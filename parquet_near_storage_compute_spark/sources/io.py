@@ -1,0 +1,86 @@
+"""Sources & sinks (SURVEY.md §2.1): glob parquet sources (S8), CSV sink
+with header (S9), and the partitioned/bucketed parquet layouts a 100 TB
+deployment actually uses.
+
+The reference's "table = directory of numbered parquet files" model
+(``v1/src/main.rs:119-131``) is native to ``spark.read.parquet``; its CSV
+sink is ``COPY ... TO 'x.csv' (FORMAT CSV, HEADER)``
+(``query_selectivity_distribution.sql:1,61``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Directory, single file, or glob — S1-S3/S7/S8 are automatic."""
+    return spark.read.parquet(path_or_glob)
+
+
+def read_parquet_many(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Multi-path scan (the reference's numbered-file loop, one job)."""
+    return spark.read.parquet(*paths)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S9: CSV with header. ``single_file`` coalesces to one output part
+    (matches DuckDB's single-file COPY; only for small results — a 100 TB
+    result keeps its partitioned layout)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned layout — the scan-time partition-pruning
+    counterpart of the reference's row-group pruning: a filter on a partition
+    column never opens the other directories at all."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 parity: glob table source (`FROM 'dir/*.parquet'`,
+    query_selectivity_distribution.sql:10) — count+sum over a glob scan."""
+    from pyspark.sql import functions as F
+
+    df = read_parquet(spark, f"{sf_dir}/lineitem*.parquet")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+QUERIES = {"source_glob_scan": glob_scan}
+
+ORACLE_SQL = {
+    "source_glob_scan": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price
+        FROM lineitem
+    """,
+}
+
+
+def write_parquet_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int, path: str
+) -> None:
+    """Bucketed layout: pre-shuffled by join key so co-bucketed joins skip
+    the exchange entirely (the 100 TB join strategy for fact×fact)."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )

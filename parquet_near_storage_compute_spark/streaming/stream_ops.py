@@ -1,0 +1,136 @@
+"""Structured Streaming surface (beyond reference: SURVEY.md §2.9 notes the
+reference has no streaming at all; this is the engine-completeness layer).
+
+Pattern: file-source ``readStream`` over the same parquet tables →
+transformations → ``writeStream`` to a memory sink with
+``Trigger.AvailableNow`` — the batch-equivalent execution of a streaming
+query, which makes results deterministic and therefore DuckDB-oracle
+comparable. At scale the identical query runs against a live source
+(Kafka/files) with watermarked state eviction.
+
+The events table stores TIMESTAMP(NANOS) → the stream reads the raw long
+(nanosAsLong) and rebuilds a microsecond timestamp, same as tables.py.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from parquet_near_storage_compute_spark.tables import table_path
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+#: scratch area for checkpoints (inside the repo; gitignored)
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".tmp")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table with the ns→µs timestamp rebuild."""
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a directory/glob, not a bare file path
+    stream = spark.readStream.schema(schema).parquet(
+        f"{sf_dir.rstrip('/')}/events*.parquet"
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Execute with AvailableNow into a memory sink; return the batch view."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(_SCRATCH, "checkpoints", name)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (1h windows, watermarked) run to
+    completion — the Structured Streaming twin of time_tumbling_hourly."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format("w.start", _FMT).alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _user_stats_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running per-user event count + value sum.
+
+    The state tuple survives across micro-batches; with AvailableNow over a
+    static table it processes one batch and emits the final state."""
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: arbitrary stateful per-user aggregation."""
+    ev = _events_stream(spark, sf_dir)
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(stats, "update")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_windowed_counts": windowed_counts,
+    "stream_stateful_user_stats": stateful_user_stats,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "stream_windowed_counts": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(value) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_stateful_user_stats": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(value) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
+    """,
+}

@@ -1,0 +1,103 @@
+"""Near-storage parity observables (SURVEY.md §4-§6): pushdown, pruning,
+byte accounting, plan shapes. These cover what the result-hash oracle cannot
+see — that the engine *prunes* like the reference does."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.operators.scan_agg import (
+    AGG_SPECS,
+    LADDER,
+    scan_filter_agg,
+)
+from parquet_near_storage_compute_spark.plans.asserts import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_filter_pushed,
+    assert_partial_final_agg,
+    assert_whole_stage_codegen,
+    read_schema,
+)
+from parquet_near_storage_compute_spark.plans.metrics import (
+    dataset_size,
+    footer_bytes,
+    measure,
+    planned_scan_bytes,
+)
+from parquet_near_storage_compute_spark.tables import load_table, table_path
+
+SF_01 = "/root/testdata/sf0.01"
+LI = table_path(SF_01, "lineitem")
+
+
+def test_filter_pushdown_and_pruning(spark):
+    """P1/P2: ReadSchema holds only needed columns; predicate is pushed;
+    agg is partial→final; scan is codegen'd."""
+    df = scan_filter_agg(spark, SF_01, LADDER["p50"])
+    assert_filter_pushed(df, "l_extendedprice")
+    rs = read_schema(df)
+    assert "l_extendedprice" in rs
+    assert_column_pruned(df, "l_shipdate")
+    assert_partial_final_agg(df)
+    assert_whole_stage_codegen(df)
+
+
+def test_selectivity_ladder_monotone_bytes():
+    """M5 parity: planned scan bytes are non-increasing as the threshold
+    rises through the ladder, and the best case moves footer-only bytes —
+    v2's byte accounting (v2/src/main.rs:400-503) over the same metadata."""
+    ordered = ["worst", "p75", "p50", "p25", "p10", "real", "best_case"]
+    sizes = [
+        planned_scan_bytes(
+            LI, ["l_extendedprice"], [("l_extendedprice", ">", LADDER[lv])]
+        )
+        for lv in ordered
+    ]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:])), dict(zip(ordered, sizes))
+    # single row group per file: best-case prunes it all → footer only
+    assert sizes[-1] == footer_bytes(LI)
+    assert sizes[0] > sizes[-1]
+
+
+def test_column_pruning_bytes():
+    """Early projection (v1 :240-254): 2-column read plan < full-width."""
+    two = planned_scan_bytes(LI, ["l_orderkey", "l_quantity"])
+    full = planned_scan_bytes(LI, None)
+    assert two < full
+
+
+def test_measure_end_to_end(spark):
+    """M1-M5 assembled for the flagship query (warm-up exclusion M7 lives in
+    bench.py)."""
+    df = scan_filter_agg(spark, SF_01, LADDER["p50"])
+    m = measure(
+        spark,
+        df,
+        [LI],
+        columns=["l_extendedprice"],
+        predicate=[("l_extendedprice", ">", LADDER["p50"])],
+    )
+    assert m.rows == 1  # one aggregate row
+    assert 0 < m.bytes_read <= m.dataset_bytes
+    assert 0 < m.selectivity_pct <= 100
+    d = m.as_dict()
+    for k in (
+        "bytes_read",
+        "seconds",
+        "selectivity_pct",
+        "logical_throughput_gbps",
+        "total_throughput_gbps",
+    ):
+        assert k in d
+
+
+def test_broadcast_join_plan(spark):
+    from parquet_near_storage_compute_spark.operators.joins import broadcast_inner
+
+    df = broadcast_inner(spark, SF_01)
+    assert_broadcast_join(df)
+
+
+def test_dataset_size_counts_files():
+    assert dataset_size([LI]) > 0

@@ -1,0 +1,54 @@
+"""Structured Streaming: file source → watermark/window/stateful →
+memory sink (AvailableNow), checked against batch equivalents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.streaming.stream_ops import (
+    stateful_user_stats,
+    windowed_counts,
+)
+from parquet_near_storage_compute_spark.operators.timeseries import (
+    tumbling_hourly,
+)
+
+
+def test_stream_windowed_equals_batch(spark, sf_dir):
+    stream = windowed_counts(spark, sf_dir)
+    batch = tumbling_hourly(spark, sf_dir)
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def test_stateful_user_stats_matches_groupby(spark, sf_dir):
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    out = stateful_user_stats(spark, sf_dir)
+    expect = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    s = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in out.collect()}
+    b = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in expect.collect()}
+    assert s == b
+
+
+def test_append_mode_watermark_runs(spark, sf_dir):
+    """Append-mode watermarked window query runs under AvailableNow (late
+    rows beyond the final watermark stay in state — behavior check only)."""
+    from parquet_near_storage_compute_spark.streaming.stream_ops import (
+        _events_stream,
+        _run_to_memory,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "append")
+    assert out.count() >= 0
