@@ -30,8 +30,12 @@ from parquet_near_storage_compute_spark.functions.text import (
     shingles,
     words,
 )
-from parquet_near_storage_compute_spark.functions.vectors import as_double, cosine
-from parquet_near_storage_compute_spark.tables import load_table
+from parquet_near_storage_compute_spark.functions.vectors import (
+    as_double,
+    dot,
+    norm,
+)
+from parquet_near_storage_compute_spark.tables import fan_out, load_table
 
 MINHASH_K = 8
 LSH_BANDS = 4
@@ -60,8 +64,13 @@ def key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → k MinHash values over distinct 3-word shingles."""
-    sh = docs.select(
+    """doc_id → k MinHash values over distinct 3-word shingles.
+
+    Hashes are computed inline in the partial aggregate (map-side min per
+    doc): one narrow pass, no extra shuffle. A distinct-shingle+broadcast
+    variant was measured slower here — JVM md5 on short strings is cheaper
+    than the extra exchange it saves."""
+    sh = fan_out(docs).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
     )
@@ -69,32 +78,34 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def _lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket → candidate pairs (a < b)."""
+    """Banded LSH: docs sharing any band bucket → candidate pairs (a < b).
+
+    One pass: bands via posexplode of a band array (a per-band unionAll
+    would re-run the shingle+minhash pipeline per band), then bucket-local
+    pair expansion — groupBy (band, bucket) and enumerate pairs inside each
+    bucket with array functions. A bands⋈bands self-join would execute the
+    signature pipeline twice AND shuffle both sides; this shuffles the
+    signature stream once and the pairwise work stays O(Σ bucket²), which is
+    the whole point of LSH."""
     mh_cols = [f"mh{j}" for j in range(MINHASH_K)]
-    bands = None
-    for b in range(LSH_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            band_hash(mh_cols, b, LSH_ROWS).alias("bh"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("bh").alias("bh_a")
+    band_arr = F.array(
+        *[band_hash(mh_cols, b, LSH_ROWS) for b in range(LSH_BANDS)]
     )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("bh").alias("bh_b")
+    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    return (
-        left.join(
-            right,
-            (left.band == right.band)
-            & (left.bh_a == right.bh_b)
-            & (left.doc_a < right.doc_b),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(ds, x -> transform(ds, "
+                "y -> struct(x AS doc_a, y AS doc_b)))), p -> p.doc_a < p.doc_b)"
+            )
+        ).alias("p")
     )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +120,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cheap candidate generation → exact verify on candidates only)."""
     docs = load_table(spark, sf_dir, "documents")
     cand = _lsh_candidates(_minhash_signatures(docs))
-    sets = docs.select(
+    sets = fan_out(docs).select(
         "doc_id", F.array_distinct(shingles(words("text"), 3)).alias("sset")
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
@@ -128,7 +139,7 @@ def blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set Jaccard within (lang, source) blocks — blocking strategy for
     when a natural partition key exists; pairwise work stays inside blocks."""
     docs = load_table(spark, sf_dir, "documents")
-    sets = docs.select(
+    sets = fan_out(docs).select(
         "doc_id",
         "lang",
         "source",
@@ -160,19 +171,22 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed to a 16-bit int; output fingerprint groups (collision = near-dup
     cluster). GroupBy-only — no pairwise join anywhere."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = fan_out(docs).select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("tok")
     )
-    # per (doc, bit) vote sums
-    votes = (
-        toks.crossJoin(
+    # Hash each *distinct vocabulary token* once (corpora repeat tokens
+    # massively: md5 cost scales with |vocab| × bits, not |corpus| × bits),
+    # then broadcast the tiny vocab→votes table back onto the token stream.
+    vocab_votes = (
+        toks.select("tok")
+        .distinct()
+        .crossJoin(
             spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
         )
-        .select(
-            "doc_id",
-            "bit",
-            simhash_bit_value_col().alias("v"),
-        )
+        .select("tok", "bit", simhash_bit_value_col().alias("v"))
+    )
+    votes = (
+        toks.join(F.broadcast(vocab_votes), "tok")
         .groupBy("doc_id", "bit")
         .agg(F.sum("v").alias("s"))
     )
@@ -208,14 +222,21 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path is the sign-LSH blocked variant in similarity.py (same cosine
     kernel)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double("embedding").alias("v"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # precompute norms per vector (O(n)) instead of inside every pair (O(n²))
+    v = fan_out(emb).select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.select(
-            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
-        )
+        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)
         .orderBy("vec_a", "vec_b")
     )

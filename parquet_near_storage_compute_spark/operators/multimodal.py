@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_near_storage_compute_spark.tables import load_table
+from parquet_near_storage_compute_spark.tables import fan_out, load_table
 
 N_FEATURES = 4
 
@@ -80,7 +80,7 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over the binary column
     (mapInPandas — the multimodal decode execution pattern)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(docs).select("doc_id", "payload")
     return payloads.mapInPandas(_feature_batches, _FEATURE_SCHEMA)
 
@@ -101,7 +101,7 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Frame sampling' shape: slice every k-th byte of the payload (stands
     in for video frame extraction — same stride-sample plumbing), then
     aggregate sampled sizes."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(docs)
     stride = 16
 

@@ -25,11 +25,13 @@ from pyspark.sql import functions as F
 from parquet_near_storage_compute_spark.functions.vectors import (
     as_double,
     cosine,
+    dot,
     lsh_bucket,
+    norm,
     random_hyperplanes,
     sql_plane_literal,
 )
-from parquet_near_storage_compute_spark.tables import load_table
+from parquet_near_storage_compute_spark.tables import fan_out, load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 3
@@ -40,17 +42,27 @@ _PLANES = random_hyperplanes(N_PLANES, DIM)
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id, double vector, precomputed norm (norms are O(n) once here
+    instead of O(n·q) inside the scoring join)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", as_double("embedding").alias("v"))
+    return fan_out(emb).select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
 
 
 def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest others."""
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
-    c = v.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    c = v.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -58,7 +70,9 @@ def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
@@ -76,11 +90,13 @@ def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         F.col("bucket").alias("qb"),
     )
     c = v.select(
         F.col("vec_id").alias("cand_id"),
         F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
         F.col("bucket").alias("cb"),
     )
     scored = (
@@ -89,8 +105,68 @@ def topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul (mapInPandas).
+
+    The vectorized scoring engine for real embedding widths: queries are
+    collected once (tiny), shipped in the closure, and each Arrow batch of
+    candidates is scored as one BLAS matmul — per-row Python cost ~zero.
+    Per-batch local top-k keeps the shuffle to (batches × queries × k) rows;
+    a final window pass merges. Same results as topk_bruteforce (modulo
+    float summation order, far below comparison epsilon).
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
+    Qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            C = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            Cn = np.sqrt((C * C).sum(axis=1))
+            cos = (C @ Q.T) / np.outer(Cn, Qn)  # (batch, n_queries)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = cos[:, j]
+                mask = ids != q_ids[j]
+                cand_ids, vals = ids[mask], col[mask]
+                if len(vals) == 0:
+                    continue
+                k = min(TOP_K, len(vals))
+                # local top-k (order by cos desc, id asc for determinism)
+                order = np.lexsort((cand_ids, -vals))[:k]
+                out_q.extend([q_ids[j]] * k)
+                out_c.extend(cand_ids[order])
+                out_s.extend(vals[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "cos_sim": out_s}
+            )
+
+    scored = fan_out(emb).select("vec_id", "embedding").mapInPandas(
+        score, "query_id bigint, cand_id bigint, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
     return (
@@ -137,6 +213,7 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
+    "sim_topk_numpy": topk_numpy,
     "sim_topk_lsh": topk_lsh,
     "sim_lsh_bucket_histogram": bucket_histogram,
     "sim_label_centroid": label_centroid_cosine,
@@ -157,6 +234,18 @@ def _bucket_expr(vec_sql: str) -> str:
 
 ORACLE_SQL: dict[str, str] = {
     "sim_topk_bruteforce": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 {_COS} AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {_COS} DESC, b.vec_id) AS rk
+          FROM v a JOIN v b ON b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    """,
+    # identical semantics, different execution engine (numpy matmul)
+    "sim_topk_numpy": f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk FROM (
           SELECT a.vec_id AS query_id, b.vec_id AS cand_id,

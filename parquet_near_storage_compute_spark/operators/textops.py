@@ -20,7 +20,7 @@ from parquet_near_storage_compute_spark.functions.text import (
     count_in,
     words,
 )
-from parquet_near_storage_compute_spark.tables import load_table
+from parquet_near_storage_compute_spark.tables import fan_out, load_table
 
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +121,7 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: the 4 smallest md5s of the
     character 8-grams, concatenated. Content-defined, order-robust — a
     compact near-dup key (groupable like simhash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     grams = char_ngrams(F.col("text"), FP_NGRAM)
     hashes = F.transform(grams, lambda g: F.md5(g))
     fp = F.array_join(F.slice(F.array_sort(hashes), 1, FP_KEEP), "")

@@ -21,13 +21,24 @@ from parquet_near_storage_compute_spark.tables import load_table
 
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_number: top-3 lineitems by price within each returnflag."""
+    """row_number: top-3 lineitems by price within each returnflag.
+
+    Two-phase (salted) top-k: a single window over 3 giant groups serializes
+    into 3 tasks; instead each (group, salt) slice computes a local top-3,
+    then the global window ranks only groups × salts × 3 rows. The global
+    top-3 is always contained in some slice's local top-3, so results are
+    identical — this is the partial-aggregation idea applied to ranking."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
-    )
+    n_salt = 16
+    order = [F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"]
+    local_w = Window.partitionBy(
+        "l_returnflag", F.crc32(F.col("l_orderkey").cast("string")) % n_salt
+    ).orderBy(*order)
+    final_w = Window.partitionBy("l_returnflag").orderBy(*order)
     return (
-        li.withColumn("rn", F.row_number().over(w))
+        li.withColumn("lrn", F.row_number().over(local_w))
+        .filter(F.col("lrn") <= 3)
+        .withColumn("rn", F.row_number().over(final_w))
         .filter(F.col("rn") <= 3)
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
     )

@@ -49,6 +49,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread a small-file scan across the cluster before CPU-dense work.
+
+    Parquet splits are sized by bytes (maxPartitionBytes), so a compact
+    file of short rows (documents, embeddings) arrives as ONE task even on a
+    32-core executor — and any per-row-expensive pipeline (shingling,
+    hashing, vector math) serializes. One cheap round-robin exchange of the
+    raw rows buys full parallelism for everything downstream. At 100 TB the
+    same holds per-file: CPU-bound stages should be decoupled from the
+    input-split geometry."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register all tables as temp views (for the spark.sql surface)."""
     out: dict[str, DataFrame] = {}
