@@ -1,0 +1,114 @@
+"""UDF surface (SURVEY.md §2.10).
+
+The reference has no user extension point — its ``Aggregator`` trait is an
+internal physical-operator interface. This module is the engine-completeness
+layer: Arrow-vectorized pandas UDFs (the only sanctioned Python hot path —
+~10-100× over row-at-a-time UDFs), SQL registration so ``spark.sql`` users
+can call them, and one demonstration query with a DuckDB oracle.
+
+Rule of thumb enforced across this repo: built-ins first (stay inside
+whole-stage codegen); pandas UDFs only where built-ins can't express the
+kernel (numpy matmul scoring, external-library decodes); row-at-a-time UDFs
+never in a hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from parquet_near_storage_compute_spark.tables import load_table
+
+
+def _readability_kernel(text: pd.Series) -> pd.Series:
+    """Vectorized kernel: a toy readability score (chars-per-word;
+    deterministic arithmetic → oracle-expressible)."""
+    n_chars = text.str.len().astype("float64")
+    n_words = text.str.split(" ").str.len().astype("float64")
+    return n_chars / n_words
+
+
+def _vowel_kernel(text: pd.Series) -> pd.Series:
+    """Vectorized string kernel: total vowels per document."""
+    return text.str.count("[aeiou]").astype("int64")
+
+
+_cache: dict[str, object] = {}
+
+
+def readability_score():
+    """Arrow-vectorized pandas UDF (built lazily: the decorator resolves its
+    DDL return type against the active SparkSession)."""
+    if "readability" not in _cache:
+        _cache["readability"] = pandas_udf("double")(_readability_kernel)
+    return _cache["readability"]
+
+
+def vowel_count():
+    if "vowel" not in _cache:
+        _cache["vowel"] = pandas_udf("long")(_vowel_kernel)
+    return _cache["vowel"]
+
+
+def register_udfs(spark: SparkSession) -> None:
+    """Expose the UDFs to the SQL surface (spark.sql / temp views)."""
+    spark.udf.register("readability_score", readability_score())
+    spark.udf.register("vowel_count", vowel_count())
+
+
+def udf_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF demonstration query: per-language readability stats.
+    The UDF runs Arrow-batched; the surrounding agg stays JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        readability_score()(F.col("text")).alias("score"),
+        vowel_count()(F.col("text")).alias("vowels"),
+    )
+    return scored.groupBy("lang").agg(
+        F.avg("score").alias("avg_readability"),
+        F.sum("vowels").alias("total_vowels"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def udf_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same kernels through the SQL registration path."""
+    register_udfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT lang,
+               AVG(readability_score(text)) AS avg_readability,
+               SUM(vowel_count(text)) AS total_vowels,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY lang
+        """
+    )
+
+
+_UDF_ORACLE = """
+    SELECT lang,
+           CAST(AVG(CAST(length(text) AS DOUBLE)
+                    / len(string_split(text, ' '))) AS DOUBLE)
+             AS avg_readability,
+           CAST(SUM(len(regexp_extract_all(text, '[aeiou]'))) AS BIGINT)
+             AS total_vowels,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+"""
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "udf_readability": udf_readability,
+    "udf_sql_surface": udf_sql_surface,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "udf_readability": _UDF_ORACLE,
+    "udf_sql_surface": _UDF_ORACLE,
+}

@@ -1,0 +1,51 @@
+"""Global plan audit: every registered query must compile to a scale-safe
+physical plan — no unintended cartesian products, nested-loop joins only
+where a tiny broadcast side makes them the right strategy, broadcast hash
+joins on the dim-side star joins. This is the ".explain and iterate" gate
+from the build brief, automated."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_near_storage_compute_spark.registry import all_queries
+
+#: BroadcastNestedLoopJoin is correct ONLY for these (deliberate tiny-side
+#: cross joins: the J2 percentage-of-total pattern, the brute-force cosine
+#: baseline, SimHash's vocab × 16-bit grid, the verbatim Snowset comma-join).
+BNLJ_WHITELIST = {
+    "join_cross_pct",
+    "sim_topk_bruteforce",
+    "dedup_simhash",
+    "snowset_selectivity_distribution_sql",
+    # documented all-pairs small-scale baseline; the scale path is the
+    # sign-LSH blocked variant (sim_topk_lsh / bucket equi-join)
+    "dedup_embedding",
+}
+
+_QUERIES = all_queries()
+
+#: Streaming queries execute on build (memory sink), so exclude them from
+#: the plan-text audit — their batch twins are covered.
+_SKIP = {"stream_windowed_counts", "stream_stateful_user_stats"}
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - _SKIP))
+def test_plan_is_scale_safe(name, spark, sf_dir):
+    df = _QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product:\n{plan}"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_WHITELIST, (
+            f"{name}: unexpected BroadcastNestedLoopJoin:\n{plan}"
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_broadcast_inner", "join_multiway", "snowset_selectivity_distribution"],
+)
+def test_dim_joins_broadcast(name, spark, sf_dir):
+    df = _QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast hash join:\n{plan}"
