@@ -103,12 +103,50 @@ _UDF_ORACLE = """
     FROM documents GROUP BY lang
 """
 
+def _geomean_kernel(v: pd.Series) -> float:
+    """Grouped-aggregate kernel: geometric mean (UDAF surface)."""
+    import numpy as np
+
+    return float(np.exp(np.log(v[v > 0]).mean()))
+
+
+def geomean():
+    """Grouped-agg pandas UDF — Spark's UDAF surface: partial batches per
+    group are fed as one Series; result is one scalar per group."""
+    if "geomean" not in _cache:
+        _cache["geomean"] = pandas_udf("double")(_geomean_kernel)
+    return _cache["geomean"]
+
+
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF demonstration: geometric-mean order value per status via a
+    grouped-aggregate pandas UDF (oracle: exp(avg(ln)))."""
+    orders = load_table(spark, sf_dir, "orders")
+    # a grouped-agg pandas UDF cannot share an .agg() with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — join the two tiny results
+    gm = orders.groupBy("o_orderstatus").agg(
+        geomean()(F.col("o_totalprice")).alias("geomean_price")
+    )
+    counts = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return gm.join(counts, "o_orderstatus")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udf_readability": udf_readability,
     "udf_sql_surface": udf_sql_surface,
+    "udaf_geomean": udaf_geomean,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "udf_readability": _UDF_ORACLE,
     "udf_sql_surface": _UDF_ORACLE,
+    "udaf_geomean": """
+        SELECT o_orderstatus,
+               CAST(EXP(AVG(LN(o_totalprice))) AS DOUBLE) AS geomean_price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
 }

@@ -130,6 +130,20 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube) via SQL."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct count — approximate, so no SQL oracle (sketches
     differ across engines); the driver's rows-only check applies. The exact
@@ -148,6 +162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct": distinct_agg,
     "agg_rollup": rollup_agg,
     "agg_cube": cube_agg,
+    "agg_grouping_sets": grouping_sets,
     "agg_stats": stats_agg,
     "agg_percentile": percentile_agg,
     "agg_approx_distinct": approx_distinct,
@@ -208,6 +223,13 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(value) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY CUBE (event_type, user_id % 2)
+    """,
+    "agg_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
     "agg_stats": """
         SELECT CAST(STDDEV_SAMP(l_extendedprice) AS DOUBLE) AS std_price,

@@ -110,10 +110,28 @@ def datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session windows (F.session_window, 30-min gap) —
+    the declarative form of ``sessionize``; same shuffle profile as any
+    keyed aggregation and directly reusable under Structured Streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("session_value").alias("total_value"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_tumbling_hourly": tumbling_hourly,
     "time_sliding_window": sliding_window,
     "time_sessionize": sessionize,
+    "time_session_window_native": session_window_native,
     "time_json_extract": json_extract,
     "time_datetime_parts": datetime_parts,
 }
@@ -147,6 +165,35 @@ ORACLE_SQL: dict[str, str] = {
                  CASE WHEN LAG(ts) OVER w IS NULL
                         OR epoch(date_trunc('second', ts))
                            - epoch(date_trunc('second', LAG(ts) OVER w)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessioned AS (
+          SELECT user_id, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
+          FROM flagged
+        ),
+        per_session AS (
+          SELECT user_id, session_id,
+                 COUNT(*) AS n_events, SUM(value) AS session_value
+          FROM sessioned GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+               CAST(SUM(session_value) AS DOUBLE) AS total_value
+        FROM per_session GROUP BY user_id
+    """,
+    "time_session_window_native": """
+        -- Spark session_window semantics: a new session starts when the
+        -- event is >= previous event + gap (window end exclusive)
+        WITH flagged AS (
+          SELECT user_id, value, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_session
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
