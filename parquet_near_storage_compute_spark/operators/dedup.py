@@ -176,26 +176,47 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Hash each *distinct vocabulary token* once (corpora repeat tokens
     # massively: md5 cost scales with |vocab| × bits, not |corpus| × bits),
-    # then broadcast the tiny vocab→votes table back onto the token stream.
-    vocab_votes = (
-        toks.select("tok")
-        .distinct()
-        .crossJoin(
-            spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    # keeping the 16 votes as ONE array per token — broadcast back onto the
+    # token stream and fold arrays element-wise per doc. Compared with a
+    # (doc, bit)-grained aggregate this shuffles 16× fewer rows.
+    vote_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda b: (
+            F.ascii(
+                F.substring(
+                    F.md5(F.concat(b.cast("string"), F.lit(":"), F.col("tok"))), 1, 1
+                )
+            )
+            % 2
         )
-        .select("tok", "bit", simhash_bit_value_col().alias("v"))
+        * 2
+        - 1,
     )
-    votes = (
+    vocab_votes = toks.select("tok").distinct().select("tok", vote_arr.alias("va"))
+    zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    summed = (
         toks.join(F.broadcast(vocab_votes), "tok")
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("s"))
-    )
-    fp = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit"))).otherwise(0.0)
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("va"),
+                zeros,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("sums")
         )
-        .cast("long")
-        .alias("fingerprint")
+    )
+    # pack sign bits little-endian: Σ 2^bit where sums[bit] > 0
+    fp = summed.select(
+        "doc_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(
+                F.element_at(F.col("sums"), b + 1) > 0,
+                F.pow(F.lit(2.0), b).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).alias("fingerprint"),
     )
     return fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs")
