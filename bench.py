@@ -72,11 +72,16 @@ def main() -> None:
     for name in headline:
         run(name)
 
+    # best-of-2 per query: single-shot numbers on a shared box swing ±20%
+    # from GC/compilation noise; the minimum is the stable cost signal
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.perf_counter()
-        run(name)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(name)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

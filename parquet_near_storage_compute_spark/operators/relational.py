@@ -92,7 +92,46 @@ def arithmetic_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: events wide per user-bucket × event_type (explicit value list
+    so the plan needs no extra distinct pass — the 100 TB form)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: lineitem measure columns to long form, then aggregate
+    per measure (df.unpivot → one narrow generate, no shuffle until agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.sum("value").alias("total"),
+        F.avg("value").alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row DISTINCT (dropDuplicates over every column)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return ev.distinct()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "relational_pivot": pivot_counts,
+    "relational_unpivot": unpivot_measures,
+    "relational_distinct_rows": distinct_rows,
     "sort_limit_topk": order_by_limit,
     "setop_union_all": union_all_counts,
     "setop_intersect": intersect_keys,
@@ -102,6 +141,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "relational_pivot": """
+        SELECT user_id % 10 AS user_bucket,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+                 AS click,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+                 AS view,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+                 AS purchase,
+               CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+                 AS signup,
+               CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+                 AS error
+        FROM events GROUP BY 1
+    """,
+    "relational_unpivot": """
+        WITH long AS (
+          SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+          UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT measure,
+               CAST(SUM(value) AS DOUBLE) AS total,
+               CAST(AVG(value) AS DOUBLE) AS mean,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM long GROUP BY measure
+    """,
+    "relational_distinct_rows": """
+        SELECT DISTINCT event_type, user_id FROM events
+    """,
     "sort_limit_topk": """
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem

@@ -1,0 +1,46 @@
+"""CLI surface tests (subprocess — the way a user invokes it)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+LI = "/root/testdata/sf0.001/lineitem.parquet"
+
+
+def _run(*args: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-m", "parquet_near_storage_compute_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_metadata_mode_selectivity_curve():
+    best = _run("--path", LI, "--workload", "best_case", "--mode", "metadata")
+    worst = _run("--path", LI, "--workload", "worst", "--mode", "metadata")
+    assert best["planned_bytes"] == best["footer_bytes"]
+    assert worst["planned_bytes"] > best["planned_bytes"]
+    assert 0 < best["selectivity_pct"] < worst["selectivity_pct"] <= 100
+
+
+def test_query_mode_runs_flagship():
+    res = _run("--path", LI, "--workload", "p50", "--cpus", "4")
+    assert res["mode"] == "query"
+    assert res["result"][0]["count_price"] > 0
+    assert res["bytes_read"] > 0 and res["seconds"] > 0
+
+
+def test_query_mode_custom_filter_and_aggs():
+    res = _run(
+        "--path", LI,
+        "--filter", "l_quantity > 25.0 AND l_returnflag == 'R'",
+        "--aggs", "SUM(l_quantity),COUNT(l_quantity)",
+        "--cpus", "4",
+    )
+    r = res["result"][0]
+    assert r["count_l_quantity"] > 0 and r["sum_l_quantity"] > 0
