@@ -194,6 +194,32 @@ def parse_predicate(expr: str) -> Column:
     return _Parser(_tokenize(expr)).parse()
 
 
+def parse_predicate_by_index(expr: str, columns: list[str]) -> Column:
+    """The v2 variant of the grammar: columns referenced by ORDINAL —
+    ``"92 > 151194126688"`` means column #92 (``v2/src/main.rs:643-796``,
+    invocation ``:737``). Indices are resolved against ``columns`` (0-based,
+    like v2's schema vector) and the rewritten text goes through the normal
+    parser, so all boolean structure works identically."""
+    toks = _tokenize(expr)
+    out = []
+    for i, tok in enumerate(toks):
+        # an integer is a column ordinal iff it sits in column position:
+        # immediately BEFORE a comparison operator (v2 puts the column on
+        # the left and the literal on the right)
+        if (
+            tok.kind == "word"
+            and _INT_RE.match(tok.text)
+            and i + 1 < len(toks)
+            and toks[i + 1].kind == "op"
+        ):
+            idx = int(tok.text)
+            if not 0 <= idx < len(columns):
+                raise ValueError(f"column index {idx} out of range")
+            tok = _Token("word", columns[idx])
+        out.append(tok)
+    return _Parser(out).parse()
+
+
 _AGG_RE = re.compile(r"^\s*(SUM|AVG|MIN|MAX|COUNT)\s*\(\s*([A-Za-z0-9_]+)\s*\)\s*$", re.I)
 
 _AGG_FUNCS = {

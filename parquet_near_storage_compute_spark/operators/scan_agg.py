@@ -158,7 +158,21 @@ def projection_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def footer_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown (spark.sql.parquet.aggregatePushDown): bare
+    MIN/MAX/COUNT(*) answered from row-group statistics in the footer —
+    zero data pages moved, the purest near-storage query. Plan shows
+    ``PushedAggregation``."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "v1_footer_only_agg": footer_only_agg,
     "v1_flagship": lambda spark, sf_dir: scan_filter_agg(spark, sf_dir, LADDER["p50"]),
     **{f"v1_ladder_{lv}": _ladder_query(lv) for lv in LADDER},
     "v1_grammar_boolean": grammar_boolean,
@@ -170,6 +184,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "v1_footer_only_agg": """
+        SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+    """,
     "v1_flagship": _ladder_oracle("p50"),
     **{f"v1_ladder_{lv}": _ladder_oracle(lv) for lv in LADDER},
     "v1_grammar_boolean": """

@@ -152,9 +152,19 @@ def measure(
     count_rows: bool = True,
 ) -> ScanMetrics:
     """Execute ``df`` and assemble the M1-M5 metric set: wall-time from the
-    real execution, bytes from the v2-style metadata accounting."""
-    seconds = run_to_completion(df)
-    rows = df.count() if count_rows else -1
+    real execution, bytes from the v2-style metadata accounting. The row
+    count rides along as an observed metric — no second job."""
+    rows = -1
+    if count_rows:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        seconds = run_to_completion(df)
+        rows = obs.get["rows"]
+    else:
+        seconds = run_to_completion(df)
     planned = sum(
         planned_scan_bytes(p, columns, predicate)
         for p in input_paths

@@ -92,6 +92,46 @@ def test_measure_end_to_end(spark):
         assert k in d
 
 
+def test_aggregate_pushdown_plan(spark):
+    """Bare MIN/MAX/COUNT answered from footer statistics
+    (PushedAggregation) — no data pages read. Parquet aggregate pushdown is
+    a DataSource-v2 feature, so drop parquet from the V1 list for this
+    scope (results are identical either way — the registry oracle covers
+    that; this asserts the near-storage plan shape)."""
+    from parquet_near_storage_compute_spark.operators.scan_agg import (
+        footer_only_agg,
+    )
+
+    key = "spark.sql.sources.useV1SourceList"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key, ",".join(s for s in prev.split(",") if s != "parquet")
+        )
+        df = footer_only_agg(spark, SF_01)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan
+        # and it returns the same values through the DSv2 path
+        row = df.collect()[0]
+        assert row.n_rows > 0 and row.min_price < row.max_price
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_index_grammar_matches_named(spark):
+    """v2's column-ordinal grammar resolves to the same predicate."""
+    from parquet_near_storage_compute_spark.functions.grammar import (
+        parse_predicate,
+        parse_predicate_by_index,
+    )
+
+    li = load_table(spark, SF_01, "lineitem")
+    cols = li.columns  # l_extendedprice is index 5
+    n1 = li.filter(parse_predicate_by_index("5 > 53000.0", cols)).count()
+    n2 = li.filter(parse_predicate("l_extendedprice > 53000.0")).count()
+    assert n1 == n2 > 0
+
+
 def test_broadcast_join_plan(spark):
     from parquet_near_storage_compute_spark.operators.joins import broadcast_inner
 
