@@ -176,6 +176,78 @@ def topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """label → element-wise mean vector (the IVF coarse codebook; here the
+    labels seed the cells — production would k-means iterate the same op)."""
+    v = emb.select("vec_id", "label", F.posexplode(as_double("embedding")))
+    return (
+        v.groupBy("label", "pos")
+        .agg(F.avg("col").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda x: x.getField("c")).alias("centroid"),
+        )
+    )
+
+
+def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid
+    (broadcast codebook, one narrow pass), then search only within the
+    query's cell. At scale this is the inverted-file layout: cells are the
+    partition key, the probe touches 1/k of the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb)
+
+    v = fan_out(emb).select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    scored_cells = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cell",
+        (dot(F.col("v"), F.col("centroid")) / (F.col("nrm") * norm(F.col("centroid")))).alias(
+            "cell_cos"
+        ),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
+    assigned = (
+        scored_cells.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", "cell")
+    )
+
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("cell").alias("ccell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("qcell") == F.col("ccell")) & (F.col("query_id") != F.col("cand_id")))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket occupancy — the tuning observable for plane count (skew in
     this histogram = skew in the ANN join)."""
@@ -215,6 +287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
     "sim_topk_numpy": topk_numpy,
     "sim_topk_lsh": topk_lsh,
+    "sim_topk_ivf": topk_ivf,
     "sim_lsh_bucket_histogram": bucket_histogram,
     "sim_label_centroid": label_centroid_cosine,
 }
@@ -268,6 +341,40 @@ ORACLE_SQL: dict[str, str] = {
                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                     ORDER BY {_COS} DESC, b.vec_id) AS rk
           FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    """,
+    "sim_topk_ivf": f"""
+        WITH pos AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings
+        ),
+        cent AS (SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+        cvec AS (
+          SELECT label AS cell, list(c ORDER BY pos) AS centroid
+          FROM cent GROUP BY label
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT v.vec_id, v.v, c.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.v, c.centroid)
+                              / (sqrt(list_dot_product(v.v, v.v))
+                                 * sqrt(list_dot_product(c.centroid, c.centroid)))
+                              DESC, c.cell) AS crk
+            FROM v CROSS JOIN cvec c
+          ) WHERE crk = 1
+        )
+        SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 {_COS} AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {_COS} DESC, b.vec_id) AS rk
+          FROM assigned a
+          JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id
           WHERE a.vec_id < {N_QUERIES}
         ) WHERE rk <= {TOP_K}
     """,

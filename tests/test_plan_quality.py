@@ -21,6 +21,9 @@ BNLJ_WHITELIST = {
     # documented all-pairs small-scale baseline; the scale path is the
     # sign-LSH blocked variant (sim_topk_lsh / bucket equi-join)
     "dedup_embedding",
+    # IVF cell assignment: deliberate cross join vs the ~k-row broadcast
+    # codebook (narrow pass; the candidate search itself is an equi-join)
+    "sim_topk_ivf",
 }
 
 _QUERIES = all_queries()
