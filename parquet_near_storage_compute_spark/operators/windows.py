@@ -28,7 +28,10 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the global window ranks only groups × salts × 3 rows. The global
     top-3 is always contained in some slice's local top-3, so results are
     identical — this is the partial-aggregation idea applied to ranking."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        # project before the window: the exchange carries 4 columns, not 11
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
     n_salt = 16
     order = [F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"]
     local_w = Window.partitionBy(
