@@ -1,0 +1,160 @@
+"""Array / string scalar-function surface (SURVEY.md §2.8: the reference has
+no string/array functions; the extension promise is the built-in set) plus
+the iterative-algorithm representative (driver-loop k-means).
+
+All per-row, JVM-side, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.functions.vectors import as_double, dot, norm
+from parquet_near_storage_compute_spark.tables import fan_out, load_table
+
+
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function cluster over embeddings: slice/size/element_at/
+    aggregate/filter/sort — the ArrayType surface the reference's
+    scalar-only type system lacks (SURVEY §1.3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.element_at(v, 1).alias("first_val"),
+        F.aggregate(F.slice(v, 1, 5), F.lit(0.0), lambda a, x: a + x).alias(
+            "head5_sum"
+        ),
+        F.array_max(v).alias("max_val"),
+        F.array_min(v).alias("min_val"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.element_at(F.array_sort(v), -1).alias("sorted_last"),
+    )
+
+
+def string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function cluster over documents: case, trim/pad, substring,
+    replace, split/concat, coalesce/greatest chains."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_novowels"),
+        F.lpad("lang", 5, "_").alias("lang_padded"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.coalesce(F.nullif("lang", F.lit("en")), F.lit("default")).alias(
+            "lang_or_default"
+        ),
+        F.greatest(F.length("text"), F.col("n_chars").cast("int")).alias(
+            "max_len"
+        ),
+        F.reverse(F.substring("source", 1, 4)).alias("source_rev"),
+    )
+
+
+K_CLUSTERS = 5
+KMEANS_ITERS = 3
+
+
+def kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm representative: k-means on embeddings, driver
+    loop over DataFrame ops. Deterministic: centroids seeded from
+    vec_id 0..k-1; ``KMEANS_ITERS`` assign→recompute rounds.
+
+    Per iteration: one broadcast of the k-row codebook, one narrow assign
+    pass, one (cell, pos) aggregate — the standard distributed k-means
+    shuffle profile. Driver holds only k centroids, never data.
+
+    No SQL oracle (iterative fixpoint is the driver-documented
+    non-SQL-expressible class); correctness is checked by the rows-only
+    gate + the deterministic-result test in tests/.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = fan_out(emb).select("vec_id", as_double("embedding").alias("v"))
+    v = v.withColumn("nrm", norm(F.col("v")))
+
+    # deterministic init: the first k vectors are the seed centroids
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.v])
+        for r in v.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    ]
+
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, (_, c) in enumerate(cents)], "cell int, centroid array<double>"
+        )
+        scored = v.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id",
+            "v",
+            "cell",
+            (
+                dot(F.col("v"), F.col("centroid"))
+                / (F.col("nrm") * norm(F.col("centroid")))
+            ).alias("sim"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", "cell")
+        )
+        # recompute centroids: element-wise mean per cell
+        new_cents = (
+            assigned.select("cell", F.posexplode("v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("c"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cell", F.transform("pc", lambda x: x.getField("c")).alias("centroid"))
+            .collect()
+        )
+        by_cell = {int(r.cell): [float(x) for x in r.centroid] for r in new_cents}
+        cents = [(i, by_cell.get(i, cents[i][1])) for i in range(K_CLUSTERS)]
+
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scalar_array_ops": array_ops,
+    "scalar_string_ops": string_ops,
+    "iter_kmeans_lite": kmeans_lite,  # rows-only: iterative fixpoint
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "scalar_array_ops": """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               CAST(len(v) AS INT) AS dim,
+               CAST(v[1] AS DOUBLE) AS first_val,
+               CAST(list_sum(v[1:5]) AS DOUBLE) AS head5_sum,
+               CAST(list_max(v) AS DOUBLE) AS max_val,
+               CAST(list_min(v) AS DOUBLE) AS min_val,
+               CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_positive,
+               CAST(list_sort(v)[-1] AS DOUBLE) AS sorted_last
+        FROM v
+    """,
+    "scalar_string_ops": """
+        SELECT doc_id,
+               upper(substr(text, 1, 10)) AS head_upper,
+               CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+                 AS len_novowels,
+               lpad(lang, 5, '_') AS lang_padded,
+               concat_ws('|', lang, source) AS lang_source,
+               coalesce(nullif(lang, 'en'), 'default') AS lang_or_default,
+               CAST(greatest(length(text), n_chars) AS INT) AS max_len,
+               reverse(substr(source, 1, 4)) AS source_rev
+        FROM documents
+    """,
+    # iter_kmeans_lite: intentionally no oracle (iterative algorithm).
+}

@@ -21,9 +21,10 @@ BNLJ_WHITELIST = {
     # documented all-pairs small-scale baseline; the scale path is the
     # sign-LSH blocked variant (sim_topk_lsh / bucket equi-join)
     "dedup_embedding",
-    # IVF cell assignment: deliberate cross join vs the ~k-row broadcast
-    # codebook (narrow pass; the candidate search itself is an equi-join)
+    # IVF / k-means cell assignment: deliberate cross join vs the ~k-row
+    # broadcast codebook (narrow pass; candidate search is an equi-join)
     "sim_topk_ivf",
+    "iter_kmeans_lite",
 }
 
 _QUERIES = all_queries()
