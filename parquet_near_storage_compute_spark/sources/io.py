@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 def read_parquet(spark: SparkSession, path_or_glob: str) -> DataFrame:
     """Directory, single file, or glob — S1-S3/S7/S8 are automatic."""
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     return spark.read.parquet(path_or_glob)
 
 
@@ -70,6 +73,25 @@ ORACLE_SQL = {
         FROM lineitem
     """,
 }
+
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    row_group_bytes: int = 4 * 1024 * 1024,
+    codec: str = "snappy",
+) -> None:
+    """Parquet sink with explicit row-group sizing — the write-side twin of
+    the reference's read granularity (v1 reads in 4 MiB batch budgets,
+    ``v1/src/main.rs:50``; v2 streams 512 KiB blocks). Smaller row groups →
+    finer min/max pruning; bigger → better scan throughput. At 100 TB this
+    knob trades pruning selectivity against per-group overhead."""
+    (
+        df.write.mode("overwrite")
+        .option("parquet.block.size", str(row_group_bytes))
+        .option("compression", codec)
+        .parquet(path)
+    )
 
 
 def write_parquet_bucketed(

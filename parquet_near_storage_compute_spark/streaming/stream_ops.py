@@ -35,6 +35,9 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table with the ns→µs timestamp rebuild."""
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
     # FileStreamSource wants a directory/glob, not a bare file path

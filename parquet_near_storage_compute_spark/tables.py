@@ -37,9 +37,31 @@ def table_path(sf_dir: str, name: str) -> str:
 #: microsecond precision — the same ns→µs truncation DuckDB applies.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+#: Runtime-settable SQL confs the engine's semantics depend on. The caller
+#: may hand us ANY SparkSession (the verification driver builds its own), so
+#: these are pinned at the table-load chokepoint, not only in get_spark():
+#: - nanosAsLong: events.parquet is TIMESTAMP(NANOS) — unreadable otherwise;
+#: - ansi off: v1 semantics (wrap arithmetic, NULL div-by-zero; SURVEY §7.3);
+#: - UTC: formatted-time outputs must match the tz-naive DuckDB oracle.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Footer-driven scan of one table (schema inferred, S1/S2 automatic)."""
+    ensure_engine_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
