@@ -379,7 +379,7 @@ ORACLE_SQL: dict[str, str] = {
         ) WHERE rk <= {TOP_K}
     """,
     "sim_lsh_bucket_histogram": f"""
-        SELECT {_bucket_expr("embedding::DOUBLE[]")} AS bucket,
+        SELECT CAST({_bucket_expr("embedding::DOUBLE[]")} AS BIGINT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_vectors
         FROM embeddings GROUP BY 1
     """,
