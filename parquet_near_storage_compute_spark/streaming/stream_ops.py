@@ -48,19 +48,31 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
-    """Execute with AvailableNow into a memory sink; return the batch view."""
+    """Execute with AvailableNow into a memory sink; return the batch view.
+
+    Streaming plans can't use AQE's partition coalescing, so a default
+    200-partition shuffle runs 200 near-empty state tasks; pin a moderate
+    count for the query's scope and restore the caller's setting after."""
+    spark = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(_SCRATCH, "checkpoints", name)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        if int(prev) > 64:
+            spark.conf.set(key, "32")
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.table(name)
 
 
 def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,9 +129,26 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stats, "update")
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: drop repeated (user_id, event_type) arrivals
+    inside the watermark horizon — the streaming half of the dedup family
+    (state is evicted once the watermark passes, bounding memory at 100 TB/day
+    rates). With AvailableNow over static data every duplicate is in-horizon,
+    so the result equals a batch DISTINCT and stays oracle-comparable."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": windowed_counts,
     "stream_stateful_user_stats": stateful_user_stats,
+    "stream_dedup_exact": stream_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -135,5 +164,9 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(value) AS DOUBLE) AS total_value
         FROM events GROUP BY user_id
+    """,
+    "stream_dedup_exact": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
     """,
 }
