@@ -84,6 +84,37 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # The thesis experiment (BASELINE.md parity observables): per-rung
+    # wall-clock + v2-style planned bytes + selectivity % across the named
+    # workload ladder (v1/src/main.rs:83-97), M1-M7 definitions.
+    from parquet_near_storage_compute_spark.operators.scan_agg import (
+        LADDER,
+        scan_filter_agg,
+    )
+    from parquet_near_storage_compute_spark.plans.metrics import (
+        dataset_size,
+        planned_scan_bytes,
+    )
+
+    li_path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    li_size = dataset_size([li_path])
+    ladder: dict[str, dict] = {}
+    for level, threshold in LADDER.items():
+        df = scan_filter_agg(spark, sf_dir, threshold)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        secs = time.perf_counter() - t0
+        planned = planned_scan_bytes(
+            li_path, ["l_extendedprice"], [("l_extendedprice", ">", threshold)]
+        )
+        ladder[level] = {
+            "sec": round(secs, 4),
+            "planned_bytes": planned,
+            "selectivity_pct": round(100.0 * planned / li_size, 4),
+        }
+
     print(
         json.dumps(
             {
@@ -91,6 +122,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ladder": ladder,
                 "sf": sf,
             }
         )
