@@ -115,6 +115,44 @@ def main() -> None:
             "selectivity_pct": round(100.0 * planned / li_size, 4),
         }
 
+    # Same ladder over a sorted multi-row-group relayout: with disjoint
+    # per-group min/max ranges the curve is the thesis's monotone
+    # bytes-vs-selectivity plot instead of the single-group step function.
+    import glob
+
+    from parquet_near_storage_compute_spark.sources.io import write_parquet_sized
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    rg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp",
+                          "bench_lineitem_rg")
+    write_parquet_sized(
+        load_table(spark, sf_dir, "lineitem").orderBy("l_extendedprice").coalesce(1),
+        rg_dir,
+        row_group_bytes=1024 * 1024,
+    )
+    (rg_file,) = glob.glob(os.path.join(rg_dir, "part-*.parquet"))
+    rg_size = dataset_size([rg_file])
+    ladder_rg: dict[str, dict] = {}
+    for level, threshold in LADDER.items():
+        df = (
+            spark.read.parquet(rg_file)
+            .filter(f"l_extendedprice > {threshold}")
+            .groupBy()
+            .agg({"l_extendedprice": "sum"})
+        )
+        df.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        secs = time.perf_counter() - t0
+        planned = planned_scan_bytes(
+            rg_file, ["l_extendedprice"], [("l_extendedprice", ">", threshold)]
+        )
+        ladder_rg[level] = {
+            "sec": round(secs, 4),
+            "planned_bytes": planned,
+            "selectivity_pct": round(100.0 * planned / rg_size, 4),
+        }
+
     print(
         json.dumps(
             {
@@ -123,6 +161,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ladder": ladder,
+                "ladder_rowgroup": ladder_rg,
                 "sf": sf,
             }
         )
