@@ -174,11 +174,12 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = fan_out(docs).select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("tok")
     )
-    # Hash each *distinct vocabulary token* once (corpora repeat tokens
-    # massively: md5 cost scales with |vocab| × bits, not |corpus| × bits),
-    # keeping the 16 votes as ONE array per token — broadcast back onto the
-    # token stream and fold arrays element-wise per doc. Compared with a
-    # (doc, bit)-grained aggregate this shuffles 16× fewer rows.
+    # Per-token 16-bit vote ARRAYS computed inline, folded element-wise per
+    # doc: one narrow map + one groupBy — a single shuffle carrying one
+    # 16-int array per (doc, token). Measured faster than both a
+    # (doc, bit)-grained aggregate (16× more shuffled rows) and a
+    # distinct-vocab + broadcast-join variant (two extra stages that cost
+    # more than the md5s they save — JVM md5 on short strings is cheap).
     vote_arr = F.transform(
         F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
         lambda b: (
@@ -192,10 +193,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 2
         - 1,
     )
-    vocab_votes = toks.select("tok").distinct().select("tok", vote_arr.alias("va"))
     zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
     summed = (
-        toks.join(F.broadcast(vocab_votes), "tok")
+        toks.select("doc_id", vote_arr.alias("va"))
         .groupBy("doc_id")
         .agg(
             F.aggregate(

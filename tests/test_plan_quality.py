@@ -16,7 +16,6 @@ from parquet_near_storage_compute_spark.registry import all_queries
 BNLJ_WHITELIST = {
     "join_cross_pct",
     "sim_topk_bruteforce",
-    "dedup_simhash",
     "snowset_selectivity_distribution_sql",
     # documented all-pairs small-scale baseline; the scale path is the
     # sign-LSH blocked variant (sim_topk_lsh / bucket equi-join)
