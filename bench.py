@@ -153,6 +153,20 @@ def main() -> None:
             "selectivity_pct": round(100.0 * planned / rg_size, 4),
         }
 
+    # Microbenchmark parity (the reference's disk-throughput ceilings,
+    # microbenchmarks/src/disk/read.rs): full-table scan throughput — the
+    # engine's IO+decode ceiling for this dataset.
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    li.write.format("noop").mode("overwrite").save()
+    scan_sec = time.perf_counter() - t0
+    scan = {
+        "sec": round(scan_sec, 4),
+        "bytes": li_size,
+        "gbps": round(li_size / 1e9 / scan_sec, 4),
+    }
+
     print(
         json.dumps(
             {
@@ -162,6 +176,7 @@ def main() -> None:
                 "queries": timings,
                 "ladder": ladder,
                 "ladder_rowgroup": ladder_rg,
+                "full_scan": scan,
                 "sf": sf,
             }
         )
