@@ -165,7 +165,45 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (band) join: customer/supplier pairs whose account balances are
+    within 5.0 of each other — arbitrary inequality predicate, broadcast of
+    the small side (suppliers), no equi key at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    j = cust.join(
+        F.broadcast(sup),
+        F.abs(cust.c_acctbal - sup.s_acctbal) < 5.0,
+        "inner",
+    )
+    return j.select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal").orderBy(
+        "c_custkey", "s_suppkey"
+    )
+
+
+def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: count of same-order lineitem pairs per returnflag combo
+    (co-occurrence shape; shuffles once on the shared key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_returnflag").alias("flag_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_returnflag").alias("flag_b"),
+    )
+    pairs = a.join(b, "k").filter(F.col("ln_a") < F.col("ln_b"))
+    return pairs.groupBy("flag_a", "flag_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "join_theta": theta_join,
+    "join_self": self_join,
     "join_broadcast_inner": broadcast_inner,
     "join_multiway": multiway,
     "join_semi": semi_join,
@@ -185,6 +223,19 @@ _PCT_ORACLE = """
 """
 
 ORACLE_SQL: dict[str, str] = {
+    "join_theta": """
+        SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
+        FROM customer c JOIN supplier s
+          ON abs(c.c_acctbal - s.s_acctbal) < 5.0
+        ORDER BY c.c_custkey, s.s_suppkey
+    """,
+    "join_self": """
+        SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        GROUP BY 1, 2
+    """,
     "join_broadcast_inner": """
         SELECT s.s_name,
                CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue,

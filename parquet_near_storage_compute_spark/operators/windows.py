@@ -116,7 +116,37 @@ def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist: customer balance percentile within segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("bal_percent_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent event_type per user (count-then-rank
+    with a lexicographic tiebreak — both engines agree, unlike native mode()
+    whose tie choice is engine-defined)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "window_percent_rank_cume": percent_rank_cume,
+    "window_mode_per_group": mode_per_group,
     "window_topk_per_group": topk_per_group,
     "window_rank_dense_rank": rank_dense_rank,
     "window_lag_lead": lag_lead,
@@ -126,6 +156,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "window_percent_rank_cume": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(PERCENT_RANK() OVER w AS DOUBLE) AS bal_percent_rank,
+               CAST(CUME_DIST() OVER w AS DOUBLE) AS bal_cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "window_mode_per_group": """
+        WITH counts AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type AS mode_event, n FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, event_type) AS rk
+          FROM counts
+        ) WHERE rk = 1
+    """,
     "window_topk_per_group": """
         SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
                CAST(rn AS INT) AS rn

@@ -24,6 +24,8 @@ BNLJ_WHITELIST = {
     # broadcast codebook (narrow pass; candidate search is an equi-join)
     "sim_topk_ivf",
     "iter_kmeans_lite",
+    # theta join has no equi key by definition; the small side broadcasts
+    "join_theta",
 }
 
 _QUERIES = all_queries()
