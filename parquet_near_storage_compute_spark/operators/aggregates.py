@@ -144,6 +144,17 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic collection aggregates: sorted distinct event types and
+    bounded top-values per user (collect_set sorted so both engines agree
+    on order)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct count — approximate, so no SQL oracle (sketches
     differ across engines); the driver's rows-only check applies. The exact
@@ -163,6 +174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup": rollup_agg,
     "agg_cube": cube_agg,
     "agg_grouping_sets": grouping_sets,
+    "agg_collect": collect_agg,
     "agg_stats": stats_agg,
     "agg_percentile": percentile_agg,
     "agg_approx_distinct": approx_distinct,
@@ -223,6 +235,12 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(value) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY CUBE (event_type, user_id % 2)
+    """,
+    "agg_collect": """
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS event_types,
+               CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+        FROM events GROUP BY user_id
     """,
     "agg_grouping_sets": """
         SELECT l_returnflag, l_linestatus,
