@@ -116,6 +116,24 @@ def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition frame:
+    cheapest and priciest order per customer plus the second order's price."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value("o_totalprice").over(w).alias("cheapest"),
+        F.last_value("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
+
+
 def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist: customer balance percentile within segment."""
     cust = load_table(spark, sf_dir, "customer")
@@ -145,6 +163,7 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "window_first_last_nth": first_last_nth,
     "window_percent_rank_cume": percent_rank_cume,
     "window_mode_per_group": mode_per_group,
     "window_topk_per_group": topk_per_group,
@@ -156,6 +175,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "window_first_last_nth": """
+        SELECT o_orderkey, o_custkey,
+               CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS cheapest,
+               CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS priciest,
+               CAST(NTH_VALUE(o_totalprice, 2) OVER w AS DOUBLE)
+                 AS second_cheapest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
     "window_percent_rank_cume": """
         SELECT c_custkey, c_mktsegment,
                CAST(PERCENT_RANK() OVER w AS DOUBLE) AS bal_percent_rank,
