@@ -92,6 +92,24 @@ def arithmetic_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via spark.sql — Catalyst decorrelates it
+    into a join (SURVEY §4 'free upgrades': the reference has no subquery
+    machinery at all). Orders whose total exceeds 3× the average total of
+    their own customer's orders."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 3 * (
+          SELECT AVG(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: events wide per user-bucket × event_type (explicit value list
     so the plan needs no extra distinct pass — the 100 TB form)."""
@@ -129,6 +147,7 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "relational_correlated_subquery": correlated_subquery,
     "relational_pivot": pivot_counts,
     "relational_unpivot": unpivot_measures,
     "relational_distinct_rows": distinct_rows,
@@ -141,6 +160,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "relational_correlated_subquery": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 3 * (
+          SELECT AVG(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+    """,
     "relational_pivot": """
         SELECT user_id % 10 AS user_bucket,
                CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
