@@ -144,6 +144,19 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: the order id carrying each customer's highest and
+    lowest total (no (customer, total) ties in this data, so the pick is
+    deterministic; with ties you'd rank with an explicit tiebreak instead —
+    see window_mode_per_group)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+        F.max("o_totalprice").alias("best_total"),
+    )
+
+
 def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic collection aggregates: sorted distinct event types and
     bounded top-values per user (collect_set sorted so both engines agree
@@ -175,6 +188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_cube": cube_agg,
     "agg_grouping_sets": grouping_sets,
     "agg_collect": collect_agg,
+    "agg_min_max_by": min_max_by,
     "agg_stats": stats_agg,
     "agg_percentile": percentile_agg,
     "agg_approx_distinct": approx_distinct,
@@ -235,6 +249,13 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(value) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY CUBE (event_type, user_id % 2)
+    """,
+    "agg_min_max_by": """
+        SELECT o_custkey,
+               CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS best_order,
+               CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS worst_order,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS best_total
+        FROM orders GROUP BY o_custkey
     """,
     "agg_collect": """
         SELECT user_id,
