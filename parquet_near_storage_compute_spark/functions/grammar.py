@@ -43,6 +43,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() |
         (?P<rparen>\)) |
+        (?P<comma>,) |
         (?P<op><=|>=|==|!=|=|<|>) |
         (?P<squoted>'(?:[^'\\]|\\.)*') |
         (?P<dquoted>"(?:[^"\\]|\\.)*") |
@@ -164,6 +165,26 @@ class _Parser:
 
     def comparison(self) -> Column:
         left = self.next()
+        op = self.peek()
+        # extended predicates (beyond the reference's five comparators):
+        #   col IN (v1, v2, ...) | col BETWEEN lo AND hi | col LIKE 'pat%'
+        if op is not None and op.kind == "word":
+            kw = op.text.lower()
+            if kw == "in":
+                self.next()
+                return self._in_list(left)
+            if kw == "between":
+                self.next()
+                lo = _literal(self.next())
+                and_tok = self.next()
+                if not (and_tok.kind == "word" and and_tok.text.lower() == "and"):
+                    raise ValueError("expected AND in BETWEEN")
+                hi = _literal(self.next())
+                return F.col(left.text).between(lo, hi)
+            if kw == "like":
+                self.next()
+                pat = self.next()
+                return F.col(left.text).like(pat.text)
         op = self.next()
         if op.kind != "op":
             raise ValueError(f"expected comparison operator, got {op.text!r}")
@@ -174,6 +195,25 @@ class _Parser:
         # literal OP column — flip to keep the column on the left
         flipped = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op.text, op.text)
         return _OPS[flipped](F.col(right.text), _literal(left))
+
+
+    def _in_list(self, col_tok: _Token) -> Column:
+        if self.next().kind != "lparen":
+            raise ValueError("expected '(' after IN")
+        values = []
+        while True:
+            tok = self.next()
+            if tok.kind == "rparen":
+                break
+            if tok.kind == "comma":
+                continue
+            if tok.kind in ("word", "string"):
+                values.append(_literal(tok))
+            else:
+                raise ValueError(f"unexpected token in IN list: {tok.text!r}")
+        if not values:
+            raise ValueError("empty IN list")
+        return F.col(col_tok.text).isin(*values)
 
 
 def _is_literal_word(tok: _Token) -> bool:

@@ -263,8 +263,43 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucket equi-join instead
+    of all pairs — candidate volume drops ~2^n_planes at the cost of recall
+    (near-dups straddling a hyperplane are missed; more bands would recover
+    them). Same cosine kernel and threshold as dedup_embedding."""
+    from parquet_near_storage_compute_spark.operators.similarity import (
+        _PLANES,
+    )
+    from parquet_near_storage_compute_spark.functions.vectors import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = (
+        fan_out(emb)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumn("bucket", lsh_bucket(F.col("v"), _PLANES))
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), F.col("bucket").alias("ba"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bb"),
+    )
+    pairs = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": exact_dedup,
+    "dedup_embedding_lsh": embedding_neardup_lsh,
     "dedup_key": key_dedup,
     "dedup_minhash_lsh": minhash_lsh,
     "dedup_ngram_jaccard": ngram_jaccard,
@@ -376,6 +411,8 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM fp GROUP BY fingerprint
     """,
+    # dedup_embedding_lsh oracle is assigned at module end (it needs the
+    # hyperplane literals from operators.similarity)
     "dedup_embedding": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -391,3 +428,28 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY vec_a, vec_b
     """,
 }
+
+
+def _embedding_lsh_oracle() -> str:
+    from parquet_near_storage_compute_spark.operators.similarity import (
+        _bucket_expr,
+    )
+
+    cos = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {_bucket_expr("embedding::DOUBLE[]")} AS bucket
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} >= 0.4
+        ORDER BY vec_a, vec_b
+    """
+
+
+ORACLE_SQL["dedup_embedding_lsh"] = _embedding_lsh_oracle()

@@ -134,6 +134,20 @@ def grammar_int_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grammar_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended grammar surface (beyond the reference's five comparators):
+    IN lists, BETWEEN ranges, LIKE patterns."""
+    df = load_table(spark, sf_dir, "lineitem")
+    pred = parse_predicate(
+        "l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 10 AND 40"
+        " AND NOT l_linestatus LIKE 'F%'"
+    )
+    return df.filter(pred).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+
+
 def count_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 vs A10: COUNT(col) counts non-null (v1 flatten-then-count,
     ``v1/src/main.rs:1517``) vs COUNT(*) counts rows."""
@@ -179,6 +193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v1_grammar_datetime": grammar_datetime,
     "v1_grammar_utf8": grammar_utf8,
     "v1_grammar_int_widening": grammar_int_widening,
+    "v1_grammar_extended": grammar_extended,
     "v1_count_semantics": count_semantics,
     "v1_projection_rows": projection_rows,
 }
@@ -215,6 +230,13 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber
         FROM lineitem
         WHERE l_linenumber <= 3 AND l_linenumber != 2
+    """,
+    "v1_grammar_extended": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 10 AND 40
+          AND NOT l_linestatus LIKE 'F%'
     """,
     "v1_count_semantics": """
         SELECT CAST(COUNT(*) AS BIGINT) AS count_star,

@@ -53,6 +53,31 @@ def test_datetime_literal(spark, sf_dir):
     assert n > 0
 
 
+def test_extended_in_between_like(spark, sf_dir):
+    from parquet_near_storage_compute_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "lineitem")
+    n1 = df.filter(parse_predicate("l_returnflag IN ('A', 'R')")).count()
+    n2 = df.filter(F.col("l_returnflag").isin("A", "R")).count()
+    assert n1 == n2 > 0
+
+    b1 = df.filter(parse_predicate("l_quantity BETWEEN 10 AND 20")).count()
+    b2 = df.filter(F.col("l_quantity").between(10, 20)).count()
+    assert b1 == b2 > 0
+
+    l1 = df.filter(parse_predicate("l_linestatus LIKE 'F%'")).count()
+    l2 = df.filter(F.col("l_linestatus").like("F%")).count()
+    assert l1 == l2 > 0
+
+
+def test_extended_grammar_errors():
+    with pytest.raises(ValueError):
+        parse_predicate("l_returnflag IN ()")
+    with pytest.raises(ValueError):
+        parse_predicate("l_quantity BETWEEN 10 OR 20")
+
+
 def test_bad_predicate_raises():
     with pytest.raises(ValueError):
         parse_predicate("l_quantity >")
