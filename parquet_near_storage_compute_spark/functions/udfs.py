@@ -133,10 +133,31 @@ def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gm.join(counts, "o_orderstatus")
 
 
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: per-user z-score of event values (sample std;
+    NULL when the group has no variance, matching SQL semantics)."""
+    std = pdf["value"].std(ddof=1)
+    mean = pdf["value"].mean()
+    out = pdf[["event_id", "user_id"]].copy()
+    out["zscore"] = (pdf["value"] - mean) / std if std and std > 0 else None
+    return out
+
+
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped map): whole-group normalization — each user's
+    events arrive as one pandas frame, vectorized numpy math, Arrow both
+    ways. The grouped-map API surface (GroupedData.applyInPandas)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        _zscore_group, "event_id bigint, user_id bigint, zscore double"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udf_readability": udf_readability,
     "udf_sql_surface": udf_sql_surface,
     "udaf_geomean": udaf_geomean,
+    "udf_grouped_map_zscore": grouped_map_zscore,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -148,5 +169,12 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders
         GROUP BY o_orderstatus
+    """,
+    "udf_grouped_map_zscore": """
+        SELECT event_id, user_id,
+               CAST((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w
+                    AS DOUBLE) AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
     """,
 }
