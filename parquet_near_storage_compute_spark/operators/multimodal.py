@@ -125,10 +125,49 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' shape: treat the payload as a square byte image of side
+    floor(sqrt(len)) and 2× downsample by striding rows and columns — the
+    exact plumbing of an image-resize kernel (2D indexing over the blob,
+    new dims + content checksum out), deterministic so the oracle can
+    recompute it."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def kernel(p: bytes) -> tuple[int, int, int]:
+            side = int(math.isqrt(len(p)))
+            new_side = side // 2
+            checksum = sum(
+                p[(2 * r) * side + (2 * c)]
+                for r in range(new_side)
+                for c in range(new_side)
+            )
+            return side, new_side, checksum
+
+        for pdf in batches:
+            dims = pdf["payload"].map(kernel)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_side": dims.map(lambda d: d[0]),
+                    "new_side": dims.map(lambda d: d[1]),
+                    "checksum": dims.map(lambda d: d[2]),
+                }
+            )
+
+    return payloads.mapInPandas(
+        do_resize, "doc_id bigint, orig_side int, new_side int, checksum bigint"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_feature_extract": feature_extract,
     "mm_binary_metadata": binary_metadata,
     "mm_frame_sample": frame_sample,
+    "mm_resize": resize,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -146,6 +185,21 @@ ORACLE_SQL: dict[str, str] = {
                CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
                CAST(COUNT(*) AS BIGINT) AS n_payloads
         FROM documents GROUP BY source
+    """,
+    "mm_resize": """
+        WITH dims AS (
+          SELECT doc_id, text,
+                 CAST(floor(sqrt(octet_length(encode(text)))) AS INT) AS side
+          FROM documents
+        )
+        SELECT doc_id,
+               side AS orig_side,
+               CAST(side // 2 AS INT) AS new_side,
+               CAST(list_sum(flatten(list_transform(range(side // 2),
+                 r -> list_transform(range(side // 2),
+                   c -> ascii(substr(text, (2*r) * side + (2*c) + 1, 1))))))
+                 AS BIGINT) AS checksum
+        FROM dims
     """,
     "mm_frame_sample": """
         -- ceil(len/16) sampled 'frames' per payload
