@@ -64,10 +64,15 @@ def scan_filter_agg(
     table: str = "lineitem",
     column: str = "l_extendedprice",
 ) -> DataFrame:
-    """The v1 engine as one DataFrame chain (predicate via the P6 grammar)."""
+    """The v1 engine as one DataFrame chain (predicate via the P6 grammar).
+
+    v1 filters AND aggregates the same fact column (``v1/src/main.rs:218-225``),
+    so ``column`` substitutes into both the predicate and the agg specs."""
     df = load_table(spark, sf_dir, table)
     pred = parse_predicate(f"{column} > {threshold}")
-    aggs = parse_aggregations(AGG_SPECS)
+    aggs = parse_aggregations(
+        [(spec.replace("l_extendedprice", column), alias) for spec, alias in AGG_SPECS]
+    )
     return df.filter(pred).agg(*aggs)
 
 
