@@ -68,13 +68,26 @@ def agg_over_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
 def reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: aggregate of an aggregate (CTE chain
     query_selectivity_distribution.sql:46-51) — global stats over
-    per-supplier sums."""
+    per-supplier sums.
+
+    The contract is made representation-stable by summing in DECIMAL(38,4):
+    double accumulation order differs between engines (Spark partial/final
+    vs DuckDB) in the last ulps, which fails an exact value hash. Decimal
+    sums are exact and order-independent; the final cast to DOUBLE and the
+    double/long division are then identical IEEE ops on both engines.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    per_supp = li.groupBy("l_suppkey").agg(F.sum("l_extendedprice").alias("supp_sum"))
-    return per_supp.agg(
-        F.sum("supp_sum").alias("total"),
-        F.avg("supp_sum").alias("avg_per_supp"),
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).alias("supp_sum")
+    )
+    totals = per_supp.agg(
+        F.sum("supp_sum").alias("total_dec"),
         F.count(F.lit(1)).alias("n_supp"),
+    )
+    return totals.select(
+        F.col("total_dec").cast("double").alias("total"),
+        (F.col("total_dec").cast("double") / F.col("n_supp")).alias("avg_per_supp"),
+        F.col("n_supp"),
     )
 
 
@@ -160,22 +173,42 @@ def min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic collection aggregates: sorted distinct event types and
     bounded top-values per user (collect_set sorted so both engines agree
-    on order)."""
+    on order). The sorted set is serialized to a comma-joined scalar — an
+    array<string> column is not hashable by the driver's pandas
+    canonicalizer, and the join loses nothing once the order is fixed."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
 
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct count — approximate, so no SQL oracle (sketches
-    differ across engines); the driver's rows-only check applies. The exact
-    counterpart is ``agg_distinct``."""
+    """HLL-sketch distinct count, expressed as an oracle-checkable contract:
+    raw sketch counts differ across engines, so the query emits the exact
+    counts plus a within-5% accuracy boolean for each sketch. The sketch is
+    pinned to rsd=0.01 (typical error ~1%) so the 5% contract bound has
+    real margin — the default rsd=0.05 can exceed 5% at small
+    cardinalities. The oracle returns the same exact counts and literal
+    TRUE. The raw sketch values are asserted separately in
+    ``tests/test_aggregates.py``."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) < F.lit(0.05)
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+        within("approx_parts", "exact_parts").alias("parts_within_5pct"),
     )
 
 
@@ -219,11 +252,12 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "agg_reaggregate": """
         WITH per_supp AS (
-          SELECT l_suppkey, SUM(l_extendedprice) AS supp_sum
+          SELECT l_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS supp_sum
           FROM lineitem GROUP BY l_suppkey
         )
         SELECT CAST(SUM(supp_sum) AS DOUBLE) AS total,
-               CAST(AVG(supp_sum) AS DOUBLE) AS avg_per_supp,
+               CAST(SUM(supp_sum) AS DOUBLE) / COUNT(*) AS avg_per_supp,
                CAST(COUNT(*) AS BIGINT) AS n_supp
         FROM per_supp
     """,
@@ -259,7 +293,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "agg_collect": """
         SELECT user_id,
-               list_sort(list(DISTINCT event_type)) AS event_types,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                   AS event_types,
                CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
         FROM events GROUP BY user_id
     """,
@@ -284,5 +319,11 @@ ORACLE_SQL: dict[str, str] = {
                CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25_qty
         FROM lineitem
     """,
-    # agg_approx_distinct: intentionally no oracle (sketch-based).
+    "agg_approx_distinct": """
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               TRUE AS orders_within_5pct,
+               TRUE AS parts_within_5pct
+        FROM lineitem
+    """,
 }

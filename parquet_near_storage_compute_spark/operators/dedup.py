@@ -305,7 +305,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": ngram_jaccard,
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
-    "dedup_embedding": embedding_neardup,
+    # dedup_embedding (all-pairs baseline) is deliberately NOT registered:
+    # its theta join is O(n²) compare volume, a scale-killer as a contract
+    # query. It stays as the exactness baseline for the LSH variant in
+    # tests/test_dedup_baselines.py; the registered scale path is
+    # dedup_embedding_lsh.
 }
 
 # Shared oracle CTEs for shingles/minhash (DuckDB).
@@ -413,21 +417,24 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # dedup_embedding_lsh oracle is assigned at module end (it needs the
     # hyperplane literals from operators.similarity)
-    "dedup_embedding": """
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-                 AS cos_sim
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-              >= 0.4
-        ORDER BY vec_a, vec_b
-    """,
 }
+
+#: Oracle for the demoted all-pairs baseline — used only by
+#: tests/test_dedup_baselines.py, never registered as a contract.
+EMBEDDING_ALLPAIRS_ORACLE = """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+             AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.4
+    ORDER BY vec_a, vec_b
+"""
 
 
 def _embedding_lsh_oracle() -> str:

@@ -62,33 +62,41 @@ KMEANS_ITERS = 3
 
 def kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm representative: k-means on embeddings, driver
-    loop over DataFrame ops. Deterministic: centroids seeded from
-    vec_id 0..k-1; ``KMEANS_ITERS`` assign→recompute rounds.
+    loop over DataFrame ops with NO data on the driver. Deterministic:
+    cells are seeded from the k lowest vec_ids in vec_id order (cell =
+    rank, not collect order); ``KMEANS_ITERS`` assign→recompute rounds.
 
-    Per iteration: one broadcast of the k-row codebook, one narrow assign
-    pass, one (cell, pos) aggregate — the standard distributed k-means
-    shuffle profile. Driver holds only k centroids, never data.
+    Per iteration: the k-row codebook is broadcast-joined against the
+    vectors (narrow assign pass, map-side ``max_by`` pick), then centroids
+    recompute as a (cell, pos) aggregate — the standard distributed k-means
+    shuffle profile. The codebook is ``localCheckpoint``ed each round so
+    lineage stays O(1) per iteration instead of doubling; only the k-row
+    codebook ever materializes, never the data.
 
     No SQL oracle (iterative fixpoint is the driver-documented
     non-SQL-expressible class); correctness is checked by the rows-only
-    gate + the deterministic-result test in tests/.
+    gate + the deterministic-result test in tests/test_kmeans.py.
     """
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = fan_out(emb).select("vec_id", as_double("embedding").alias("v"))
     v = v.withColumn("nrm", norm(F.col("v")))
 
-    # deterministic init: the first k vectors are the seed centroids
-    cents = [
-        (int(r.vec_id), [float(x) for x in r.v])
-        for r in v.filter(F.col("vec_id") < K_CLUSTERS).collect()
-    ]
+    # deterministic init: k lowest vec_ids, cell index = rank by vec_id
+    cents = (
+        v.orderBy("vec_id")
+        .limit(K_CLUSTERS)
+        .withColumn(
+            "cell", (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int")
+        )
+        .select("cell", F.col("v").alias("centroid"))
+        .localCheckpoint()
+    )
 
     assigned = None
     for _ in range(KMEANS_ITERS):
-        cent_df = spark.createDataFrame(
-            [(i, c) for i, (_, c) in enumerate(cents)], "cell int, centroid array<double>"
-        )
-        scored = v.crossJoin(F.broadcast(cent_df)).select(
+        scored = v.crossJoin(F.broadcast(cents)).select(
             "vec_id",
             "v",
             "cell",
@@ -97,26 +105,37 @@ def kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("nrm") * norm(F.col("centroid")))
             ).alias("sim"),
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cell")
-        assigned = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "v", "cell")
+        # best cell per vector: max cosine, ties to the lowest cell —
+        # partial-aggregable, unlike a row_number window
+        assigned = scored.groupBy("vec_id").agg(
+            F.max_by(
+                "cell", F.struct(F.col("sim").alias("s"), (-F.col("cell")).alias("nc"))
+            ).alias("cell"),
+            F.first("v").alias("v"),
         )
-        # recompute centroids: element-wise mean per cell
+        # recompute centroids: element-wise mean per cell; cells that lost
+        # all members keep their previous centroid
         new_cents = (
             assigned.select("cell", F.posexplode("v"))
             .groupBy("cell", "pos")
             .agg(F.avg("col").alias("c"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select("cell", F.transform("pc", lambda x: x.getField("c")).alias("centroid"))
-            .collect()
+            .select(
+                "cell", F.transform("pc", lambda x: x.getField("c")).alias("centroid")
+            )
         )
-        by_cell = {int(r.cell): [float(x) for x in r.centroid] for r in new_cents}
-        cents = [(i, by_cell.get(i, cents[i][1])) for i in range(K_CLUSTERS)]
+        cents = (
+            cents.alias("old")
+            .join(new_cents.alias("new"), "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint()
+        )
 
     return (
         assigned.groupBy("cell")

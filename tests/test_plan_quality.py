@@ -17,9 +17,6 @@ BNLJ_WHITELIST = {
     "join_cross_pct",
     "sim_topk_bruteforce",
     "snowset_selectivity_distribution_sql",
-    # documented all-pairs small-scale baseline; the scale path is the
-    # sign-LSH blocked variant (sim_topk_lsh / bucket equi-join)
-    "dedup_embedding",
     # IVF / k-means cell assignment: deliberate cross join vs the ~k-row
     # broadcast codebook (narrow pass; candidate search is an equi-join)
     "sim_topk_ivf",
