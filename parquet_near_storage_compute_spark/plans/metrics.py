@@ -10,11 +10,17 @@ what Spark's vectorized reader will fetch for a scan with the given
 projection + pushed predicate (modulo read-coalescing padding, which the
 reference's ``merge_chunks`` also has).
 
-Why not runtime counters: Spark 4's Parquet reader on ``file://`` bypasses
-the Hadoop FileSystem statistics for data pages (only footer I/O is
-counted), so physical-byte counters under-report locally. On a cluster the
-same numbers surface as ``inputMetrics.bytesRead``; the planned-bytes curve
-is the portable observable.
+Why not ONLY runtime counters: Spark 4's Parquet reader on ``file://``
+bypasses the Hadoop FileSystem statistics for data pages (only footer I/O
+is counted), so physical-byte counters under-report locally. On a cluster
+the same numbers surface as ``inputMetrics.bytesRead``; the planned-bytes
+curve is the portable observable. The cluster-grade counter nevertheless
+exists here too — ``runtime_input_bytes`` sums ``inputMetrics.bytesRead``
+across stages from the app status store (what a ``SparkListener`` on
+``onTaskEnd`` accumulates, v1's measured-bytes observable,
+``v1/src/main.rs:166-192``) — and ``tests/test_runtime_bytes.py`` proves it
+counts full physical bytes on the non-bypassed path (CSV) and footer I/O on
+the local parquet path.
 
 Metric set (``v1/src/main.rs:158-192``): M1 bytes read · M2 total time ·
 M3 total throughput · M4 logical throughput · M5 selectivity % · M6
@@ -87,6 +93,58 @@ def planned_scan_bytes(
         for name in wanted:
             total += group.column(col_idx[name]).total_compressed_size
     return total
+
+
+def runtime_input_bytes(spark: SparkSession) -> int:
+    """Total ``inputMetrics.bytesRead`` accumulated across all stages so far
+    — the runtime counterpart of ``planned_scan_bytes`` (a SparkListener's
+    ``onTaskEnd`` view, read from the same app-status store the UI uses).
+
+    Take a snapshot before and after an action and diff; pair with
+    ``wait_for_metrics`` because stage metrics land on the async listener
+    bus. Local caveat (documented in the module docstring): the parquet
+    vectorized reader on ``file://`` reports footer I/O only; CSV/JSON/text
+    report full physical bytes; on a cluster all paths report fully.
+    """
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    # AppStatusStore.stageList(statuses, details, withSummaries, quantiles,
+    # taskStatus) — empty lists mean "no filter"; fetch Scala default args
+    # via their synthesized accessors so only the first arg is pinned.
+    stages = store.stageList(
+        sc._jvm.java.util.ArrayList(),
+        getattr(store, "stageList$default$2")(),
+        getattr(store, "stageList$default$3")(),
+        getattr(store, "stageList$default$4")(),
+        getattr(store, "stageList$default$5")(),
+    )
+    total = 0
+    it = stages.iterator()
+    while it.hasNext():
+        total += it.next().inputBytes()
+    return total
+
+
+def wait_for_metrics(spark: SparkSession, timeout_s: float = 5.0) -> None:
+    """Wait until the async status-listener bus has drained (two consecutive
+    stable readings of the input-bytes total)."""
+    deadline = time.perf_counter() + timeout_s
+    prev = runtime_input_bytes(spark)
+    while time.perf_counter() < deadline:
+        time.sleep(0.2)
+        cur = runtime_input_bytes(spark)
+        if cur == prev:
+            return
+        prev = cur
+
+
+def measure_runtime_bytes(spark: SparkSession, action) -> int:
+    """Run ``action()`` and return the physical bytes its stages read."""
+    wait_for_metrics(spark)
+    before = runtime_input_bytes(spark)
+    action()
+    wait_for_metrics(spark)
+    return runtime_input_bytes(spark) - before
 
 
 @dataclass

@@ -35,6 +35,7 @@ _MODULES = [
     "parquet_near_storage_compute_spark.operators.multimodal",
     "parquet_near_storage_compute_spark.operators.pipeline",
     "parquet_near_storage_compute_spark.operators.scalar_funcs",
+    "parquet_near_storage_compute_spark.operators.typed_scan",
     "parquet_near_storage_compute_spark.functions.udfs",
     "parquet_near_storage_compute_spark.sources.io",
     "parquet_near_storage_compute_spark.streaming.stream_ops",
@@ -107,8 +108,8 @@ _PRIORITY = [
     "agg_reaggregate",
     "agg_collect",
     "agg_approx_distinct",
-    # streaming representative (1)
-    "stream_windowed_counts",
+    # unsigned/decimal physical types (1)
+    "types_unsigned_decimal",
 ]
 
 

@@ -35,10 +35,8 @@ def test_window_covers_extension_surface():
 
 
 def test_window_queries_are_oracle_backed():
-    """Every window slot except the documented non-SQL-expressible streaming
-    representative must have a DuckDB oracle (full hash check, not rows-only)."""
+    """Every window slot must have a DuckDB oracle — the full hash check,
+    not the weaker rows-only gate."""
     oracles = all_oracles()
-    allowed_rows_only = {"stream_windowed_counts"}
     for name in _PRIORITY:
-        if name not in allowed_rows_only:
-            assert name in oracles, f"{name} has no oracle"
+        assert name in oracles, f"{name} has no oracle"

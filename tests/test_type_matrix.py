@@ -123,3 +123,82 @@ def test_pushdown_across_types(spark, typed_table):
             .toString()
         )
         assert "PushedFilters" in plan and col in plan
+
+
+# ---- unsigned + decimal physical types (v1 UInt8-64, v2's seven types) ----
+
+UD_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "types_unsigned_decimal.parquet",
+)
+
+
+def test_unsigned_parquet_spark_mapping(spark):
+    """Spark widens parquet unsigned logical types to the next signed type;
+    UINT_64 lands in DECIMAL(20,0) because no signed 64-bit type holds it."""
+    df = spark.read.parquet(UD_FIXTURE)
+    dtypes = dict(df.dtypes)
+    assert dtypes["u8"] == "smallint"
+    assert dtypes["u16"] == "int"
+    assert dtypes["u32"] == "bigint"
+    assert dtypes["u64"] == "decimal(20,0)"
+    assert dtypes["dec"] == "decimal(18,4)"
+
+
+UD_CASES = [
+    ("u8 > 128", "u8 > 128"),
+    ("u16 >= 60000", "u16 >= 60000"),
+    ("u32 > 2147483648", "u32 > 2147483648"),  # above int32 max
+    ("dec < 0", "dec < 0"),
+]
+
+
+@pytest.mark.parametrize("pred,duck_pred", UD_CASES)
+def test_unsigned_filter_differential(spark, pred, duck_pred):
+    got = spark.read.parquet(UD_FIXTURE).filter(pred).count()
+    want = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{UD_FIXTURE}') WHERE {duck_pred}"
+    ).fetchone()[0]
+    assert got == want > 0, (pred, got, want)
+
+
+def test_u64_above_i64_max_differential(spark):
+    """Predicate on values no signed 64-bit integer can represent."""
+    lit = "9223372036854775808"  # 2^63
+    got = (
+        spark.read.parquet(UD_FIXTURE)
+        .filter(F.col("u64") >= F.lit(lit).cast("decimal(20,0)"))
+        .count()
+    )
+    want = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{UD_FIXTURE}') WHERE u64 >= {lit}"
+    ).fetchone()[0]
+    assert got == want > 0
+
+
+def test_unsigned_pushdown(spark):
+    """Unsigned-column comparisons still reach the scan as pushed filters."""
+    df = spark.read.parquet(UD_FIXTURE)
+    for col in ("u8", "u16", "u32"):
+        plan = (
+            df.filter(F.col(col) > 5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters" in plan and col in plan
+
+
+def test_decimal_sum_exact(spark):
+    """DECIMAL(18,4) sums agree exactly (no float drift) across engines."""
+    got = (
+        spark.read.parquet(UD_FIXTURE)
+        .agg(F.sum("dec").cast("string").alias("s"))
+        .collect()[0]
+        .s
+    )
+    want = duckdb.connect().execute(
+        f"SELECT CAST(SUM(dec) AS VARCHAR) FROM read_parquet('{UD_FIXTURE}')"
+    ).fetchone()[0]
+    assert got == want
