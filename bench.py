@@ -159,18 +159,41 @@ def main() -> None:
             "selectivity_pct": round(100.0 * planned / rg_size, 4),
         }
 
-    # Microbenchmark parity (the reference's disk-throughput ceilings,
-    # microbenchmarks/src/disk/read.rs): full-table scan throughput — the
-    # engine's IO+decode ceiling for this dataset.
+    # Microbenchmark parity (the reference's throughput ceilings,
+    # microbenchmarks/src/disk/read.rs:60-79): three rungs so engine
+    # throughput has hardware context —
+    #   raw_read: sequential buffered read, 4 MiB chunks (the reference's
+    #             batch budget, v1/src/main.rs:50) — the disk/page-cache
+    #             ceiling, no decode;
+    #   decode:   pyarrow read_table — columnar decode ceiling, no engine;
+    #   full_scan: Spark scan → noop sink — the engine number to compare.
+    import pyarrow.parquet as _pq
+
+    def _best_of(n, fn):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def _raw_read():
+        with open(li_path, "rb") as fh:
+            while fh.read(4 * 1024 * 1024):
+                pass
+
+    raw_sec = _best_of(2, _raw_read)
+    decode_sec = _best_of(2, lambda: _pq.read_table(li_path))
+
     li = load_table(spark, sf_dir, "lineitem")
     li.write.format("noop").mode("overwrite").save()  # warm
-    t0 = time.perf_counter()
-    li.write.format("noop").mode("overwrite").save()
-    scan_sec = time.perf_counter() - t0
+    scan_sec = _best_of(2, lambda: li.write.format("noop").mode("overwrite").save())
     scan = {
         "sec": round(scan_sec, 4),
         "bytes": li_size,
         "gbps": round(li_size / 1e9 / scan_sec, 4),
+        "raw_read_gbps": round(li_size / 1e9 / raw_sec, 4),
+        "decode_gbps": round(li_size / 1e9 / decode_sec, 4),
     }
 
     print(

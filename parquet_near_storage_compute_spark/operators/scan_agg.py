@@ -190,14 +190,22 @@ def footer_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Registered ladder rungs: "real" (the thesis workload threshold) and
+#: "worst" (full scan). The other five rungs are measured by bench.py's
+#: ladder observables and differential-tested in tests/ — registering all
+#: seven burned driver correctness-window slots on near-duplicates
+#: (VERDICT r1).
+_CONTRACT_RUNGS = ("real", "worst")
+
+#: Same trim for the grammar variants: boolean + extended (IN/BETWEEN/LIKE)
+#: stay as contracts; datetime/utf8/int-widening are covered by
+#: tests/test_scan_agg_trimmed.py and the hypothesis grammar differentials.
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v1_footer_only_agg": footer_only_agg,
     "v1_flagship": lambda spark, sf_dir: scan_filter_agg(spark, sf_dir, LADDER["p50"]),
-    **{f"v1_ladder_{lv}": _ladder_query(lv) for lv in LADDER},
+    **{f"v1_ladder_{lv}": _ladder_query(lv) for lv in _CONTRACT_RUNGS},
     "v1_grammar_boolean": grammar_boolean,
-    "v1_grammar_datetime": grammar_datetime,
-    "v1_grammar_utf8": grammar_utf8,
-    "v1_grammar_int_widening": grammar_int_widening,
     "v1_grammar_extended": grammar_extended,
     "v1_count_semantics": count_semantics,
     "v1_projection_rows": projection_rows,
@@ -211,30 +219,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
     """,
     "v1_flagship": _ladder_oracle("p50"),
-    **{f"v1_ladder_{lv}": _ladder_oracle(lv) for lv in LADDER},
+    **{f"v1_ladder_{lv}": _ladder_oracle(lv) for lv in _CONTRACT_RUNGS},
     "v1_grammar_boolean": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
         FROM lineitem
         WHERE NOT (l_quantity < 10 AND l_discount >= 0.05) OR l_returnflag = 'R'
-    """,
-    "v1_grammar_datetime": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-    """,
-    "v1_grammar_utf8": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
-        FROM lineitem
-        WHERE l_returnflag >= 'N' AND NOT l_linestatus = 'F'
-    """,
-    "v1_grammar_int_widening": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber
-        FROM lineitem
-        WHERE l_linenumber <= 3 AND l_linenumber != 2
     """,
     "v1_grammar_extended": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -1,0 +1,274 @@
+"""Training-data pipeline operators beyond the reference surface: sequence
+packing, deterministic train/test splitting, stratified sampling, and
+column profiling — the remaining plumbing a 100 TB LLM data pipeline needs
+around dedup/quality/similarity (which live in dedup.py/textops.py/
+similarity.py).
+
+Cross-engine determinism: random-like draws are md5-hex-prefix comparisons
+(``substr(md5(key),1,2) < threshold``) — both engines produce identical
+lowercase hex, so "sampling" is a pure function of the key, reproducible
+and oracle-testable (same device as functions/text.py hashing).
+
+Scale designs:
+- ``pack_sequences``: the global token prefix-sum is computed as the classic
+  two-phase distributed scan — per-shard window cumsum (parallel over
+  shards) + a shard-offset cumsum over #shards rows (tiny) broadcast back.
+  No global single-partition window over the data ever exists.
+- ``split``/``stratified``: narrow map + groupBy on a handful of keys.
+- ``profile_columns``: one scan, all aggregates in a single pass, then an
+  inline-table unpivot of the 1-row result. Exact countDistinct per column
+  triggers Spark's expand (×#distinct-aggs data volume) — at real scale
+  swap in approx_count_distinct; the contract keeps exact for the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.tables import load_table
+
+#: Tokens per packed training sequence (contract-pinned).
+PACK_CAPACITY = 2048
+
+#: Docs per prefix-sum shard: tasks parallelize over shards; the driver-side
+#: offset table is #docs/SHARD_SIZE rows.
+SHARD_SIZE = 1000
+
+#: md5-hex two-char thresholds: 'e6' = 230/256 ≈ 90% train split.
+TRAIN_THRESHOLD = "e6"
+
+#: Per-language sampling thresholds: downsample dominant 'en' to ~10%,
+#: keep half of everything else. ('1a' = 26/256, '80' = 128/256.)
+STRATA_THRESHOLDS = {"en": "1a"}
+DEFAULT_THRESHOLD = "80"
+
+
+def _ws_tokens(col: str = "text") -> F.Column:
+    """Whitespace token count — same definition as textops token counting
+    and DuckDB ``len(string_split(text, ' '))``."""
+    return F.size(F.split(F.col(col), " ")).cast("long")
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents in doc_id order are laid onto a
+    token tape; a document belongs to the PACK_CAPACITY-sized bin where it
+    starts. Emits per-bin document counts and token totals (the packing
+    manifest a trainer's data loader consumes).
+
+    Distributed prefix sum (no global-window scale-killer): cumsum within
+    doc_id-range shards in parallel, then a tiny cumsum over per-shard
+    totals broadcast-joined back as offsets.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _ws_tokens().alias("tokens")
+    )
+    docs = docs.withColumn("shard", (F.col("doc_id") / SHARD_SIZE).cast("long"))
+
+    in_shard = Window.partitionBy("shard").orderBy("doc_id")
+    docs = docs.withColumn("cum_in_shard", F.sum("tokens").over(in_shard))
+
+    shard_totals = docs.groupBy("shard").agg(F.sum("tokens").alias("shard_sum"))
+    prev_shards = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_totals.withColumn(
+        "offset", F.coalesce(F.sum("shard_sum").over(prev_shards), F.lit(0))
+    ).select("shard", "offset")
+
+    packed = docs.join(F.broadcast(offsets), "shard").withColumn(
+        "start_tok", F.col("offset") + F.col("cum_in_shard") - F.col("tokens")
+    )
+    return (
+        packed.withColumn(
+            "bin_id", F.floor(F.col("start_tok") / PACK_CAPACITY).cast("long")
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/test split keyed on md5(doc_id) — stable
+    under re-runs, repartitioning, and engine choice (the property a real
+    pipeline needs so examples never migrate between splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(bucket < F.lit(TRAIN_THRESHOLD), "train").otherwise("test")
+    return (
+        docs.select(split.alias("split"), _ws_tokens().alias("tokens"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.avg("tokens").alias("avg_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling: dominant-language documents
+    are kept at ~10%, the rest at ~50% — the language-rebalancing step of a
+    corpus mix. Emits per-language kept/total so the realized rates are the
+    observable. Seeded separately from the split ('s:' prefix) so the two
+    draws are independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.substring(
+        F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    threshold = F.lit(DEFAULT_THRESHOLD)
+    for lang, t in STRATA_THRESHOLDS.items():
+        threshold = F.when(F.col("lang") == lang, F.lit(t)).otherwise(threshold)
+    return (
+        docs.select("lang", (draw < threshold).alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            (F.sum(F.col("kept").cast("long")) / F.count(F.lit(1))).alias(
+                "kept_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+#: Numeric lineitem columns the profile covers.
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile (nulls / distinct / min / max per column)
+    — the data-quality report a pipeline runs before training. One scan;
+    the 1-row aggregate is unpivoted driver-free via inline structs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("p"))
+        .select("p.column", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val")
+        .orderBy("column")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "train_pack_sequences": pack_sequences,
+    "train_test_split": train_test_split,
+    "train_stratified_sample": stratified_sample,
+    "train_profile_columns": profile_columns,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "train_pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, tokens,
+                 SUM(tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t
+        )
+        SELECT CAST(FLOOR((cum - tokens) / {PACK_CAPACITY}.0) AS BIGINT)
+                 AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM c GROUP BY 1 ORDER BY bin_id
+    """,
+    "train_test_split": f"""
+        WITH t AS (
+          SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                        < '{TRAIN_THRESHOLD}'
+                      THEN 'train' ELSE 'test' END AS split,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+        FROM t GROUP BY split ORDER BY split
+    """,
+    "train_stratified_sample": f"""
+        WITH t AS (
+          SELECT lang,
+                 substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   < CASE WHEN lang = 'en' THEN '{STRATA_THRESHOLDS["en"]}'
+                          ELSE '{DEFAULT_THRESHOLD}' END AS kept
+          FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 AS kept_rate
+        FROM t GROUP BY lang ORDER BY lang
+    """,
+    "train_profile_columns": """
+        SELECT * FROM (
+          SELECT 'l_quantity' AS "column",
+                 CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_nulls,
+                 CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+                 CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+                 CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice',
+                 CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT),
+                 CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+                 CAST(MIN(l_extendedprice) AS DOUBLE),
+                 CAST(MAX(l_extendedprice) AS DOUBLE)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount',
+                 CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT),
+                 CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+                 CAST(MIN(l_discount) AS DOUBLE),
+                 CAST(MAX(l_discount) AS DOUBLE)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_tax',
+                 CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT),
+                 CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+                 CAST(MIN(l_tax) AS DOUBLE),
+                 CAST(MAX(l_tax) AS DOUBLE)
+          FROM lineitem
+        ) ORDER BY "column"
+    """,
+}

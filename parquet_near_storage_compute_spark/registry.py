@@ -36,6 +36,7 @@ _MODULES = [
     "parquet_near_storage_compute_spark.operators.pipeline",
     "parquet_near_storage_compute_spark.operators.scalar_funcs",
     "parquet_near_storage_compute_spark.operators.typed_scan",
+    "parquet_near_storage_compute_spark.operators.training",
     "parquet_near_storage_compute_spark.functions.udfs",
     "parquet_near_storage_compute_spark.sources.io",
     "parquet_near_storage_compute_spark.streaming.stream_ops",
