@@ -145,10 +145,62 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: per user, purchases within 30
+    minutes after a click (the attribution join). Both sides carry
+    watermarks and the join condition bounds event time on both ends, so
+    Spark can evict join state once the watermark passes — the property
+    that keeps state finite at 100 TB/day. With AvailableNow over static
+    data every pair is in-horizon, so the result equals the batch
+    time-range self-join and stays oracle-comparable.
+
+    Output is the per-user attributed-pair count (aggregated post-join in
+    batch over the memory sink, keeping the streaming plan join-only —
+    stream-stream join + streaming agg in one plan needs multiple stateful
+    operators in append mode, a documented Structured Streaming limit).
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = _run_to_memory(joined.select("c_user", "p_value"), "append")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum("p_value").alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": windowed_counts,
     "stream_stateful_user_stats": stateful_user_stats,
     "stream_dedup_exact": stream_dedup,
+    "stream_stream_join": stream_stream_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -168,5 +220,17 @@ ORACLE_SQL: dict[str, str] = {
     "stream_dedup_exact": """
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "stream_stream_join": """
+        WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'purchase')
+        SELECT c.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_attributed,
+               CAST(SUM(p.value) AS DOUBLE) AS attributed_value
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.ts > c.ts
+                     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        GROUP BY c.user_id ORDER BY c.user_id
     """,
 }

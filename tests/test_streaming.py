@@ -52,3 +52,37 @@ def test_append_mode_watermark_runs(spark, sf_dir):
     )
     out = _run_to_memory(agg, "append")
     assert out.count() >= 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The watermarked attribution join equals the batch time-range
+    self-join (AvailableNow keeps every pair in-horizon)."""
+    from parquet_near_storage_compute_spark.streaming.stream_ops import (
+        stream_stream_join,
+    )
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    out = stream_stream_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"), "value"
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.col("u").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum("value").alias("attributed_value"),
+        )
+    )
+    s = {(r.user_id, r.n_attributed, round(r.attributed_value, 6)) for r in out.collect()}
+    b = {(r.user_id, r.n_attributed, round(r.attributed_value, 6)) for r in batch.collect()}
+    assert s == b and len(s) > 0

