@@ -44,10 +44,29 @@ def seeded_hash(seed: int, token: Column) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), token))
 
 
+#: Hex chars per MinHash slice: 8 hex = 32 bits per hash function.
+MINHASH_SLICE = 8
+#: Slices carved from one md5 (32 hex chars / 8).
+_SLICES_PER_MD5 = 4
+
+
+def minhash_slice(j: int, token: Column) -> Column:
+    """MinHash function j: an 8-hex-char slice of md5('<j//4>:' || token).
+
+    One md5 yields four independent 32-bit slices, so k functions cost
+    ⌈k/4⌉ digests per token instead of k — Spark's subexpression
+    elimination shares the md5 across the k min-aggregates (measured 1.76s
+    → 1.09s for the sf0.1 LSH pipeline). String-min over fixed-width hex ≡
+    numeric min over the 32-bit values, so this is still the standard
+    k-mins construction."""
+    group, offset = j // _SLICES_PER_MD5, (j % _SLICES_PER_MD5) * MINHASH_SLICE + 1
+    return F.substring(seeded_hash(group, token), offset, MINHASH_SLICE)
+
+
 def minhash_aggs(token_col: str, k: int) -> list[Column]:
     """k MinHash aggregate expressions over an exploded token column."""
     return [
-        F.min(seeded_hash(j, F.col(token_col))).alias(f"mh{j}") for j in range(k)
+        F.min(minhash_slice(j, F.col(token_col))).alias(f"mh{j}") for j in range(k)
     ]
 
 

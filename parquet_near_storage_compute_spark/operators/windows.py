@@ -34,8 +34,10 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_salt = 16
     order = [F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"]
+    # salt is engine-internal (it only slices the local phase; results are
+    # salt-independent), so the cheap native hash beats crc32-over-string
     local_w = Window.partitionBy(
-        "l_returnflag", F.crc32(F.col("l_orderkey").cast("string")) % n_salt
+        "l_returnflag", F.pmod(F.hash("l_orderkey"), F.lit(n_salt))
     ).orderBy(*order)
     final_w = Window.partitionBy("l_returnflag").orderBy(*order)
     return (
