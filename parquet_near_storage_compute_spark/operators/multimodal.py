@@ -77,12 +77,30 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def feature_extract_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over the binary column
-    (mapInPandas — the multimodal decode execution pattern)."""
+    (mapInPandas — the multimodal decode execution pattern). Returns the
+    feature as ``array<double>`` — the shape downstream ANN/dedup consume."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(docs).select("doc_id", "payload")
     return payloads.mapInPandas(_feature_batches, _FEATURE_SCHEMA)
+
+
+def feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract form of ``feature_extract_raw``: the fixed-width feature
+    vector flattened to one double column per dimension — an array column
+    is unhashable by the driver's pandas canonicalizer (the r1 agg_collect
+    failure mode), and per-dimension doubles avoid float→string formatting
+    drift between engines."""
+    raw = feature_extract_raw(spark, sf_dir)
+    return raw.select(
+        "doc_id",
+        "n_bytes",
+        *[
+            F.element_at("feature", i + 1).alias(f"f{i}")
+            for i in range(N_FEATURES)
+        ],
+    )
 
 
 def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,12 +189,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
-    "mm_feature_extract": f"""
+    "mm_feature_extract": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               list_transform(range({N_FEATURES}),
-                              i -> CAST(ascii(substr(text, i + 1, 1)) AS DOUBLE))
-                 AS feature
+               CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f0,
+               CAST(ascii(substr(text, 2, 1)) AS DOUBLE) AS f1,
+               CAST(ascii(substr(text, 3, 1)) AS DOUBLE) AS f2,
+               CAST(ascii(substr(text, 4, 1)) AS DOUBLE) AS f3
         FROM documents
     """,
     "mm_binary_metadata": """

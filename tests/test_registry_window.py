@@ -40,3 +40,28 @@ def test_window_queries_are_oracle_backed():
     oracles = all_oracles()
     for name in _PRIORITY:
         assert name in oracles, f"{name} has no oracle"
+
+
+def test_window_outputs_are_canonicalizer_safe(spark, sf_dir):
+    """The driver's pandas canonicalizer cannot hash array/map/struct cells
+    (the r1 agg_collect crash) and timestamps drift schema vs DuckDB — no
+    window query may emit them."""
+    import pyspark.sql.types as T
+
+    qs = all_queries()
+    banned = (
+        T.ArrayType,
+        T.MapType,
+        T.StructType,
+        T.TimestampType,
+        T.TimestampNTZType,
+        T.BinaryType,
+    )
+    for name in _PRIORITY:
+        df = qs[name](spark, sf_dir)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, banned), (
+                name,
+                f.name,
+                f.dataType.simpleString(),
+            )
