@@ -73,9 +73,15 @@ def kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage stays O(1) per iteration instead of doubling; only the k-row
     codebook ever materializes, never the data.
 
-    No SQL oracle (iterative fixpoint is the driver-documented
-    non-SQL-expressible class); correctness is checked by the rows-only
-    gate + the deterministic-result test in tests/test_kmeans.py.
+    Oracle-checkable (round 3): ``KMEANS_ITERS`` is a fixed constant, so the
+    fixpoint unrolls into ``_kmeans_oracle_sql()`` — the same seed rule,
+    assign (max cosine, ties to lowest cell) and element-wise-mean recompute
+    as nested DuckDB CTEs. Cosine terms are bit-identical across engines
+    (sequential-fold dot on DOUBLE[], see functions/vectors.py); centroid
+    means may differ in the last ulp (summation order), but the output is
+    integer cluster COUNTS and cosine margins between best/second-best cells
+    dwarf ulp noise, so the hash gate is stable. tests/test_kmeans.py keeps
+    the engine-side determinism check.
     """
     from pyspark.sql import Window
 
@@ -144,10 +150,74 @@ def kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBEDDING_DIM = 64
+
+
+def _kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
+                       dim: int = EMBEDDING_DIM) -> str:
+    """Unroll the fixed-iteration Lloyd loop into one DuckDB query.
+
+    Mirrors ``kmeans_lite`` stage for stage: cents0 = k lowest vec_ids in
+    rank order; per iteration assign (max cosine, ties → lowest cell) then
+    element-wise mean per cell with empty cells keeping their previous
+    centroid; output = cluster sizes of the FINAL assignment (the loop
+    assigns before it recomputes, so assign{iters} runs against
+    cents{iters-1})."""
+    sim = (
+        "list_dot_product(a.v, c.centroid) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(c.centroid, c.centroid)))"
+    )
+    parts = [
+        f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                       AS cell,
+                   v AS centroid
+            FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+        assign{i} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT a.vec_id, a.v, c.cell,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {sim} DESC, c.cell ASC) AS rn
+                FROM v a CROSS JOIN {prev} c)
+            WHERE rn = 1
+        ),
+        cmeans{i} AS (
+            SELECT cell, pos, avg(val) AS c
+            FROM (SELECT cell, unnest(v) AS val,
+                         unnest(generate_series(1, {dim})) AS pos
+                  FROM assign{i})
+            GROUP BY cell, pos
+        ),
+        cents{i} AS (
+            SELECT p.cell, coalesce(n.centroid, p.centroid) AS centroid
+            FROM {prev} p LEFT JOIN (
+                SELECT cell, list(c ORDER BY pos) AS centroid
+                FROM cmeans{i} GROUP BY cell) n USING (cell)
+        )"""
+        )
+        prev = f"cents{i}"
+    parts.append(
+        f"""
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM assign{iters} GROUP BY cell ORDER BY cell"""
+    )
+    return "".join(parts)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_array_ops": array_ops,
     "scalar_string_ops": string_ops,
-    "iter_kmeans_lite": kmeans_lite,  # rows-only: iterative fixpoint
+    "iter_kmeans_lite": kmeans_lite,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -175,5 +245,6 @@ ORACLE_SQL: dict[str, str] = {
                reverse(substr(source, 1, 4)) AS source_rev
         FROM documents
     """,
-    # iter_kmeans_lite: intentionally no oracle (iterative algorithm).
+    # Fixed-iteration Lloyd unrolls into plain SQL — see _kmeans_oracle_sql.
+    "iter_kmeans_lite": _kmeans_oracle_sql(),
 }

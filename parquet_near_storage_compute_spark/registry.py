@@ -7,11 +7,12 @@ a collision raises at import time so it can't silently shadow coverage.
 
 Ordering matters: the driver's correctness gate checks the FIRST 50 keys in
 iteration order. Round 1 verified the core v1/snowset/join/agg/window surface
-(CORRECTNESS_r01.json, 47/50 green); round 2 rotates the window so the 50
-extension operators (dedup/similarity/text/multimodal/timeseries/relational/
-pipeline/scalar/udf/source) plus the three round-1 fixes lead. ``_PRIORITY``
-pins that window explicitly; everything else follows in module order so the
-window can rotate again in later rounds without code churn elsewhere.
+(CORRECTNESS_r01, 47/50); round 2 verified the 50 extension operators
+(CORRECTNESS_r02, 50/50); round 3 rotates back to the r1-era core plus the
+never-checked train_/stream_/kmeans contracts so every registered operator
+has a driver row from round 2 or 3. ``_PRIORITY`` pins the window explicitly;
+everything else follows in module order so the window can rotate again in
+later rounds without code churn elsewhere.
 """
 
 from __future__ import annotations
@@ -43,74 +44,75 @@ _MODULES = [
 ]
 
 
-#: The round-2 driver correctness window: exactly the 50 queries that had no
-#: CORRECTNESS_r01 row (the extension surface, minus the demoted quadratic
-#: dedup_embedding baseline) plus the three contracts fixed this round
-#: (agg_reaggregate hash fail, agg_collect harness crash, agg_approx_distinct
-#: no-oracle slot). Everything outside rotates back in a later round.
+#: The round-3 driver correctness window: the 48 contracts with no
+#: current-round row after round 2 — the r1-verified core (v1/snowset/joins/
+#: aggs/windows, several modified since their r1 rows, e.g. the salted
+#: window_topk_per_group) plus the 9 never-driver-checked (train_* ×4,
+#: stream_* ×4, iter_kmeans_lite, now oracle-backed via the unrolled Lloyd
+#: SQL) — plus two re-confirmation slots for the dedup contracts whose
+#: candidate-generation internals change this round (hot-bucket cap /
+#: bounded blocks). After this window lands green, every registered contract
+#: has a driver row from round 2 or 3.
 _PRIORITY = [
-    # dedup (7)
-    "dedup_exact",
-    "dedup_key",
+    # v1 scan/agg core (8)
+    "v1_footer_only_agg",
+    "v1_flagship",
+    "v1_ladder_real",
+    "v1_ladder_worst",
+    "v1_grammar_boolean",
+    "v1_grammar_extended",
+    "v1_count_semantics",
+    "v1_projection_rows",
+    # snowset (3)
+    "snowset_selectivity_distribution",
+    "snowset_selectivity_distribution_sql",
+    "snowset_retrieval_rate",
+    # joins (10)
+    "join_theta",
+    "join_self",
+    "join_broadcast_inner",
+    "join_multiway",
+    "join_semi",
+    "join_anti",
+    "join_cross_pct",
+    "join_window_pct",
+    "join_asof",
+    "join_range",
+    # aggregates (9)
+    "agg_pricing_summary",
+    "agg_over_expression",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_min_max_by",
+    "agg_stats",
+    "agg_percentile",
+    # windows (9; topk salt + ntile plan changed post-r1)
+    "window_first_last_nth",
+    "window_percent_rank_cume",
+    "window_mode_per_group",
+    "window_topk_per_group",
+    "window_rank_dense_rank",
+    "window_lag_lead",
+    "window_moving_sum",
+    "window_running_total",
+    "window_ntile",
+    # iterative — first driver hash check (oracle added round 3) (1)
+    "iter_kmeans_lite",
+    # training ops — never driver-checked (4)
+    "train_pack_sequences",
+    "train_test_split",
+    "train_stratified_sample",
+    "train_profile_columns",
+    # streaming — never driver-checked (4)
+    "stream_windowed_counts",
+    "stream_stateful_user_stats",
+    "stream_dedup_exact",
+    "stream_stream_join",
+    # re-confirm: modified this round (hot-bucket cap, bounded blocks) (2)
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_blocked_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    # similarity (6)
-    "sim_topk_bruteforce",
-    "sim_topk_numpy",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_lsh_bucket_histogram",
-    "sim_label_centroid",
-    # text analysis (5)
-    "text_quality_scores",
-    "text_quality_filter",
-    "text_language_id",
-    "text_token_counts",
-    "text_fingerprint",
-    # multimodal (4)
-    "mm_feature_extract",
-    "mm_binary_metadata",
-    "mm_frame_sample",
-    "mm_resize",
-    # timeseries (6)
-    "time_tumbling_hourly",
-    "time_sliding_window",
-    "time_sessionize",
-    "time_session_window_native",
-    "time_json_extract",
-    "time_datetime_parts",
-    # relational / setops / sort / scalar-case (10)
-    "relational_correlated_subquery",
-    "relational_pivot",
-    "relational_unpivot",
-    "relational_distinct_rows",
-    "sort_limit_topk",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "scalar_case_bucket",
-    "scalar_arithmetic_chain",
-    # composite pipeline (1)
-    "pipeline_training_data",
-    # scalar function clusters (2)
-    "scalar_array_ops",
-    "scalar_string_ops",
-    # pandas/Arrow UDF surface (4)
-    "udf_readability",
-    "udf_sql_surface",
-    "udaf_geomean",
-    "udf_grouped_map_zscore",
-    # glob source (1)
-    "source_glob_scan",
-    # round-1 correctness fixes (3)
-    "agg_reaggregate",
-    "agg_collect",
-    "agg_approx_distinct",
-    # unsigned/decimal physical types (1)
-    "types_unsigned_decimal",
 ]
 
 

@@ -1,6 +1,8 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
-contract. Round 2's window = the 50 extension operators + round-1 fixes."""
+contract. Round 3's window = the 48 contracts without a round-2 row (r1-era
+core + train_/stream_/kmeans) + 2 re-confirmation slots for dedup contracts
+modified this round."""
 
 from __future__ import annotations
 
@@ -17,26 +19,43 @@ def test_window_is_exactly_priority():
     assert list(all_queries())[:50] == _PRIORITY
 
 
-def test_window_covers_extension_surface():
-    prefixes = (
-        "dedup_",
-        "sim_",
-        "text_",
-        "mm_",
-        "time_",
-        "relational_",
-        "pipeline_",
-    )
+def test_window_covers_unrotated_core():
+    """Everything that had no CORRECTNESS_r02 row must be in the r3 window —
+    after this round, every registered contract has a driver row from the
+    last two rounds."""
+    r2_window = {
+        "dedup_exact", "dedup_key", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_blocked_jaccard", "dedup_simhash", "dedup_embedding_lsh",
+        "sim_topk_bruteforce", "sim_topk_numpy", "sim_topk_lsh", "sim_topk_ivf",
+        "sim_lsh_bucket_histogram", "sim_label_centroid",
+        "text_quality_scores", "text_quality_filter", "text_language_id",
+        "text_token_counts", "text_fingerprint",
+        "mm_feature_extract", "mm_binary_metadata", "mm_frame_sample",
+        "mm_resize",
+        "time_tumbling_hourly", "time_sliding_window", "time_sessionize",
+        "time_session_window_native", "time_json_extract",
+        "time_datetime_parts",
+        "relational_correlated_subquery", "relational_pivot",
+        "relational_unpivot", "relational_distinct_rows", "sort_limit_topk",
+        "setop_union_all", "setop_intersect", "setop_except",
+        "scalar_case_bucket", "scalar_arithmetic_chain",
+        "pipeline_training_data", "scalar_array_ops", "scalar_string_ops",
+        "udf_readability", "udf_sql_surface", "udaf_geomean",
+        "udf_grouped_map_zscore", "source_glob_scan",
+        "agg_reaggregate", "agg_collect", "agg_approx_distinct",
+        "types_unsigned_decimal",
+    }
     registered = set(all_queries())
     in_window = set(_PRIORITY)
-    for name in registered:
-        if name.startswith(prefixes):
-            assert name in in_window, f"{name} outside the driver window"
+    unrotated = registered - r2_window
+    for name in unrotated:
+        assert name in in_window, f"{name} has no r2 row and is outside the window"
 
 
 def test_window_queries_are_oracle_backed():
     """Every window slot must have a DuckDB oracle — the full hash check,
-    not the weaker rows-only gate."""
+    not the weaker rows-only gate. (iter_kmeans_lite gained its unrolled
+    Lloyd oracle in round 3, so the whole window hashes.)"""
     oracles = all_oracles()
     for name in _PRIORITY:
         assert name in oracles, f"{name} has no oracle"
