@@ -41,6 +41,22 @@ MINHASH_K = 8
 LSH_BANDS = 4
 LSH_ROWS = 2  # MINHASH_K = LSH_BANDS * LSH_ROWS
 
+#: Hot-bucket guard (cf. v1's pruning economy, v1/src/main.rs:626-685 —
+#: never enumerate what you can exclude cheaply). Buckets above the cap
+#: produce NO candidate pairs (cap² pair explosion is never the right
+#: answer — a mega-bucket of boilerplate is a duplicate CLUSTER, not a pair
+#: list); they surface through the overflow-accounting side output instead.
+#: 100 comfortably exceeds every observed bucket at tested SFs (max 12 at
+#: sf0.1 for shingle-MinHash, 79 for word-MinHash blocks), so small-SF
+#: outputs are identical to the uncapped form; at 100 TB it bounds per-task
+#: pair volume to cap² per bucket.
+LSH_BUCKET_CAP = 100
+#: Salt width for the two-level bucket merge. Level-1 groups hold
+#: ~bucket_size/SALT doc_ids before the cap+1 slice trims them, so raise
+#: this with cluster size (≥ #executor-cores at 100 TB) to keep partial
+#: aggregation rows small even for adversarial mega-buckets.
+LSH_MERGE_SALT = 16
+
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: canonical doc per content hash (keep min doc_id)."""
@@ -77,27 +93,60 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*minhash_aggs("s", MINHASH_K))
 
 
-def _lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket → candidate pairs (a < b).
-
-    One pass: bands via posexplode of a band array (a per-band unionAll
-    would re-run the shingle+minhash pipeline per band), then bucket-local
-    pair expansion — groupBy (band, bucket) and enumerate pairs inside each
-    bucket with array functions. A bands⋈bands self-join would execute the
-    signature pipeline twice AND shuffle both sides; this shuffles the
-    signature stream once and the pairwise work stays O(Σ bucket²), which is
-    the whole point of LSH."""
+def _bands(sig: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Signature → (doc_id, extra…, band, bh) stream via posexplode of a
+    band array (a per-band unionAll would re-run the shingle+minhash
+    pipeline per band). ``extra`` carries blocking keys alongside."""
     mh_cols = [f"mh{j}" for j in range(MINHASH_K)]
     band_arr = F.array(
         *[band_hash(mh_cols, b, LSH_ROWS) for b in range(LSH_BANDS)]
     )
-    bands = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
-    buckets = (
-        bands.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+    return sig.select(
+        "doc_id", *extra, F.posexplode(band_arr).alias("band", "bh")
     )
-    pairs = buckets.select(
+
+
+def _banded_buckets(bands: DataFrame, keys: list[str]) -> DataFrame:
+    """Bucket materialization with a hot-bucket guard: two-level salted
+    aggregation so no task ever holds an unbounded bucket row.
+
+    Level 1 groups on (keys…, salt) and emits the bucket-slice sorted and
+    trimmed to CAP+1 doc_ids (the true per-salt count is taken BEFORE the
+    slice, so over-cap buckets are still counted exactly). Level 2 merges
+    the ≤ SALT slices per bucket — a row is at most SALT×(CAP+1) ids no
+    matter how hot the bucket. Compare the naive
+    ``groupBy(band, bh).agg(collect_list(doc_id))``: one boilerplate
+    mega-bucket materializes as one giant row in one task → OOM at 100 TB.
+    Single pass over the bands stream (a count-then-join alternative would
+    execute the signature pipeline twice).
+
+    Output: (keys…, n_docs exact, ds = sorted ids, complete iff
+    n_docs ≤ CAP)."""
+    part = bands.groupBy(
+        *keys, F.pmod(F.hash("doc_id"), F.lit(LSH_MERGE_SALT)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("_n_part"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, LSH_BUCKET_CAP + 1
+        ).alias("_ds_part"),
+    )
+    return part.groupBy(*keys).agg(
+        F.sum("_n_part").alias("n_docs"),
+        F.sort_array(F.flatten(F.collect_list("_ds_part"))).alias("ds"),
+    )
+
+
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """In-cap buckets → candidate pairs (a < b), distinct across bands.
+
+    Buckets above LSH_BUCKET_CAP contribute NO pairs (cap² explosion is
+    never the right answer for a mega-bucket); they are visible through
+    ``lsh_overflow`` instead. Pairwise work stays O(Σ min(bucket, cap)²) —
+    the whole point of LSH, now with a hard per-task ceiling."""
+    kept = buckets.filter(
+        (F.col("n_docs") > 1) & (F.col("n_docs") <= LSH_BUCKET_CAP)
+    )
+    pairs = kept.select(
         F.explode(
             F.expr(
                 "filter(flatten(transform(ds, x -> transform(ds, "
@@ -106,6 +155,29 @@ def _lsh_candidates(sig: DataFrame) -> DataFrame:
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def _lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs with the hot-bucket guard."""
+    return _bucket_pairs(_banded_buckets(_bands(sig), ["band", "bh"]))
+
+
+def lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overflow accounting for the hot-bucket guard: one row per over-cap
+    bucket (band, bh, exact n_docs, smallest member id — the slices keep
+    each salt-group's minima, so the global min survives trimming). Empty
+    at every tested SF; at 100 TB this is the report a pipeline operator
+    reads to route mega-buckets to cluster-level dedup instead of pairs.
+    Not a registered contract (nothing to hash at small SF) — exercised by
+    tests/test_skew.py with an adversarial fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = _banded_buckets(_bands(_minhash_signatures(docs)), ["band", "bh"])
+    return buckets.filter(F.col("n_docs") > LSH_BUCKET_CAP).select(
+        "band",
+        "bh",
+        "n_docs",
+        F.element_at("ds", 1).alias("keep_doc_id"),
+    )
 
 
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,30 +208,46 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard within (lang, source) blocks — blocking strategy for
-    when a natural partition key exists; pairwise work stays inside blocks."""
+    """Word-set Jaccard within (lang, source) blocks, candidates generated
+    by MinHash-LSH INSIDE each block (round 3; the r2 form was an in-block
+    all-pairs join — quadratic in block size, and at 100 TB an (en, web)
+    block is the whole corpus). Buckets key on (lang, source, band, bh), so
+    pair volume is O(Σ min(bucket, cap)²) regardless of block size; the
+    exact-Jaccard verify runs only on candidates. At J ≥ 0.9 the 4×2 band
+    scheme misses a true pair with p = (1−0.9²)⁴ ≈ 0.13% — the standard
+    LSH recall trade, encoded identically in the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    sets = fan_out(docs).select(
+    base = fan_out(docs).select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(words("text")).alias("wset"),
     )
-    a = sets.alias("a")
-    b = sets.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    toks = base.select(
+        "doc_id", "lang", "source", F.explode("wset").alias("s")
     )
-    inter = F.size(F.array_intersect("a.wset", "b.wset")).cast("double")
-    union = F.size(F.array_union("a.wset", "b.wset")).cast("double")
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.lang").alias("lang"),
-        (inter / union).alias("jaccard"),
+    sig = toks.groupBy("doc_id", "lang", "source").agg(
+        *minhash_aggs("s", MINHASH_K)
+    )
+    pairs = _bucket_pairs(
+        _banded_buckets(
+            _bands(sig, extra=("lang", "source")),
+            ["lang", "source", "band", "bh"],
+        )
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("wset").alias("set_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("wset").alias("set_b")
+    )
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    return joined.select(
+        "doc_a", "doc_b", "lang", (inter / union).alias("jaccard")
     ).filter(F.col("jaccard") >= 0.9)
 
 
@@ -282,8 +370,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_embedding_lsh.
 }
 
-# Shared oracle CTEs for shingles/minhash (DuckDB).
-_SHINGLE_CTE = """
+# Shared oracle CTEs for shingles/minhash (DuckDB). The bucket-size guard
+# mirrors LSH_BUCKET_CAP: over-cap buckets contribute no candidate pairs.
+_SHINGLE_CTE = f"""
   sh AS (
     SELECT doc_id,
            unnest(list_distinct(list_transform(
@@ -311,10 +400,15 @@ _SHINGLE_CTE = """
     SELECT doc_id, 2, md5(mh4||'|'||mh5) FROM mh UNION ALL
     SELECT doc_id, 3, md5(mh6||'|'||mh7) FROM mh
   ),
+  bsz AS (
+    SELECT band, bh, count(*) AS n FROM bands GROUP BY band, bh
+  ),
   cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    JOIN bsz s ON a.band = s.band AND a.bh = s.bh
+    WHERE s.n <= {LSH_BUCKET_CAP}
   )
 """
 
@@ -354,18 +448,54 @@ ORACLE_SQL: dict[str, str] = {
                  / len(list_distinct(list_concat(a.sset, b.sset))) >= 0.5
         ORDER BY c.doc_a, c.doc_b
     """,
-    "dedup_blocked_jaccard": """
-        WITH sets AS (
+    "dedup_blocked_jaccard": f"""
+        WITH wsets AS (
           SELECT doc_id, lang, source,
                  list_distinct(string_split(text, ' ')) AS wset
           FROM documents
+        ),
+        wtok AS (
+          SELECT doc_id, lang, source, unnest(wset) AS s FROM wsets
+        ),
+        mh AS (
+          SELECT doc_id, lang, source,
+                 min(substr(md5('0:'||s),  1, 8)) AS mh0,
+                 min(substr(md5('0:'||s),  9, 8)) AS mh1,
+                 min(substr(md5('0:'||s), 17, 8)) AS mh2,
+                 min(substr(md5('0:'||s), 25, 8)) AS mh3,
+                 min(substr(md5('1:'||s),  1, 8)) AS mh4,
+                 min(substr(md5('1:'||s),  9, 8)) AS mh5,
+                 min(substr(md5('1:'||s), 17, 8)) AS mh6,
+                 min(substr(md5('1:'||s), 25, 8)) AS mh7
+          FROM wtok GROUP BY doc_id, lang, source
+        ),
+        bands AS (
+          SELECT doc_id, lang, source, 0 AS band, md5(mh0||'|'||mh1) AS bh
+          FROM mh UNION ALL
+          SELECT doc_id, lang, source, 1, md5(mh2||'|'||mh3) FROM mh UNION ALL
+          SELECT doc_id, lang, source, 2, md5(mh4||'|'||mh5) FROM mh UNION ALL
+          SELECT doc_id, lang, source, 3, md5(mh6||'|'||mh7) FROM mh
+        ),
+        bsz AS (
+          SELECT lang, source, band, bh, count(*) AS n
+          FROM bands GROUP BY lang, source, band, bh
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.lang = b.lang AND a.source = b.source
+                      AND a.band = b.band AND a.bh = b.bh
+                      AND a.doc_id < b.doc_id
+          JOIN bsz s ON a.lang = s.lang AND a.source = s.source
+                    AND a.band = s.band AND a.bh = s.bh
+          WHERE s.n <= {LSH_BUCKET_CAP}
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+        SELECT c.doc_a, c.doc_b, a.lang AS lang,
                CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.wset, b.wset))) AS jaccard
-        FROM sets a
-        JOIN sets b ON a.lang = b.lang AND a.source = b.source
-                   AND a.doc_id < b.doc_id
+        FROM cand c
+        JOIN wsets a ON c.doc_a = a.doc_id
+        JOIN wsets b ON c.doc_b = b.doc_id
         WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.wset, b.wset))) >= 0.9
     """,

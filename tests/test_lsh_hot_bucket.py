@@ -1,0 +1,105 @@
+"""Hot-bucket guard for banded LSH (operators/dedup.py): an adversarial
+bucket (e.g. 1000 boilerplate docs sharing every band hash) must never
+expand into bucket² pairs or materialize as one unbounded row — it routes
+to the overflow accounting output instead, while normal buckets keep their
+exact pair sets."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_near_storage_compute_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
+    LSH_MERGE_SALT,
+    _banded_buckets,
+    _bands,
+    _bucket_pairs,
+    _minhash_signatures,
+    lsh_overflow,
+)
+
+HOT = 1000
+
+
+def _bands_fixture(spark):
+    """Synthetic bands stream: one hot bucket (HOT docs), one small bucket
+    (3 docs), one singleton."""
+    hot = spark.range(HOT).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("band"), F.lit("hot").alias("bh")
+    )
+    small = spark.range(3).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.lit(1).alias("band"),
+        F.lit("small").alias("bh"),
+    )
+    single = spark.range(1).select(
+        (F.col("id") + 20_000).alias("doc_id"),
+        F.lit(2).alias("band"),
+        F.lit("one").alias("bh"),
+    )
+    return hot.unionAll(small).unionAll(single)
+
+
+def test_hot_bucket_produces_no_pairs_small_bucket_exact(spark):
+    buckets = _banded_buckets(_bands_fixture(spark), ["band", "bh"])
+    pairs = _bucket_pairs(buckets).collect()
+    got = sorted((r.doc_a, r.doc_b) for r in pairs)
+    assert got == [(10_000, 10_001), (10_000, 10_002), (10_001, 10_002)]
+
+
+def test_bucket_rows_are_bounded_and_counts_exact(spark):
+    rows = {
+        (r.band, r.bh): r
+        for r in _banded_buckets(_bands_fixture(spark), ["band", "bh"])
+        .select("band", "bh", "n_docs", F.size("ds").alias("held"), "ds")
+        .collect()
+    }
+    hot = rows[(0, "hot")]
+    assert hot.n_docs == HOT  # exact count survives the slice
+    assert hot.held <= LSH_MERGE_SALT * (LSH_BUCKET_CAP + 1)
+    assert hot.ds[0] == 0  # per-salt minima kept → global min survives
+    assert rows[(1, "small")].n_docs == 3
+    assert rows[(1, "small")].held == 3
+
+
+@pytest.mark.parametrize("n,expect_pairs", [
+    (LSH_BUCKET_CAP, LSH_BUCKET_CAP * (LSH_BUCKET_CAP - 1) // 2),
+    (LSH_BUCKET_CAP + 1, 0),
+])
+def test_cap_boundary(spark, n, expect_pairs):
+    bands = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("band"), F.lit("b").alias("bh")
+    )
+    pairs = _bucket_pairs(_banded_buckets(bands, ["band", "bh"]))
+    assert pairs.count() == expect_pairs
+
+
+def test_end_to_end_boilerplate_cluster_routes_to_overflow(spark):
+    """1000 identical docs → identical signatures → every band bucket is
+    hot: zero pairs, 4 overflow rows (one per band) with the exact count;
+    a genuine near-dup pair elsewhere is unaffected."""
+    boiler = spark.range(HOT).select(
+        F.col("id").alias("doc_id"),
+        F.lit("terms of service apply to all users of this site").alias("text"),
+    )
+    near = spark.createDataFrame(
+        [
+            (50_000, "alpha beta gamma delta epsilon zeta"),
+            (50_001, "alpha beta gamma delta epsilon eta"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = boiler.unionAll(near)
+    sig = _minhash_signatures(docs)
+    buckets = _banded_buckets(_bands(sig), ["band", "bh"])
+    pairs = _bucket_pairs(buckets)
+    got = sorted((r.doc_a, r.doc_b) for r in pairs.collect())
+    assert got == [(50_000, 50_001)]
+    over = buckets.filter(F.col("n_docs") > LSH_BUCKET_CAP).collect()
+    assert len(over) == 4  # one hot bucket per band
+    assert all(r.n_docs == HOT for r in over)
+
+
+def test_overflow_empty_on_fixture_data(spark, sf_dir):
+    assert lsh_overflow(spark, sf_dir).count() == 0
