@@ -6,8 +6,10 @@ oracle-comparable.
 
 Scale design: window partitions key on user/supplier/group columns — the
 shuffle is one hash exchange per window spec, and partitions are bounded by
-per-key cardinality (no global sort). The only global window (percentage of
-total) runs post-aggregation on a tiny frame (join_window_pct in joins.py).
+per-key cardinality (no global sort over data). Global-order operators
+(ntile) use the two-phase range-shard + offsets plan; the only
+single-partition windows run post-aggregation on tiny frames (per-shard
+counts here, percentage-of-total in joins.py).
 """
 
 from __future__ import annotations
@@ -109,12 +111,64 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NTILE_K = 4
+NTILE_SHARDS = 32  # range shards; set ≈ cluster parallelism at 100 TB
+
+
 def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile: quartile assignment of customers by account balance."""
-    cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    return cust.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    """ntile: quartile assignment of customers by account balance — EXACT
+    semantics, scale-safe plan (round 3; the r2 form was
+    ``ntile(4) OVER (ORDER BY …)``, whose empty partition spec forces every
+    row through one single-partition WindowExec task).
+
+    Two-phase global ranking, the distributed zipWithIndex pattern:
+    ``repartitionByRange`` splits the total order into NTILE_SHARDS
+    contiguous range shards; a window PARTITIONED BY shard computes local
+    row numbers in parallel; per-shard counts (a tiny NTILE_SHARDS-row
+    frame) turn into cumulative offsets via a window over that tiny frame
+    (the join_window_pct precedent — single-partition is fine over ≤32
+    rows); a broadcast join adds offset + local rank = exact global
+    position. The SQL-standard ntile bucket then falls out arithmetically:
+    the first n mod k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer
+    `div` throughout (exact past 2^53, cf. ADVICE r2 on double division).
+    No full-data single-partition exchange anywhere; both branches reuse
+    the one range exchange (ReusedExchange)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    sharded = cust.repartitionByRange(NTILE_SHARDS, *order).withColumn(
+        "shard", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("shard").orderBy(*order)
+    local = sharded.withColumn("lrn", F.row_number().over(local_w))
+    counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix_w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total_w = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "shard",
+        F.coalesce(F.sum("cnt").over(prefix_w), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(total_w).alias("n_total"),
+    )
+    ranked = local.join(F.broadcast(offsets), "shard").select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("lrn") + F.col("offset")).alias("p"),
+        F.expr(f"n_total DIV {NTILE_K}").alias("q"),
+        (F.col("n_total") % NTILE_K).alias("r"),
+    )
+    # bucket(p) per SQL ntile: first r buckets hold q+1 rows. q = 0 (n < k)
+    # stays in the first branch, so the ELSE's DIV q never sees zero.
+    quartile = F.expr(
+        "CAST(CASE WHEN p <= r * (q + 1) THEN (p - 1) DIV (q + 1) "
+        "ELSE r + (p - r * (q + 1) - 1) DIV q END + 1 AS INT)"
+    )
+    return ranked.select(
+        "c_custkey", "c_acctbal", quartile.alias("quartile")
     )
 
 

@@ -51,3 +51,25 @@ def test_dim_joins_broadcast(name, spark, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, f"{name}: no broadcast hash join:\n{plan}"
+
+
+def test_ntile_has_no_full_data_global_sort(spark, sf_dir):
+    """window_ntile's r2 form put every customer row through one
+    single-partition WindowExec. The r3 two-phase plan must rank the full
+    data inside shard-partitioned windows; the only SinglePartition
+    exchange allowed is the one over the tiny per-shard counts frame."""
+    import re
+
+    df = _QUERIES["window_ntile"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile(" not in plan  # bucket assignment is arithmetic now
+    assert re.search(r"Window \[row_number\(\).*windowspecdefinition\(shard", plan), (
+        f"local rank window not partitioned by shard:\n{plan}"
+    )
+    assert plan.count("Exchange SinglePartition") <= 1, (
+        f"more than one single-partition exchange:\n{plan}"
+    )
+    # the full-data local-rank window must not require SinglePartition
+    for line in plan.splitlines():
+        if "row_number()" in line and "Window" in line:
+            assert "shard" in line
