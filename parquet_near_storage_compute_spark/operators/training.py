@@ -65,7 +65,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _ws_tokens().alias("tokens")
     )
-    docs = docs.withColumn("shard", (F.col("doc_id") / SHARD_SIZE).cast("long"))
+    # integer `div`, not double division: exact past 2^53 and well-defined
+    # at any id magnitude (ADVICE r2; same device as the epoch-nanos
+    # rebuild in tables.py)
+    docs = docs.withColumn("shard", F.expr(f"doc_id div {SHARD_SIZE}"))
 
     in_shard = Window.partitionBy("shard").orderBy("doc_id")
     docs = docs.withColumn("cum_in_shard", F.sum("tokens").over(in_shard))
@@ -84,7 +87,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         packed.withColumn(
-            "bin_id", F.floor(F.col("start_tok") / PACK_CAPACITY).cast("long")
+            "bin_id", F.expr(f"start_tok div {PACK_CAPACITY}")
         )
         .groupBy("bin_id")
         .agg(

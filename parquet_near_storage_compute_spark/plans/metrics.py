@@ -105,6 +105,15 @@ def runtime_input_bytes(spark: SparkSession) -> int:
     bus. Local caveat (documented in the module docstring): the parquet
     vectorized reader on ``file://`` reports footer I/O only; CSV/JSON/text
     report full physical bytes; on a cluster all paths report fully.
+
+    Two scope limits (ADVICE r2): (1) the store retains only
+    ``spark.ui.retainedStages`` stages (default 1000) — in a long-lived
+    session evicted stages leave the total, so a before/after diff can
+    shrink; ``measure_runtime_bytes`` clamps at 0 and is intended for
+    short-lived measurement sessions (a monotonic per-app counter needs a
+    JVM-side SparkListener, which py4j can't register without the callback
+    server). (2) the Scala ``$default$`` accessors for ``stageList``'s
+    optional args are version-pinned to Spark 4's signature.
     """
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()
@@ -126,25 +135,38 @@ def runtime_input_bytes(spark: SparkSession) -> int:
 
 
 def wait_for_metrics(spark: SparkSession, timeout_s: float = 5.0) -> None:
-    """Wait until the async status-listener bus has drained (two consecutive
-    stable readings of the input-bytes total)."""
+    """Wait until the async status-listener bus has drained: no active
+    jobs per the status tracker, then two consecutive stable readings of
+    the input-bytes total (a single stable pair can be a transient while
+    task-end events are still in flight — ADVICE r2)."""
+    sc = spark.sparkContext
     deadline = time.perf_counter() + timeout_s
+    while time.perf_counter() < deadline and sc.statusTracker().getActiveJobsIds():
+        time.sleep(0.1)
+    stable = 0
     prev = runtime_input_bytes(spark)
     while time.perf_counter() < deadline:
         time.sleep(0.2)
         cur = runtime_input_bytes(spark)
-        if cur == prev:
+        stable = stable + 1 if cur == prev else 0
+        if stable >= 2:
             return
         prev = cur
 
 
 def measure_runtime_bytes(spark: SparkSession, action) -> int:
-    """Run ``action()`` and return the physical bytes its stages read."""
+    """Run ``action()`` and return the physical bytes its stages read.
+
+    Attribution requires the session to be otherwise idle: any concurrent
+    job on the same SparkSession (parallel tests, background streams)
+    lands in the same counters and pollutes the diff. Clamped at 0 —
+    stage eviction past ``spark.ui.retainedStages`` can make the raw diff
+    negative in a long-lived session (see ``runtime_input_bytes``)."""
     wait_for_metrics(spark)
     before = runtime_input_bytes(spark)
     action()
     wait_for_metrics(spark)
-    return runtime_input_bytes(spark) - before
+    return max(0, runtime_input_bytes(spark) - before)
 
 
 @dataclass

@@ -222,9 +222,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "stream_stream_join": """
-        WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
-             p AS (SELECT user_id, ts, value FROM events
-                   WHERE event_type = 'purchase')
+        -- ts truncated to MICROSECONDS on both sides: the Spark plan
+        -- compares timestamp_micros(ts div 1000) (the nanos rebuild), so
+        -- the oracle must band/compare at the same precision rather than
+        -- native TIMESTAMP_NS (ADVICE r2 — lossless today, but this pins
+        -- it against sub-microsecond fixtures)
+        WITH c AS (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+                          value
+                   FROM events WHERE event_type = 'purchase')
         SELECT c.user_id,
                CAST(COUNT(*) AS BIGINT) AS n_attributed,
                CAST(SUM(p.value) AS DOUBLE) AS attributed_value
