@@ -159,6 +159,36 @@ def main() -> None:
             "selectivity_pct": round(100.0 * planned / rg_size, 4),
         }
 
+    # Projection-width curve (the v1 -cc/--columns experiment axis,
+    # v1/src/main.rs:103-109,209-212): scan the first N schema columns,
+    # force a read of every projected column through one xxhash64-sum
+    # aggregate (count(*) alone would let Catalyst prune the scan to zero
+    # columns), and record planned bytes + wall-clock per N. The planned
+    # series is monotone in N by construction — the bytes-vs-columns plot
+    # of the thesis.
+    from pyspark.sql import functions as _F
+
+    li_cols = spark.read.parquet(li_path).columns
+    proj_widths = [1, 2, 4, 6, 8, len(li_cols)]
+    projection: dict[str, dict] = {}
+    for n in proj_widths:
+        cols = li_cols[:n]
+        df = (
+            spark.read.parquet(li_path)
+            .select(*cols)
+            .agg(_F.sum(_F.xxhash64(*cols)).alias("h"))
+        )
+        df.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        secs = time.perf_counter() - t0
+        planned = planned_scan_bytes(li_path, cols, [])
+        projection[str(n)] = {
+            "sec": round(secs, 4),
+            "planned_bytes": planned,
+            "pct_of_table": round(100.0 * planned / li_size, 4),
+        }
+
     # Microbenchmark parity (the reference's throughput ceilings,
     # microbenchmarks/src/disk/read.rs:60-79): three rungs so engine
     # throughput has hardware context —
@@ -205,6 +235,7 @@ def main() -> None:
                 "queries": timings,
                 "ladder": ladder,
                 "ladder_rowgroup": ladder_rg,
+                "projection_width": projection,
                 "full_scan": scan,
                 "sf": sf,
             }

@@ -74,6 +74,15 @@ def main(argv: list[str] | None = None) -> int:
         help="fact column for the default workload query",
     )
     ap.add_argument(
+        "--columns",
+        "-cc",
+        type=int,
+        default=None,
+        help="scan exactly the first N schema columns (the v1 -cc/--columns "
+        "projection-width axis, v1/src/main.rs:103-109,209-212); the filter "
+        "and aggregate columns must lie within the first N",
+    )
+    ap.add_argument(
         "--mode",
         choices=["query", "metadata"],
         default="query",
@@ -115,6 +124,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(args.path)
+    scan_cols: list[str] | None = None
+    if args.columns is not None:
+        # v1 parity: the scan set is EXACTLY the first N schema columns —
+        # the projection-width experiment axis. Like the reference, a query
+        # touching a column outside the window is an error, not a silent
+        # widening (which would bend the bytes-vs-N curve).
+        scan_cols = df.columns[: args.columns]
+        df = df.select(*scan_cols)
     pred = parse_predicate(filter_expr)
     if args.aggs:
         aggs = parse_aggregations([a.strip() for a in args.aggs.split(",")])
@@ -123,9 +140,6 @@ def main(argv: list[str] | None = None) -> int:
             [(spec.replace("l_extendedprice", args.column), alias)
              for spec, alias in AGG_SPECS]
         )
-    result = df.filter(pred).agg(*aggs)
-    seconds = run_to_completion(result)
-    rows = [r.asDict() for r in result.collect()]
     # byte accounting over the columns the query actually touches (early
     # projection, v1/src/main.rs:240-254): filter ∪ aggregate columns
     import re as _re
@@ -136,9 +150,27 @@ def main(argv: list[str] | None = None) -> int:
         if m:
             touched.add(m.group(1).replace("l_extendedprice", args.column))
     available = set(df.columns)
-    planned = planned_scan_bytes(
-        args.path, sorted(touched & available) or None, pruning_pred
-    )
+    if scan_cols is not None:
+        missing = sorted(touched - set(scan_cols))
+        if missing:
+            print(
+                json.dumps(
+                    {"error": f"columns outside --columns window: {missing}"}
+                ),
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
+
+    result = df.filter(pred).agg(*aggs)
+    seconds = run_to_completion(result)
+    rows = [r.asDict() for r in result.collect()]
+    if scan_cols is not None:
+        planned = planned_scan_bytes(args.path, scan_cols, pruning_pred)
+    else:
+        planned = planned_scan_bytes(
+            args.path, sorted(touched & available) or None, pruning_pred
+        )
     m = ScanMetrics(
         bytes_read=planned,
         seconds=seconds,

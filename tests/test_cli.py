@@ -44,3 +44,29 @@ def test_query_mode_custom_filter_and_aggs():
     )
     r = res["result"][0]
     assert r["count_l_quantity"] > 0 and r["sum_l_quantity"] > 0
+
+
+def test_columns_projection_width():
+    """v1 -cc parity: the scan set is the first N schema columns; planned
+    bytes grow monotonically with N and the full width matches the
+    touched-columns default accounting's table."""
+    res6 = _run("--path", LI, "--workload", "p50", "--cpus", "4",
+                "--columns", "6")
+    res11 = _run("--path", LI, "--workload", "p50", "--cpus", "4",
+                 "--columns", "11")
+    assert res6["result"][0]["count_price"] == res11["result"][0]["count_price"]
+    assert 0 < res6["bytes_read"] < res11["bytes_read"]
+
+
+def test_columns_window_too_narrow_errors():
+    """l_extendedprice is schema index 5 — a 3-column window cannot serve
+    the default query and must fail loudly, not silently widen the scan."""
+    out = subprocess.run(
+        [sys.executable, "-m", "parquet_near_storage_compute_spark.cli",
+         "--path", LI, "--workload", "p50", "--cpus", "4", "--columns", "3"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 2
+    assert "outside --columns window" in out.stderr
