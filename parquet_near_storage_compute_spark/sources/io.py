@@ -52,6 +52,31 @@ def write_parquet_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def read_parquet_f16_widened(spark: SparkSession, path: str) -> DataFrame:
+    """Float16 ingestion shim: Spark 4 rejects FLOAT16 parquet at schema
+    inference ([PARQUET_TYPE_ILLEGAL]), so half-float columns are widened
+    to float32 at the source — the same rule the reference's reader applies
+    (``v1/src/main.rs:1066`` widens f16 to f32 before filtering). The
+    widening is exact (every f16 value is representable in f32).
+
+    Reads through pyarrow and hands Spark an Arrow table, which is fine
+    for fixture-scale side inputs; the 100 TB path would hoist the same
+    cast into a DataSourceV2 reader so the exchange stays distributed —
+    the type rule, which is the thing under test, is identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    for i, field in enumerate(tbl.schema):
+        if pa.types.is_float16(field.type):
+            tbl = tbl.set_column(
+                i,
+                pa.field(field.name, pa.float32(), field.nullable),
+                tbl.column(i).cast(pa.float32()),
+            )
+    return spark.createDataFrame(tbl)
+
+
 def glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 parity: glob table source (`FROM 'dir/*.parquet'`,
     query_selectivity_distribution.sql:10) — count+sum over a glob scan."""

@@ -202,3 +202,92 @@ def test_decimal_sum_exact(spark):
         f"SELECT CAST(SUM(dec) AS VARCHAR) FROM read_parquet('{UD_FIXTURE}')"
     ).fetchone()[0]
     assert got == want
+
+
+# ---- §1.3 remnants: Float16 + INT96 (round 3) -------------------------------
+
+F16_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "types_f16.parquet",
+)
+INT96_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "types_int96.parquet",
+)
+
+
+def test_spark_rejects_raw_f16_so_shim_is_required(spark):
+    """Pin the reason the shim exists: Spark 4's parquet reader refuses
+    FLOAT16 at schema inference."""
+    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL|FLOAT16"):
+        spark.read.parquet(F16_FIXTURE).schema
+
+
+def test_f16_widened_matches_numpy(spark):
+    """The f16→f32 widening (v1/src/main.rs:1066) is exact: the widened
+    column equals the IEEE half-float values numpy decodes, row by row,
+    and filters/aggregates over it behave as float32."""
+    import numpy as np
+
+    from parquet_near_storage_compute_spark.sources.io import (
+        read_parquet_f16_widened,
+    )
+
+    df = read_parquet_f16_widened(spark, F16_FIXTURE)
+    assert dict(df.dtypes)["f16"] == "float"
+    got = {r.id: r.f16 for r in df.select("id", "f16").collect()}
+    expect = np.array(
+        [((i * 37) % 2000 - 1000) / 8.0 for i in range(len(got))],
+        dtype=np.float16,
+    ).astype(np.float32)
+    assert all(got[i] == float(expect[i]) for i in range(len(got)))
+    n_pos = df.filter(F.col("f16") > 0).count()
+    assert n_pos == int((expect > 0).sum())
+
+
+def test_int96_reads_as_timestamp_and_matches_oracle(spark):
+    """INT96 (legacy parquet timestamp, v2/src/main.rs:35-44): Spark reads
+    it natively as a timestamp; min/max/count and an hourly-bucket agg
+    match DuckDB on the same file."""
+    df = spark.read.parquet(INT96_FIXTURE)
+    assert dict(df.dtypes)["ts96"].startswith("timestamp")
+    got = df.agg(
+        F.date_format(F.min("ts96"), "yyyy-MM-dd HH:mm:ss").alias("mn"),
+        F.date_format(F.max("ts96"), "yyyy-MM-dd HH:mm:ss").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mn, mx, n = duckdb.sql(
+        f"""SELECT strftime(min(ts96), '%Y-%m-%d %H:%M:%S'),
+                   strftime(max(ts96), '%Y-%m-%d %H:%M:%S'), count(*)
+            FROM read_parquet('{INT96_FIXTURE}')"""
+    ).fetchone()
+    assert (got.mn, got.mx, got.n) == (mn, mx, n)
+    s_daily = {
+        (r.d, r.n)
+        for r in df.groupBy(F.to_date("ts96").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    d_daily = set(
+        duckdb.sql(
+            f"""SELECT CAST(ts96 AS DATE) AS d, count(*) AS n
+                FROM read_parquet('{INT96_FIXTURE}') GROUP BY 1"""
+        ).fetchall()
+    )
+    assert s_daily == d_daily
+
+
+def test_int96_carries_no_statistics(spark):
+    """Format fact worth pinning: INT96 chunks have no min/max statistics,
+    so row-group pruning over them is impossible by design (the fixture's
+    filter pushdown must rely on other columns)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(INT96_FIXTURE).metadata
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for i in range(grp.num_columns):
+            col = grp.column(i)
+            if col.path_in_schema == "ts96":
+                assert col.physical_type == "INT96"
+                assert col.statistics is None
