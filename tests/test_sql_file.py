@@ -89,3 +89,29 @@ def test_plain_statement_without_copy(spark, sf_dir):
         f"SELECT COUNT(*) AS n FROM '{sf_dir}/orders.parquet'",
     )
     assert df.collect()[0].n > 0
+
+
+GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "golden_selectivity_sf0.01.csv",
+)
+
+
+def test_copy_csv_matches_committed_golden(spark, sf_oracle_dir):
+    """End-to-end artifact pin: the COPY→CSV path at sf0.01 must reproduce
+    the committed golden byte for byte (header, row order, decimal
+    formatting — any drift in the sink or the query shows up here)."""
+    import glob as _glob
+
+    golden_out = os.path.join(OUT, "golden_rerun")
+    os.makedirs(golden_out, exist_ok=True)
+    sql = _FIXTURE.format(li=f"{sf_oracle_dir}/lineitem.parquet")
+    run_sql(spark, sql, base_dir=golden_out, out_dir=golden_out)
+    (part,) = _glob.glob(
+        os.path.join(golden_out, "selectivity_out.csv", "part-*.csv")
+    )
+    with open(part, "rb") as fh:
+        produced = fh.read()
+    with open(GOLDEN, "rb") as fh:
+        golden = fh.read()
+    assert produced == golden
