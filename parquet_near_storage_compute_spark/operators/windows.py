@@ -115,29 +115,26 @@ NTILE_K = 4
 NTILE_SHARDS = 32  # range shards; set ≈ cluster parallelism at 100 TB
 
 
-def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile: quartile assignment of customers by account balance — EXACT
-    semantics, scale-safe plan (round 3; the r2 form was
-    ``ntile(4) OVER (ORDER BY …)``, whose empty partition spec forces every
-    row through one single-partition WindowExec task).
+def global_positions(
+    df: DataFrame, order: list, shards: int = NTILE_SHARDS
+) -> DataFrame:
+    """Exact global row position over a total order WITHOUT a
+    single-partition sort — the distributed zipWithIndex pattern, reusable
+    by any global-order operator.
 
-    Two-phase global ranking, the distributed zipWithIndex pattern:
-    ``repartitionByRange`` splits the total order into NTILE_SHARDS
-    contiguous range shards; a window PARTITIONED BY shard computes local
-    row numbers in parallel; per-shard counts (a tiny NTILE_SHARDS-row
-    frame) turn into cumulative offsets via a window over that tiny frame
-    (the join_window_pct precedent — single-partition is fine over ≤32
-    rows); a broadcast join adds offset + local rank = exact global
-    position. The SQL-standard ntile bucket then falls out arithmetically:
-    the first n mod k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer
-    `div` throughout (exact past 2^53, cf. ADVICE r2 on double division).
-    No full-data single-partition exchange anywhere; both branches reuse
-    the one range exchange (ReusedExchange)."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal"
-    )
-    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
-    sharded = cust.repartitionByRange(NTILE_SHARDS, *order).withColumn(
+    ``repartitionByRange`` splits the total order into contiguous range
+    shards; a window PARTITIONED BY shard computes local row numbers in
+    parallel; per-shard counts (a tiny ≤``shards``-row frame) turn into
+    cumulative offsets via a window over that tiny frame (the
+    join_window_pct precedent — single-partition is fine over ≤32 rows);
+    a broadcast join adds offset + local rank = exact 1-based global
+    position. Both branches reuse the one range exchange
+    (ReusedExchange). ``order`` must be a strict total order (include a
+    unique tiebreak column) for per-row determinism.
+
+    Output: the input columns plus ``p`` (1-based global position) and
+    ``n_total``."""
+    sharded = df.repartitionByRange(shards, *order).withColumn(
         "shard", F.spark_partition_id()
     )
     local_w = Window.partitionBy("shard").orderBy(*order)
@@ -154,21 +151,52 @@ def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cnt").over(prefix_w), F.lit(0)).alias("offset"),
         F.sum("cnt").over(total_w).alias("n_total"),
     )
-    ranked = local.join(F.broadcast(offsets), "shard").select(
-        "c_custkey",
-        "c_acctbal",
-        (F.col("lrn") + F.col("offset")).alias("p"),
-        F.expr(f"n_total DIV {NTILE_K}").alias("q"),
-        (F.col("n_total") % NTILE_K).alias("r"),
+    return (
+        local.join(F.broadcast(offsets), "shard")
+        .withColumn("p", F.col("lrn") + F.col("offset"))
+        .drop("shard", "lrn", "offset")
     )
-    # bucket(p) per SQL ntile: first r buckets hold q+1 rows. q = 0 (n < k)
-    # stays in the first branch, so the ELSE's DIV q never sees zero.
-    quartile = F.expr(
-        "CAST(CASE WHEN p <= r * (q + 1) THEN (p - 1) DIV (q + 1) "
-        "ELSE r + (p - r * (q + 1) - 1) DIV q END + 1 AS INT)"
+
+
+def exact_ntile(
+    df: DataFrame,
+    order: list,
+    k: int,
+    shards: int = NTILE_SHARDS,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """SQL-standard ``ntile(k)`` over a global order — EXACT semantics,
+    scale-safe plan (an ``ntile(k) OVER (ORDER BY …)`` window's empty
+    partition spec forces every row through one single-partition
+    WindowExec task; this builds on ``global_positions`` instead).
+
+    The bucket falls out arithmetically from the global position: the
+    first n mod k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — integer `div`
+    throughout (exact past 2^53, cf. ADVICE r2 on double division).
+    q = 0 (n < k) stays in the first CASE branch, so the ELSE's DIV q
+    never sees zero."""
+    ranked = global_positions(df, order, shards)
+    bucket = F.expr(
+        f"CAST(CASE WHEN p <= (n_total % {k}) * (n_total DIV {k} + 1) "
+        f"THEN (p - 1) DIV (n_total DIV {k} + 1) "
+        f"ELSE (n_total % {k}) + "
+        f"(p - (n_total % {k}) * (n_total DIV {k} + 1) - 1) "
+        f"DIV (n_total DIV {k}) END + 1 AS INT)"
     )
-    return ranked.select(
-        "c_custkey", "c_acctbal", quartile.alias("quartile")
+    return ranked.withColumn(out_col, bucket).drop("p", "n_total")
+
+
+def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile: quartile assignment of customers by account balance — the
+    r2 form was a global-sort window; round 3 runs the exact two-phase
+    plan (``exact_ntile``), bit-identical output, no full-data
+    single-partition exchange anywhere."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    return exact_ntile(cust, order, NTILE_K, out_col="quartile").select(
+        "c_custkey", "c_acctbal", "quartile"
     )
 
 
