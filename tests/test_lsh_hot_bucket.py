@@ -103,3 +103,36 @@ def test_end_to_end_boilerplate_cluster_routes_to_overflow(spark):
 
 def test_overflow_empty_on_fixture_data(spark, sf_dir):
     assert lsh_overflow(spark, sf_dir).count() == 0
+
+
+def test_capped_pairs_match_bruteforce_reference(spark):
+    """Differential for the two-level salted bucket path: on a randomized
+    band stream (fixed seed), pair output must equal a pure-Python
+    reference that enumerates pairs per bucket iff the bucket is within
+    cap — independent of salting, merge order, or partitioning."""
+    import itertools
+    import random
+
+    rng = random.Random(20260813)
+    rows = []
+    for band in range(4):
+        for b in range(12):
+            size = rng.choice([1, 2, 3, 5, LSH_BUCKET_CAP,
+                               LSH_BUCKET_CAP + 1, 150])
+            members = rng.sample(range(100_000), size)
+            rows += [(doc, band, f"h{b}") for doc in members]
+    rng.shuffle(rows)
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bh string")
+
+    expect = set()
+    key = lambda r: (r[1], r[2])
+    for (band, bh), grp in itertools.groupby(sorted(rows, key=key), key=key):
+        docs = sorted(r[0] for r in grp)
+        if 1 < len(docs) <= LSH_BUCKET_CAP:
+            expect.update(itertools.combinations(docs, 2))
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _bucket_pairs(_banded_buckets(bands, ["band", "bh"])).collect()
+    }
+    assert got == expect
