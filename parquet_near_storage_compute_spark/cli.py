@@ -34,6 +34,7 @@ from parquet_near_storage_compute_spark.plans.metrics import (
     footer_bytes,
     planned_scan_bytes,
     run_to_completion,
+    string_stat_prefixes,
 )
 
 
@@ -111,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
                     "footer_bytes": footer_bytes(args.path),
                     "dataset_bytes": total,
                     "selectivity_pct": round(100.0 * planned / total, 4),
+                    # F8: string stats through the 8-byte UTF-8 prefix rule
+                    "string_stat_prefixes": string_stat_prefixes(args.path),
                 }
             )
         )

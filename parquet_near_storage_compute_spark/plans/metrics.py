@@ -51,6 +51,56 @@ def footer_bytes(path: str) -> int:
     return meta_len + 8
 
 
+#: Compact-stats prefix width (F8): the reference's shipped stats keep only
+#: an 8-byte prefix for ByteArray columns (``v2/src/main.rs:338-398``).
+STAT_PREFIX_BYTES = 8
+
+
+def utf8_stat_prefix(raw: bytes, n: int = STAT_PREFIX_BYTES) -> str:
+    """F8 — UTF-8 prefix decode (``v2/src/main.rs:931-936``): take the
+    fixed n-byte stat prefix, strict-decode and trim trailing NUL padding
+    when it is valid UTF-8, otherwise decode lossily (replacement chars) —
+    byte-for-byte the reference's ``bytes_to_string``. A multibyte
+    character straddling the cut therefore surfaces as U+FFFD, exactly as
+    the reference renders it."""
+    prefix = raw[:n]
+    try:
+        return prefix.decode("utf-8").rstrip("\x00")
+    except UnicodeDecodeError:
+        return prefix.decode("utf-8", errors="replace")
+
+
+def string_stat_prefixes(path: str) -> dict[str, dict[str, str]]:
+    """Per string/binary column: file-level min/max rendered through the
+    F8 prefix rule — the human-readable form of the compact stats the
+    reference ships to the compute node. Metadata-only (no data pages)."""
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, dict[str, str]] = {}
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for i in range(grp.num_columns):
+            col = grp.column(i)
+            if col.physical_type != "BYTE_ARRAY" or col.statistics is None:
+                continue
+            st = col.statistics
+            if not st.has_min_max:
+                continue
+            mn, mx = st.min_raw, st.max_raw
+            cur = out.get(col.path_in_schema)
+            if cur is None:
+                out[col.path_in_schema] = {"raw_min": mn, "raw_max": mx}
+            else:
+                cur["raw_min"] = min(cur["raw_min"], mn)
+                cur["raw_max"] = max(cur["raw_max"], mx)
+    return {
+        c: {
+            "min_prefix": utf8_stat_prefix(v["raw_min"]),
+            "max_prefix": utf8_stat_prefix(v["raw_max"]),
+        }
+        for c, v in out.items()
+    }
+
+
 def planned_scan_bytes(
     path: str,
     columns: list[str] | None = None,

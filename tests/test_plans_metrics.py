@@ -141,3 +141,45 @@ def test_broadcast_join_plan(spark):
 
 def test_dataset_size_counts_files():
     assert dataset_size([LI]) > 0
+
+
+def test_utf8_stat_prefix_matches_reference_rule():
+    """F8 (v2/src/main.rs:931-936): strict decode + trailing-NUL trim when
+    the 8-byte prefix is valid UTF-8; lossy replacement otherwise — incl.
+    a multibyte char straddling the cut."""
+    from parquet_near_storage_compute_spark.plans.metrics import (
+        utf8_stat_prefix,
+    )
+
+    assert utf8_stat_prefix(b"abc\x00\x00\x00\x00\x00") == "abc"
+    assert utf8_stat_prefix(b"abcdefghij") == "abcdefgh"  # hard 8-byte cut
+    # 'é' = 2 bytes: "abcdefé" is 8 bytes, decodes cleanly
+    assert utf8_stat_prefix("abcdefé".encode()) == "abcdefé"
+    # 'é' straddling the cut: byte 8 is the first half of the pair
+    assert utf8_stat_prefix("abcdefgé".encode()) == "abcdefg�"
+    # invalid bytes → lossy, like from_utf8_lossy
+    assert utf8_stat_prefix(b"\xff\xfeab") == "��ab"
+    assert utf8_stat_prefix(b"") == ""
+
+
+def test_string_stat_prefixes_on_lineitem(sf_dir):
+    """Metadata-only: the string columns' file-level min/max surface
+    through the prefix rule and agree with a direct pyarrow read."""
+    import pyarrow.parquet as pq
+
+    from parquet_near_storage_compute_spark.plans.metrics import (
+        string_stat_prefixes,
+        utf8_stat_prefix,
+    )
+
+    path = f"{sf_dir}/lineitem.parquet"
+    got = string_stat_prefixes(path)
+    assert "l_returnflag" in got and "l_linestatus" in got
+    tbl = pq.read_table(path, columns=["l_returnflag"])
+    vals = tbl.column(0).to_pylist()
+    assert got["l_returnflag"]["min_prefix"] == utf8_stat_prefix(
+        min(vals).encode()
+    )
+    assert got["l_returnflag"]["max_prefix"] == utf8_stat_prefix(
+        max(vals).encode()
+    )
