@@ -1,0 +1,57 @@
+"""Boundary robustness for the reusable engine primitives: empty inputs
+and degenerate shapes must produce empty/correct results, not crashes —
+the behavior a pipeline hits when a filter stage eliminates everything."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from parquet_near_storage_compute_spark.operators.dedup import (
+    _banded_buckets,
+    _bands,
+    _bucket_pairs,
+    _minhash_signatures,
+)
+from parquet_near_storage_compute_spark.operators.windows import (
+    exact_ntile,
+    global_positions,
+)
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_minhash_pipeline_on_empty_corpus(spark):
+    sig = _minhash_signatures(_empty_docs(spark))
+    pairs = _bucket_pairs(_banded_buckets(_bands(sig), ["band", "bh"]))
+    assert pairs.count() == 0
+
+
+def test_bucket_path_on_empty_bands(spark):
+    bands = spark.createDataFrame([], "doc_id long, band int, bh string")
+    buckets = _banded_buckets(bands, ["band", "bh"])
+    assert buckets.count() == 0
+    assert _bucket_pairs(buckets).count() == 0
+
+
+def test_global_positions_empty_and_single(spark):
+    empty = spark.createDataFrame([], "id long, v long")
+    assert global_positions(empty, [F.col("v"), F.col("id")]).count() == 0
+    one = spark.createDataFrame([(7, 42)], "id long, v long")
+    rows = global_positions(one, [F.col("v"), F.col("id")]).collect()
+    assert [(r.id, r.p, r.n_total) for r in rows] == [(7, 1, 1)]
+
+
+def test_exact_ntile_empty(spark):
+    empty = spark.createDataFrame([], "id long, v long")
+    assert exact_ntile(empty, [F.col("v"), F.col("id")], 4).count() == 0
+
+
+def test_single_doc_corpus_has_no_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "just one document here")], "doc_id long, text string"
+    )
+    sig = _minhash_signatures(docs)
+    pairs = _bucket_pairs(_banded_buckets(_bands(sig), ["band", "bh"]))
+    assert pairs.count() == 0
