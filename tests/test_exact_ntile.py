@@ -55,3 +55,25 @@ def test_exact_ntile_more_shards_than_rows(spark):
     assert {(r.id, r.b) for r in got.collect()} == {
         (r.id, r.b) for r in native.collect()
     }
+
+
+def test_exact_ntile_stable_across_reexecution(spark):
+    """The two branches (local ranks, shard counts) recompute the range
+    exchange independently unless Spark reuses it — determinism rests on
+    RangePartitioner's seeded sampling over deterministic input. Pin it:
+    two executions of the same plan and a rebuilt plan must agree row for
+    row on a frame large enough to span many shards."""
+    df = spark.range(10_000).select(
+        F.col("id"), ((F.col("id") * 2654435761) % 1000).alias("v")
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    plan = exact_ntile(df, order, 7, shards=16).select("id", "bucket")
+    first = {(r.id, r.bucket) for r in plan.collect()}
+    second = {(r.id, r.bucket) for r in plan.collect()}
+    rebuilt = {
+        (r.id, r.bucket)
+        for r in exact_ntile(df, order, 7, shards=16)
+        .select("id", "bucket")
+        .collect()
+    }
+    assert first == second == rebuilt
