@@ -226,6 +226,46 @@ def main() -> None:
         "decode_gbps": round(li_size / 1e9 / decode_sec, 4),
     }
 
+    # Opt-in big-scan rung (SPARK_GRAFT_BIG_SCAN=1): at sf0.1 the 10 MB
+    # table is dominated by the ~0.2 s scheduling floor, so engine "gbps"
+    # measures overhead, not throughput. Replicating lineitem to ~1 GB
+    # amortizes the floor and yields the number comparable to the
+    # reference's single-node scan throughput. Off by default to keep the
+    # per-round driver bench fast.
+    if os.environ.get("SPARK_GRAFT_BIG_SCAN") == "1":
+        big_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_big_scan"
+        )
+        reps = max(1, int(1_000_000_000 / max(li_size, 1)))
+        if not os.path.isdir(big_dir) or not glob.glob(
+            os.path.join(big_dir, "*.parquet")
+        ):
+            base = spark.read.parquet(li_path)
+            big = base
+            for _ in range(reps - 1):
+                big = big.unionAll(base)
+            big.repartition(int(cpus)).write.mode("overwrite").parquet(big_dir)
+        big_size = dataset_size(
+            sorted(glob.glob(os.path.join(big_dir, "*.parquet")))
+        )
+        bdf = spark.read.parquet(big_dir)
+        bdf.write.format("noop").mode("overwrite").save()  # warm
+        big_sec = _best_of(
+            2, lambda: bdf.write.format("noop").mode("overwrite").save()
+        )
+        bagg = bdf.groupBy().agg({"l_extendedprice": "sum"})
+        bagg.write.format("noop").mode("overwrite").save()  # warm
+        bagg_sec = _best_of(
+            2, lambda: bagg.write.format("noop").mode("overwrite").save()
+        )
+        scan["big_scan"] = {
+            "bytes": big_size,
+            "sec": round(big_sec, 4),
+            "gbps": round(big_size / 1e9 / big_sec, 4),
+            "agg_sec": round(bagg_sec, 4),
+            "agg_gbps": round(big_size / 1e9 / bagg_sec, 4),
+        }
+
     print(
         json.dumps(
             {
