@@ -134,6 +134,13 @@ def global_positions(
 
     Output: the input columns plus ``p`` (1-based global position) and
     ``n_total``."""
+    reserved = {"shard", "lrn", "offset", "cnt", "p", "n_total"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_positions: input columns collide with internal names "
+            f"{sorted(clash)}; rename them first"
+        )
     sharded = df.repartitionByRange(shards, *order).withColumn(
         "shard", F.spark_partition_id()
     )

@@ -77,3 +77,9 @@ def test_exact_ntile_stable_across_reexecution(spark):
         .collect()
     }
     assert first == second == rebuilt
+
+
+def test_reserved_column_collision_raises(spark):
+    df = spark.createDataFrame([(1, 2)], "id long, p long")
+    with pytest.raises(ValueError, match="collide with internal names"):
+        exact_ntile(df, [F.col("id")], 2)
