@@ -29,7 +29,16 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 3 tasks; instead each (group, salt) slice computes a local top-3,
     then the global window ranks only groups × salts × 3 rows. The global
     top-3 is always contained in some slice's local top-3, so results are
-    identical — this is the partial-aggregation idea applied to ranking."""
+    identical — this is the partial-aggregation idea applied to ranking.
+
+    Measured alternative, rejected for scale (r3): a groupBy local phase
+    (``collect_list`` → ``array_sort`` → ``slice(…,1,3)``) runs ~35%
+    faster at sf0.1 (0.78s vs 1.21s, identical output) but holds
+    n/(groups·salts) rows as ONE in-memory array per group — unbounded in
+    data size (at 100 TB a (flag, salt) group is billions of rows; object
+    hash agg's sort fallback spills groups, not the inside of a group).
+    The window form's local sort spills externally, so it keeps bounded
+    memory at any scale; the 2-exchange cost is the price of that bound."""
     li = load_table(spark, sf_dir, "lineitem").select(
         # project before the window: the exchange carries 4 columns, not 11
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
