@@ -86,3 +86,37 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     s = {(r.user_id, r.n_attributed, round(r.attributed_value, 6)) for r in out.collect()}
     b = {(r.user_id, r.n_attributed, round(r.attributed_value, 6)) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_file_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Production property the memory-sink contracts don't cover: a
+    checkpointed parquet file sink is exactly-once across restarts — a
+    second AvailableNow run over the SAME source with the SAME checkpoint
+    must be a no-op (no duplicate output rows), because the checkpoint
+    records the processed files."""
+    from parquet_near_storage_compute_spark.streaming.stream_ops import (
+        _events_stream,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        ev = _events_stream(spark, sf_dir).select("event_id", "user_id")
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_source = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_source
+    run_once()  # restart from checkpoint: nothing new to process
+    second = spark.read.parquet(out)
+    assert second.count() == n_source
+    assert second.select("event_id").distinct().count() == n_source
