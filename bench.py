@@ -236,7 +236,8 @@ def main() -> None:
         big_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench_big_scan"
         )
-        reps = max(1, int(1_000_000_000 / max(li_size, 1)))
+        # cap the union width so tiny SFs can't build a pathological plan
+        reps = min(128, max(1, int(1_000_000_000 / max(li_size, 1))))
         if not os.path.isdir(big_dir) or not glob.glob(
             os.path.join(big_dir, "*.parquet")
         ):
