@@ -89,7 +89,24 @@ def main(argv: list[str] | None = None) -> int:
         default="query",
         help="query = v1 (execute + metrics); metadata = v2 (planned bytes only)",
     )
-    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--cpus",
+        "--tasks",
+        "-t",
+        dest="cpus",
+        type=int,
+        default=None,
+        help="parallel task count (v1 -t/--tasks): local[N] + N shuffle "
+        "partitions",
+    )
+    ap.add_argument(
+        "--read-size-mib",
+        "-s",
+        type=int,
+        default=None,
+        help="scan batch budget in MiB (v1 -s/--size, default 4): maps to "
+        "spark.sql.files.maxPartitionBytes, the per-task scan-range size",
+    )
     args = ap.parse_args(argv)
 
     filter_expr = args.filter
@@ -121,9 +138,17 @@ def main(argv: list[str] | None = None) -> int:
 
     from parquet_near_storage_compute_spark.session import get_spark
 
+    conf = {}
+    if args.cpus:
+        conf["spark.sql.shuffle.partitions"] = str(args.cpus)
+    if args.read_size_mib:
+        conf["spark.sql.files.maxPartitionBytes"] = str(
+            args.read_size_mib * 1024 * 1024
+        )
     spark = get_spark(
         app_name="pnsc-cli",
         master=f"local[{args.cpus}]" if args.cpus else None,
+        conf=conf or None,
     )
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(args.path)

@@ -70,3 +70,12 @@ def test_columns_window_too_narrow_errors():
     )
     assert out.returncode == 2
     assert "outside --columns window" in out.stderr
+
+
+def test_tasks_and_read_size_axes():
+    """v1 -t/-s parity: task count and scan batch budget are accepted and
+    the query still answers correctly (the knobs shape the plan, not the
+    result)."""
+    res = _run("--path", LI, "--workload", "p50",
+               "--tasks", "2", "--read-size-mib", "1")
+    assert res["result"][0]["count_price"] > 0
