@@ -183,3 +183,25 @@ def test_string_stat_prefixes_on_lineitem(sf_dir):
     assert got["l_returnflag"]["max_prefix"] == utf8_stat_prefix(
         max(vals).encode()
     )
+
+
+def test_string_stat_prefixes_multibyte_crafted(tmp_path):
+    """Crafted file: min/max land on multibyte strings, so the 8-byte
+    prefix rule must handle a codepoint straddling the cut on real
+    parquet statistics, not just synthetic byte strings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_near_storage_compute_spark.plans.metrics import (
+        string_stat_prefixes,
+    )
+
+    path = str(tmp_path / "mb.parquet")
+    # parquet string stats compare as unsigned BYTES: α = 0xCE B1 sorts
+    # above every ascii char, so max = "ααααα" (10 bytes — the 8-byte cut
+    # lands mid-codepoint → U+FFFD) and min = "mmm"
+    vals = ["α" * 5, "mmm", "zzzzzzzzzz"]
+    pq.write_table(pa.table({"s": pa.array(vals, pa.string())}), path)
+    got = string_stat_prefixes(path)["s"]
+    assert got["min_prefix"] == "mmm"
+    assert got["max_prefix"] == "αααα�"
