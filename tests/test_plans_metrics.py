@@ -198,10 +198,11 @@ def test_string_stat_prefixes_multibyte_crafted(tmp_path):
 
     path = str(tmp_path / "mb.parquet")
     # parquet string stats compare as unsigned BYTES: α = 0xCE B1 sorts
-    # above every ascii char, so max = "ααααα" (10 bytes — the 8-byte cut
-    # lands mid-codepoint → U+FFFD) and min = "mmm"
-    vals = ["α" * 5, "mmm", "zzzzzzzzzz"]
+    # above every ascii char, so "zαααα" (0x7A then 0xCE…) is the max.
+    # Its raw bytes are 1 + 4×2 = 9; the 8-byte cut splits the 4th α →
+    # strict decode fails → lossy replacement, per the reference rule.
+    vals = ["zαααα", "mmm", "zzz"]
     pq.write_table(pa.table({"s": pa.array(vals, pa.string())}), path)
     got = string_stat_prefixes(path)["s"]
     assert got["min_prefix"] == "mmm"
-    assert got["max_prefix"] == "αααα�"
+    assert got["max_prefix"] == "zααα�"
