@@ -162,6 +162,72 @@ def _lsh_candidates(sig: DataFrame) -> DataFrame:
     return _bucket_pairs(_banded_buckets(_bands(sig), ["band", "bh"]))
 
 
+def minhash_dedup_decisions(docs: DataFrame) -> DataFrame:
+    """Candidates → per-document keep/drop decisions, the step a real
+    pipeline runs after LSH: (a) within-cap candidate pairs drop the
+    higher doc_id of each pair (union-by-min is enough for near-dup
+    removal — exact clustering isn't needed to pick survivors); (b)
+    over-cap buckets are treated as duplicate CLUSTERS — every member
+    except the bucket's smallest doc_id drops, with no pairwise work at
+    all. This is where ``lsh_overflow``'s accounting becomes an action:
+    a 1M-doc boilerplate bucket costs one broadcast equi-join, not
+    5·10¹¹ pairs.
+
+    The trimmed bucket arrays cannot enumerate a mega-bucket, so overflow
+    membership comes from joining the bands stream against the over-cap
+    bucket KEYS — broadcast, because pathological buckets are few by
+    nature; the bands side stays narrow. The bands subtree executes twice
+    (buckets + membership); a caller looping over corpora at scale should
+    persist the signature frame first.
+
+    Output: (doc_id, keep, reason) for every input document — reason ∈
+    {'unique', 'pair_survivor', 'near_dup', 'overflow_survivor',
+    'overflow_cluster'}. Not a registered contract; exercised by
+    tests/test_lsh_hot_bucket.py."""
+    sig = _minhash_signatures(docs)
+    bands = _bands(sig)
+    buckets = _banded_buckets(bands, ["band", "bh"])
+    pairs = _bucket_pairs(buckets)
+    pair_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    pair_winners = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .join(pair_losers, "doc_id", "left_anti")
+    )
+    over_keys = buckets.filter(F.col("n_docs") > LSH_BUCKET_CAP).select(
+        "band", "bh", F.element_at("ds", 1).alias("keep_id")
+    )
+    over_members = bands.join(F.broadcast(over_keys), ["band", "bh"])
+    over_losers = (
+        over_members.filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    over_keepers = (
+        over_members.filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    flag = lambda df, c: df.withColumn(c, F.lit(True))
+    out = (
+        docs.select("doc_id")
+        .join(flag(over_losers, "_oc"), "doc_id", "left")
+        .join(flag(pair_losers, "_nd"), "doc_id", "left")
+        .join(flag(over_keepers, "_os"), "doc_id", "left")
+        .join(flag(pair_winners, "_pw"), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        (F.col("_oc").isNull() & F.col("_nd").isNull()).alias("keep"),
+        F.when(F.col("_oc").isNotNull(), F.lit("overflow_cluster"))
+        .when(F.col("_nd").isNotNull(), F.lit("near_dup"))
+        .when(F.col("_os").isNotNull(), F.lit("overflow_survivor"))
+        .when(F.col("_pw").isNotNull(), F.lit("pair_survivor"))
+        .otherwise(F.lit("unique"))
+        .alias("reason"),
+    )
+
+
 def lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overflow accounting for the hot-bucket guard: one row per over-cap
     bucket (band, bh, exact n_docs, smallest member id — the slices keep

@@ -136,3 +136,39 @@ def test_capped_pairs_match_bruteforce_reference(spark):
         for r in _bucket_pairs(_banded_buckets(bands, ["band", "bh"])).collect()
     }
     assert got == expect
+
+
+def test_dedup_decisions_route_boilerplate_to_cluster_dedup(spark):
+    """End-to-end decision table: the 1000-doc boilerplate cluster keeps
+    exactly its smallest doc_id (overflow_survivor) and drops the rest as
+    overflow_cluster with zero pairwise work; the genuine near-dup pair
+    keeps doc_a and drops doc_b; everything else stays unique."""
+    from parquet_near_storage_compute_spark.operators.dedup import (
+        minhash_dedup_decisions,
+    )
+
+    boiler = spark.range(HOT).select(
+        F.col("id").alias("doc_id"),
+        F.lit("terms of service apply to all users of this site").alias("text"),
+    )
+    near = spark.createDataFrame(
+        [
+            (50_000, "alpha beta gamma delta epsilon zeta"),
+            (50_001, "alpha beta gamma delta epsilon eta"),
+            (60_000, "completely unrelated content about astronomy stars"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = boiler.unionAll(near)
+    decisions = {r.doc_id: (r.keep, r.reason)
+                 for r in minhash_dedup_decisions(docs).collect()}
+    assert len(decisions) == HOT + 3
+    assert decisions[0] == (True, "overflow_survivor")
+    assert all(
+        decisions[i] == (False, "overflow_cluster") for i in range(1, HOT)
+    )
+    assert decisions[50_000] == (True, "pair_survivor")
+    assert decisions[50_001] == (False, "near_dup")
+    assert decisions[60_000] == (True, "unique")
+    kept = sum(1 for k, _ in decisions.values() if k)
+    assert kept == 3  # one boilerplate rep + pair winner + unique
