@@ -4,14 +4,20 @@ Five dedup families, all expressed as shuffle-bounded DataFrame plans:
 
 - exact:        hash-groupBy on md5(text) — one shuffle on the 16-byte hash.
 - key-based:    min-per-group dedup on (lang, source).
-- MinHash+LSH:  shingle → k-mins signature → banded bucket join. The only
-                pairwise work happens inside LSH buckets, so candidate
-                generation is O(Σ bucket²) not O(n²) — the standard 100 TB
-                near-dup pattern (the full similarity join never materializes).
+- MinHash+LSH:  shingle → k-mins signature → banded buckets with the
+                hot-bucket guard (r3): pairwise work is O(Σ min(bucket,
+                cap)²), over-cap buckets route to overflow accounting /
+                cluster-level dedup instead of cap² pair explosion — the
+                standard 100 TB near-dup pattern with a hard per-task
+                ceiling (the full similarity join never materializes).
 - n-gram Jaccard: exact verify step on the LSH candidates only.
+- blocked Jaccard: MinHash-LSH candidates INSIDE (lang, source) blocks
+                (r3) — never quadratic in a natural-key block.
 - SimHash:      16-bit fingerprint via per-token bit votes; duplicates =
                 fingerprint collisions (groupBy, no pairwise step at all).
 - embedding:    cosine-threshold pairs, blocked by sign-LSH bucket.
+- decisions:    ``minhash_dedup_decisions`` — candidates + overflow →
+                per-doc keep/drop with reasons (the actionable step).
 
 Cross-engine determinism: every hash is md5-derived (functions/text.py), so
 the DuckDB oracles reproduce signatures bit-for-bit.
