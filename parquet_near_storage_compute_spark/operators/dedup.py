@@ -18,6 +18,9 @@ Five dedup families, all expressed as shuffle-bounded DataFrame plans:
 - embedding:    cosine-threshold pairs, blocked by sign-LSH bucket.
 - decisions:    ``minhash_dedup_decisions`` — candidates + overflow →
                 per-doc keep/drop with reasons (the actionable step).
+- clusters:     ``dedup_connected_components`` — candidate pairs → duplicate
+                clusters via distributed min-label propagation (transitive
+                closure pair-level dedup misses; recursive-CTE oracle).
 
 Cross-engine determinism: every hash is md5-derived (functions/text.py), so
 the DuckDB oracles reproduce signatures bit-for-bit.
@@ -234,6 +237,87 @@ def minhash_dedup_decisions(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Convergence bound for min-label propagation. Label propagation needs
+#: O(component diameter) rounds; near-dup clusters are dense (every member
+#: shares a band bucket with many others), so diameters stay small. 50 is a
+#: safety net, not an expected count — tested graphs converge in ≤ 5.
+CC_MAX_ITERS = 50
+
+
+def propagate_min_labels(edges: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation over an undirected
+    edge list ``(doc_a, doc_b)``: every node ends up labelled with the
+    smallest doc_id in its component.
+
+    Each round is two distributed ops — join labels onto edges, then a
+    min-aggregate per neighbour — and the frame is ``localCheckpoint``ed so
+    lineage stays O(1) per round (the kmeans device, scalar_funcs.py). The
+    convergence check is a count action on a frame of #nodes rows, never
+    data on the driver. At 100 TB the same loop runs with the edge list
+    persisted; for adversarial long-chain graphs the alternating
+    large-star/small-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") converges in O(log² n) rounds — near-dup
+    candidate graphs are dense clusters, where plain propagation already
+    terminates in a handful of rounds.
+
+    Returns (doc_id, cluster_rep) for every node incident to an edge."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("nbr_lbl") < F.col("lbl")).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    else:  # pragma: no cover - CC_MAX_ITERS is far above any real diameter
+        raise RuntimeError(f"label propagation did not converge in {CC_MAX_ITERS}")
+    return labels.select("doc_id", F.col("lbl").alias("cluster_rep"))
+
+
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: the step between candidate pairs and
+    per-doc actions. LSH candidate pairs form an undirected graph; its
+    connected components are the duplicate clusters (A~B and B~C put A,C in
+    one cluster even when LSH never paired them directly — exactly what
+    pair-level dedup misses). Output: one row per clustered document with
+    its component representative (min doc_id) and the component size.
+
+    Cluster sizes come from a groupBy over the #clustered-docs label frame
+    (tiny relative to the corpus) joined back broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _lsh_candidates(_minhash_signatures(docs)).localCheckpoint()
+    comp = propagate_min_labels(edges)
+    sizes = comp.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(F.broadcast(sizes), "cluster_rep").select(
+        "doc_id", "cluster_rep", "cluster_size"
+    ).orderBy("doc_id")
+
+
 def lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overflow accounting for the hot-bucket guard: one row per over-cap
     bucket (band, bh, exact n_docs, smallest member id — the slices keep
@@ -435,6 +519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": ngram_jaccard,
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
+    "dedup_connected_components": connected_components,
     # dedup_embedding (all-pairs baseline) is deliberately NOT registered:
     # its theta join is O(n²) compare volume, a scale-killer as a contract
     # query. It stays as the exactness baseline for the LSH variant in
@@ -592,6 +677,34 @@ ORACLE_SQL: dict[str, str] = {
                CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM fp GROUP BY fingerprint
+    """,
+    # The recursive CTE computes, per node, the set of labels that can
+    # reach it; the component representative is the min. Same fixpoint the
+    # Spark loop converges to — both sides are pure functions of the edge
+    # set, so the hash gate is exact.
+    "dedup_connected_components": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION ALL
+          SELECT doc_b, doc_a FROM cand
+        ),
+        reach AS (
+          SELECT src AS node, src AS lbl FROM edges
+          UNION
+          SELECT e.dst AS node, r.lbl
+          FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_rep
+          FROM reach GROUP BY node
+        )
+        SELECT c.doc_id, c.cluster_rep,
+               CAST(s.n AS BIGINT) AS cluster_size
+        FROM comp c
+        JOIN (SELECT cluster_rep, COUNT(*) AS n FROM comp GROUP BY cluster_rep) s
+          USING (cluster_rep)
+        ORDER BY c.doc_id
     """,
     # dedup_embedding_lsh oracle is assigned at module end (it needs the
     # hyperplane literals from operators.similarity)

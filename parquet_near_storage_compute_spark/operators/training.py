@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_near_storage_compute_spark.functions.text import shingles, words
 from parquet_near_storage_compute_spark.tables import load_table
 
 #: Tokens per packed training sequence (contract-pinned).
@@ -183,11 +184,93 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Context-window chunking: CHUNK_TOKENS-token windows every CHUNK_STRIDE
+#: tokens (overlap = CHUNK_TOKENS - CHUNK_STRIDE). Sized to the fixture's
+#: 10-99-token documents; a real pipeline uses 2048/1920 etc. — the plan
+#: shape is identical.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+#: Decontamination: documents with doc_id % EVAL_MOD == 0 stand in for the
+#: held-out benchmark set; overlap is measured in CONTAM_NGRAM-word grams.
+#: Grams present in more than CONTAM_MAX_DF eval documents are boilerplate
+#: (license headers, navigation chrome) and are excluded — the frequency cap
+#: is also the skew guard: no join key can fan out past MAX_DF on the eval
+#: side, so the gram-join has bounded per-key volume at any corpus size.
+EVAL_MOD = 20
+CONTAM_NGRAM = 5
+CONTAM_MAX_DF = 10
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the context-window prep
+    step between cleaning and packing: each document yields chunks starting
+    every CHUNK_STRIDE tokens, each up to CHUNK_TOKENS long (the final
+    chunk may be shorter). Pure generator expression (sequence → posexplode
+    → slice), embarrassingly parallel, no shuffle at all; the chunk hash is
+    the dedup/lineage key downstream stages join on."""
+    from parquet_near_storage_compute_spark.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = fan_out(docs).select("doc_id", F.split("text", " ").alias("ws"))
+    starts = F.sequence(F.lit(0), F.size("ws") - 1, F.lit(CHUNK_STRIDE))
+    ch = base.select(
+        "doc_id", "ws", F.posexplode(starts).alias("chunk_idx", "start_tok")
+    )
+    chunk = F.slice(F.col("ws"), F.col("start_tok") + 1, F.lit(CHUNK_TOKENS))
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    one rare CONTAM_NGRAM-gram with the eval set. One shingling pass over
+    the corpus splits into train/eval gram streams; the frequency cap
+    (CONTAM_MAX_DF, computed on the eval side only — #eval-grams rows) both
+    removes boilerplate grams and bounds the join's per-key fan-out. The
+    report is per-train-doc: distinct shared grams and distinct eval docs
+    hit — the evidence a pipeline needs to quarantine a document."""
+    from parquet_near_storage_compute_spark.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = fan_out(docs).select(
+        "doc_id",
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+        F.explode(
+            F.array_distinct(shingles(words("text"), CONTAM_NGRAM))
+        ).alias("gm"),
+    )
+    ev = grams.filter("is_eval").select("gm", F.col("doc_id").alias("eval_doc"))
+    rare = (
+        ev.groupBy("gm")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAM_MAX_DF)
+        .select("gm")
+    )
+    tr = grams.filter(~F.col("is_eval")).select("gm", "doc_id")
+    hits = tr.join(ev, "gm").join(rare, "gm")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("gm").alias("n_shared_grams"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_pack_sequences": pack_sequences,
     "train_test_split": train_test_split,
     "train_stratified_sample": stratified_sample,
     "train_profile_columns": profile_columns,
+    "train_chunk_documents": chunk_documents,
+    "train_contamination_check": contamination_check,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -238,6 +321,46 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
                  AS kept_rate
         FROM t GROUP BY lang ORDER BY lang
+    """,
+    "train_chunk_documents": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        c AS (
+          SELECT doc_id, ws,
+                 unnest(range(0, len(ws), {CHUNK_STRIDE})) AS start_tok
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(start_tok // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               CAST(start_tok AS INT) AS start_tok,
+               CAST(len(ws[start_tok + 1 : start_tok + {CHUNK_TOKENS}]) AS INT)
+                 AS chunk_len,
+               md5(array_to_string(
+                 ws[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' '))
+                 AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "train_contamination_check": f"""
+        WITH g AS (
+          SELECT doc_id, doc_id % {EVAL_MOD} = 0 AS is_eval,
+                 unnest(list_distinct(list_transform(
+                   CASE WHEN len(ws) >= {CONTAM_NGRAM}
+                        THEN range(len(ws) - {CONTAM_NGRAM - 1}) ELSE [] END,
+                   i -> array_to_string(
+                          ws[i + 1 : i + {CONTAM_NGRAM}], ' ')))) AS gm
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        ev AS (SELECT gm, doc_id AS eval_doc FROM g WHERE is_eval),
+        rare AS (
+          SELECT gm FROM ev GROUP BY gm HAVING COUNT(*) <= {CONTAM_MAX_DF}
+        ),
+        tr AS (SELECT gm, doc_id FROM g WHERE NOT is_eval)
+        SELECT tr.doc_id,
+               CAST(COUNT(DISTINCT tr.gm) AS BIGINT) AS n_shared_grams,
+               CAST(COUNT(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+        FROM tr JOIN ev USING (gm) JOIN rare USING (gm)
+        GROUP BY tr.doc_id ORDER BY tr.doc_id
     """,
     "train_profile_columns": """
         SELECT * FROM (
