@@ -218,6 +218,36 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed-width histogram over l_extendedprice: 5k-wide bins, final bin
+#: open-ended (prices run 901..105k at every SF — TPC-H's price formula is
+#: scale-invariant, so the bin layout holds at any SF).
+HIST_BIN_WIDTH = 5000.0
+HIST_MAX_BIN = 23
+
+
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram — the distribution profile a pipeline
+    materializes per numeric column (the binned counterpart of
+    profile_columns' min/max). Bucket assignment is a narrow map; one
+    partial+final aggregate on ≤ 24 keys — at 100 TB the shuffle carries
+    #bins × #tasks rows, nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / HIST_BIN_WIDTH),
+        F.lit(HIST_MAX_BIN).cast("long"),
+    ).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing_summary": pricing_summary,
     "agg_over_expression": agg_over_expression,
@@ -231,9 +261,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_stats": stats_agg,
     "agg_percentile": percentile_agg,
     "agg_approx_distinct": approx_distinct,
+    "agg_histogram": histogram,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "agg_histogram": f"""
+        SELECT CAST(LEAST(FLOOR(l_extendedprice / {HIST_BIN_WIDTH}),
+                          {HIST_MAX_BIN}) AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price,
+               CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+        FROM lineitem GROUP BY 1 ORDER BY bucket
+    """,
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,

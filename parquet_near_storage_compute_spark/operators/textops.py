@@ -18,6 +18,7 @@ from parquet_near_storage_compute_spark.functions.text import (
     STOPWORDS_EN,
     char_ngrams,
     count_in,
+    shingles,
     words,
 )
 from parquet_near_storage_compute_spark.tables import fan_out, load_table
@@ -128,12 +129,37 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+#: Corpus n-gram statistics: raw term frequency of word trigrams, top 20.
+NGRAM_STATS_N = 3
+NGRAM_STATS_K = 20
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k n-gram frequencies — the vocabulary/boilerplate
+    report (repeated trigrams expose templates and n-gram LM stats). Shape:
+    explode → partial+final count aggregate → TakeOrderedAndProject; the
+    total order (count desc, gram asc) makes the top-k deterministic under
+    ties. At 100 TB the count aggregate map-side-combines per task and the
+    top-k never materializes more than k rows per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = fan_out(docs).select(
+        F.explode(shingles(words("text"), NGRAM_STATS_N)).alias("gm")
+    )
+    return (
+        g.groupBy("gm")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gm"))
+        .limit(NGRAM_STATS_K)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_scores": quality_scores,
     "text_quality_filter": quality_filter,
     "text_language_id": language_id,
     "text_token_counts": token_counts,
     "text_fingerprint": fingerprint,
+    "text_ngram_topk": ngram_topk,
 }
 
 _MARKER_SQL = {
@@ -204,5 +230,17 @@ ORACLE_SQL: dict[str, str] = {
                    i -> md5(substr(text, i + 1, {FP_NGRAM}))))[1:{FP_KEEP}], '')
                  AS fingerprint
         FROM documents
+    """,
+    "text_ngram_topk": f"""
+        WITH g AS (
+          SELECT unnest(list_transform(
+            CASE WHEN len(ws) >= {NGRAM_STATS_N}
+                 THEN range(len(ws) - {NGRAM_STATS_N - 1}) ELSE [] END,
+            i -> array_to_string(ws[i + 1 : i + {NGRAM_STATS_N}], ' '))) AS gm
+          FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        )
+        SELECT gm, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY gm
+        ORDER BY n DESC, gm ASC LIMIT {NGRAM_STATS_K}
     """,
 }

@@ -89,13 +89,71 @@ def glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"source_glob_scan": glob_scan}
+#: Deterministic location for the hive-partitioned events copy; keyed by
+#: sf_dir so different scale factors never collide. Written once per
+#: process lifetime of the directory (the _SUCCESS marker gates rewrite).
+_PARTITIONED_DIR_PREFIX = "/tmp/pnsc_partitioned_events"
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{_PARTITIONED_DIR_PREFIX}_{key}"
+
+
+def partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition-pruned read: events are laid out
+    as ``event_type=<v>/`` directories, then a filter on the partition
+    column prunes at PLANNING time — directories outside the filter are
+    never listed into the scan (the directory-level analogue of the
+    reference's row-group pruning; ``PartitionFilters`` in the plan,
+    asserted by tests/test_partitioned_source.py). At 100 TB this is the
+    dominant pruning axis: a date/type-partitioned table turns a full scan
+    into a handful of directories before any footer is read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    path = partitioned_events_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        write_parquet_partitioned(events, path, ["event_type"])
+    df = read_parquet(spark, path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "source_glob_scan": glob_scan,
+    "source_partitioned_scan": partitioned_scan,
+}
 
 ORACLE_SQL = {
     "source_glob_scan": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price
         FROM lineitem
+    """,
+    "source_partitioned_scan": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(value) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type ORDER BY event_type
     """,
 }
 

@@ -27,6 +27,9 @@ NEW_IN_R3 = {
     "dedup_connected_components",
     "train_chunk_documents",
     "train_contamination_check",
+    "text_ngram_topk",
+    "agg_histogram",
+    "source_partitioned_scan",
 }
 
 
