@@ -283,6 +283,50 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction: top-k neighbours for EVERY vector among its
+    sign-LSH bucket-mates — the self-join form of ANN (the `sim_topk_*`
+    family ranks against a small query set; this builds the full graph
+    that embedding clustering / near-dup detection consumes).
+
+    Shape: one narrow map assigns buckets, one shuffle co-locates each
+    bucket, the per-vector heap is a window partitioned by src_id (millions
+    of keys — parallel). Candidate volume is O(Σ bucket²); at 100 TB raise
+    N_PLANES so buckets stay small and watch `sim_lsh_bucket_histogram` —
+    a skewed histogram here means a skewed kNN join. Recall trades exactly
+    as in `sim_topk_lsh` (neighbours across a hyperplane are missed)."""
+    v = _vectors(spark, sf_dir).withColumn(
+        "bucket", lsh_bucket(F.col("v"), _PLANES)
+    )
+    a = v.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("sn"),
+        F.col("bucket").alias("sb"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+        F.col("bucket").alias("nb"),
+    )
+    scored = a.join(
+        b, (F.col("sb") == F.col("nb")) & (F.col("src_id") != F.col("nbr_id"))
+    ).select(
+        "src_id",
+        "nbr_id",
+        (dot(F.col("sv"), F.col("nv")) / (F.col("sn") * F.col("nn"))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("src_id", "nbr_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
     "sim_topk_numpy": topk_numpy,
@@ -290,6 +334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": topk_ivf,
     "sim_lsh_bucket_histogram": bucket_histogram,
     "sim_label_centroid": label_centroid_cosine,
+    "sim_knn_join": knn_join,
 }
 
 _COS = (
@@ -306,6 +351,21 @@ def _bucket_expr(vec_sql: str) -> str:
     )
 
 ORACLE_SQL: dict[str, str] = {
+    "sim_knn_join": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {_bucket_expr("embedding::DOUBLE[]")} AS bucket
+          FROM embeddings
+        )
+        SELECT src_id, nbr_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                 {_COS} AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {_COS} DESC, b.vec_id) AS rk
+          FROM v a JOIN v b
+            ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        ) WHERE rk <= {TOP_K}
+    """,
     "sim_topk_bruteforce": f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk FROM (

@@ -30,6 +30,7 @@ NEW_IN_R3 = {
     "text_ngram_topk",
     "agg_histogram",
     "source_partitioned_scan",
+    "sim_knn_join",
 }
 
 
