@@ -127,6 +127,42 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar gap filling: hourly (hour, event_type) counts with
+    missing slots emitted as zeros — what downstream charting/anomaly
+    jobs need (a silent hour IS the signal, and a sparse group-by can't
+    show it).
+
+    Scale shape: the fact side collapses to an (hours × types) aggregate
+    BEFORE any join, so every join here is dimension-sized — the calendar
+    is built by exploding a sequence off the 1-row min/max frame and
+    cross-joining the distinct-types frame (a deliberate tiny-side
+    nested-loop join, whitelisted in test_plan_quality), then the counts
+    left-join onto it. Nothing row-level ever re-shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = span.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cal = hours.crossJoin(ev.select("event_type").distinct())
+    return (
+        cal.join(counts, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", _FMT).alias("hour_start"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("n").isNull().alias("was_gap"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_tumbling_hourly": tumbling_hourly,
     "time_sliding_window": sliding_window,
@@ -134,9 +170,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_session_window_native": session_window_native,
     "time_json_extract": json_extract,
     "time_datetime_parts": datetime_parts,
+    "time_gap_fill": gap_fill_hourly,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "time_gap_fill": """
+        WITH counts AS (
+          SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        span AS (
+          SELECT date_trunc('hour', MIN(ts)) AS h0,
+                 date_trunc('hour', MAX(ts)) AS h1
+          FROM events
+        ),
+        hours AS (
+          SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span
+        ),
+        cal AS (
+          SELECT h, event_type
+          FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT strftime(cal.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               cal.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+               c.n IS NULL AS was_gap
+        FROM cal LEFT JOIN counts c
+          ON cal.h = c.h AND cal.event_type = c.event_type
+        ORDER BY hour_start, cal.event_type
+    """,
     "time_tumbling_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                event_type,

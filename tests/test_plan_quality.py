@@ -23,6 +23,9 @@ BNLJ_WHITELIST = {
     "iter_kmeans_lite",
     # theta join has no equi key by definition; the small side broadcasts
     "join_theta",
+    # dense-calendar construction: exploded hour sequence × distinct types,
+    # both dimension-sized (the fact side is pre-aggregated before joining)
+    "time_gap_fill",
 }
 
 _QUERIES = all_queries()

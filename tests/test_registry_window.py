@@ -31,6 +31,7 @@ NEW_IN_R3 = {
     "agg_histogram",
     "source_partitioned_scan",
     "sim_knn_join",
+    "time_gap_fill",
 }
 
 
