@@ -153,6 +153,45 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Repetition-filter thresholds (Gopher-style: Rae et al. 2021 filter
+#: documents by duplicate-content fractions). Chosen to split the fixture
+#: population; a production pipeline tunes them per corpus.
+REP_DUP_FRAC = 0.6
+REP_TOP_FRAC = 0.2
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: the duplicate-word
+    fraction (1 − distinct/total) and the most-frequent-word fraction —
+    the standard gibberish/boilerplate signals a pre-training quality
+    gate thresholds on.
+
+    Both metrics are per-row array expressions (no explode, no shuffle):
+    the top-word count is max over distinct words of an in-array count,
+    O(distinct × words) per document, entirely inside whole-stage codegen.
+    At 100 TB this is a narrow map over the scan — the same
+    embarrassingly-parallel shape as quality_scores."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ws = words("text")
+    dws = F.array_distinct(ws)
+    n_words = F.size(ws)
+    top = F.array_max(
+        F.transform(dws, lambda w: F.size(F.filter(ws, lambda x: x == w)))
+    )
+    dup_frac = F.lit(1.0) - F.size(dws).cast("double") / n_words
+    top_frac = top.cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.size(dws).cast("long").alias("n_distinct"),
+        dup_frac.alias("dup_frac"),
+        top_frac.alias("top_frac"),
+        (
+            (dup_frac > F.lit(REP_DUP_FRAC)) | (top_frac > F.lit(REP_TOP_FRAC))
+        ).alias("flagged"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_scores": quality_scores,
     "text_quality_filter": quality_filter,
@@ -160,6 +199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": token_counts,
     "text_fingerprint": fingerprint,
     "text_ngram_topk": ngram_topk,
+    "text_repetition_filter": repetition_filter,
 }
 
 _MARKER_SQL = {
@@ -230,6 +270,24 @@ ORACLE_SQL: dict[str, str] = {
                    i -> md5(substr(text, i + 1, {FP_NGRAM}))))[1:{FP_KEEP}], '')
                  AS fingerprint
         FROM documents
+    """,
+    "text_repetition_filter": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+                 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                   AS dup_frac,
+                 CAST(list_max(list_transform(list_distinct(ws),
+                      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+                   / len(ws) AS top_frac
+          FROM t
+        )
+        SELECT doc_id, n_words, n_distinct, dup_frac, top_frac,
+               (dup_frac > {REP_DUP_FRAC} OR top_frac > {REP_TOP_FRAC})
+                 AS flagged
+        FROM m
     """,
     "text_ngram_topk": f"""
         WITH g AS (

@@ -163,6 +163,60 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Funnel stage order (event sequence a conversion must follow).
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose first view precedes their
+    first click precedes their first purchase. The classic product-analytics
+    query — and a stage-ordering pattern SQL engines usually need window
+    functions or self-joins for.
+
+    Shape: one conditional min-aggregate per stage keyed on user_id (a
+    single shuffle, map-side combined), then a 1-row stage summary unpivoted
+    via struct-explode (same device as train_profile_columns). No self-join,
+    no window over the fact table — at 100 TB the per-user frame is the only
+    exchange and it's the minimal one."""
+    ev = load_table(spark, sf_dir, "events")
+    first = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+        for s in FUNNEL_STAGES
+    ]
+    per_user = ev.groupBy("user_id").agg(*first)
+    s1, s2, s3 = (F.col(f"t_{s}") for s in FUNNEL_STAGES)
+    reached = [
+        s1.isNotNull(),
+        s1.isNotNull() & (s2 > s1),
+        s1.isNotNull() & (s2 > s1) & (s3 > s2),
+    ]
+    one = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.sum(r.cast("long")).alias(f"n_{i+1}")
+            for i, r in enumerate(reached)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(s).alias("stage_name"),
+                F.col(f"n_{i+1}").alias("n_users"),
+                (F.col(f"n_{i+1}").cast("double") / F.col("n_users")).alias(
+                    "frac_of_users"
+                ),
+            )
+            for i, s in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.stage", "r.stage_name", "r.n_users", "r.frac_of_users")
+        .orderBy("stage")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_tumbling_hourly": tumbling_hourly,
     "time_sliding_window": sliding_window,
@@ -171,9 +225,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_json_extract": json_extract,
     "time_datetime_parts": datetime_parts,
     "time_gap_fill": gap_fill_hourly,
+    "events_funnel": events_funnel,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "events_funnel": """
+        WITH per_user AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id
+        ),
+        one AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(CASE WHEN t_view IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+                 CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+                 CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                               AND t_purchase > t_click
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_3
+          FROM per_user
+        )
+        SELECT CAST(s.stage AS INT) AS stage, s.stage_name,
+               CASE s.stage WHEN 1 THEN n_1 WHEN 2 THEN n_2 ELSE n_3 END
+                 AS n_users,
+               CAST(CASE s.stage WHEN 1 THEN n_1 WHEN 2 THEN n_2 ELSE n_3 END
+                    AS DOUBLE) / one.n_users AS frac_of_users
+        FROM one, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+             AS s(stage, stage_name)
+        ORDER BY stage
+    """,
     "time_gap_fill": """
         WITH counts AS (
           SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n

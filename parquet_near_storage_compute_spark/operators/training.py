@@ -264,6 +264,70 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Mixture sampling: overall token budget as a fraction of the corpus, and
+#: the temperature exponent (0.5 = sqrt flattening). Weights are
+#: floor(sqrt(n)) — INTEGER — so the normalization sum is exact and the
+#: keep-threshold is bit-identical across engines (a double Σ√n would be
+#: summation-order-dependent and could flip a floor() by one ulp).
+MIX_BUDGET_FRAC = 0.5
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing: downsample each source to a rate
+    ∝ n^-0.5 so small sources are over-represented relative to their raw
+    share (the standard multi-source rebalancing step before training).
+
+    rate_s = min(1, budget·Σn·w_s / (Σw·n_s)) with w_s = ⌊√n_s⌋; a document
+    is kept when its 32-bit md5 draw falls under ⌊rate·2³²⌋. The per-source
+    stats frame is tiny (#sources rows), so the normalization constant is a
+    broadcast — the corpus itself sees one narrow map + one groupBy. Fully
+    deterministic: draws are md5-keyed, weights integer, the rate a single
+    IEEE division of exactly-representable integers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.floor(F.sqrt("n_docs")).cast("long")
+    counts = counts.withColumn("w", w)
+    totals = counts.agg(
+        F.sum("n_docs").alias("sum_n"), F.sum("w").alias("sum_w")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        ((F.lit(MIX_BUDGET_FRAC) * F.col("sum_n")) * F.col("w"))
+        / (F.col("sum_w") * F.col("n_docs")),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("target_rate", rate)
+        .withColumn(
+            "threshold",
+            F.floor(F.col("target_rate") * F.lit(4294967296.0)).cast("long"),
+        )
+        .select("source", "target_rate", "threshold")
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("m:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = docs.join(F.broadcast(rates), "source").select(
+        "source", "target_rate", (draw < F.col("threshold")).alias("kept")
+    )
+    return (
+        kept.groupBy("source", "target_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            (
+                F.sum(F.col("kept").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("realized_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_pack_sequences": pack_sequences,
     "train_test_split": train_test_split,
@@ -271,6 +335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_profile_columns": profile_columns,
     "train_chunk_documents": chunk_documents,
     "train_contamination_check": contamination_check,
+    "train_mixture_sample": mixture_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -361,6 +426,39 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
         FROM tr JOIN ev USING (gm) JOIN rare USING (gm)
         GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """,
+    "train_mixture_sample": f"""
+        WITH counts AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(FLOOR(SQRT(CAST(COUNT(*) AS BIGINT))) AS BIGINT) AS w
+          FROM documents GROUP BY source
+        ),
+        totals AS (
+          SELECT CAST(SUM(n_docs) AS BIGINT) AS sum_n,
+                 CAST(SUM(w) AS BIGINT) AS sum_w
+          FROM counts
+        ),
+        rates AS (
+          SELECT source,
+                 LEAST(CAST(1.0 AS DOUBLE),
+                       ((CAST({MIX_BUDGET_FRAC} AS DOUBLE) * sum_n) * w)
+                         / (sum_w * n_docs)) AS target_rate
+          FROM counts, totals
+        ),
+        marked AS (
+          SELECT d.source, r.target_rate,
+                 CAST(CAST('0x' || substr(
+                     md5('m:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   AS UBIGINT) AS BIGINT)
+                 < CAST(FLOOR(r.target_rate * 4294967296.0) AS BIGINT) AS kept
+          FROM documents d JOIN rates r USING (source)
+        )
+        SELECT source, target_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 AS realized_rate
+        FROM marked GROUP BY source, target_rate ORDER BY source
     """,
     "train_profile_columns": """
         SELECT * FROM (

@@ -8,8 +8,10 @@ query, which makes results deterministic and therefore DuckDB-oracle
 comparable. At scale the identical query runs against a live source
 (Kafka/files) with watermarked state eviction.
 
-The events table stores TIMESTAMP(NANOS) → the stream reads the raw long
-(nanosAsLong) and rebuilds a microsecond timestamp, same as tables.py.
+When the events table stores TIMESTAMP(NANOS), the stream reads the raw
+long (nanosAsLong) and rebuilds a microsecond timestamp, same as tables.py;
+when it stores microsecond timestamps the scan is used as-is. The guard is
+on the inferred dtype, so both generations of the driver testdata work.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from parquet_near_storage_compute_spark.tables import table_path
@@ -44,7 +47,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(
         f"{sf_dir.rstrip('/')}/events*.parquet"
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # same dtype guard as tables.load_table: only a TIMESTAMP(NANOS) file
+    # (read as long via nanosAsLong) needs the ns→µs rebuild
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (with-tz); session tz is pinned UTC,
+        # so this cast relabels without shifting the wall-clock value
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:

@@ -26,6 +26,9 @@ BNLJ_WHITELIST = {
     # dense-calendar construction: exploded hour sequence × distinct types,
     # both dimension-sized (the fact side is pre-aggregated before joining)
     "time_gap_fill",
+    # normalization constant: ≤#sources-row counts frame × 1-row totals
+    # frame (the corpus itself only sees a broadcast hash join on source)
+    "train_mixture_sample",
 }
 
 _QUERIES = all_queries()

@@ -32,6 +32,9 @@ NEW_IN_R3 = {
     "source_partitioned_scan",
     "sim_knn_join",
     "time_gap_fill",
+    "text_repetition_filter",
+    "train_mixture_sample",
+    "events_funnel",
 }
 
 
