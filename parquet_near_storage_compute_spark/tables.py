@@ -40,7 +40,8 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 #: Runtime-settable SQL confs the engine's semantics depend on. The caller
 #: may hand us ANY SparkSession (the verification driver builds its own), so
 #: these are pinned at the table-load chokepoint, not only in get_spark():
-#: - nanosAsLong: events.parquet is TIMESTAMP(NANOS) — unreadable otherwise;
+#: - nanosAsLong: a TIMESTAMP(NANOS) events.parquet (earlier testdata
+#:   generations) is unreadable otherwise; a no-op on micros files;
 #: - ansi off: v1 semantics (wrap arithmetic, NULL div-by-zero; SURVEY §7.3);
 #: - UTC: formatted-time outputs must match the tz-naive DuckDB oracle.
 _REQUIRED_CONFS = {
