@@ -328,6 +328,37 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Curriculum phases (easy→hard stages a scheduler feeds in order).
+CURRICULUM_PHASES = 4
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: an exact global easy→hard ordering of the
+    corpus by difficulty (token count, doc_id tiebreak) plus a phase id —
+    the deterministic feed order a curriculum-learning data loader
+    consumes.
+
+    Reuses ``windows.global_positions`` (range-shard two-phase ranking),
+    so the total order costs one range exchange + a broadcast of per-shard
+    counts — never a single-partition global sort. The phase is equal-range
+    arithmetic on the position (integer `div`; exact past 2^53)."""
+    from parquet_near_storage_compute_spark.operators.windows import (
+        global_positions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _ws_tokens().alias("tokens")
+    )
+    ranked = global_positions(docs, [F.col("tokens"), F.col("doc_id")])
+    return ranked.select(
+        "doc_id",
+        "tokens",
+        F.col("p").alias("position"),
+        F.expr(f"CAST((p - 1) * {CURRICULUM_PHASES} DIV n_total + 1 AS INT)")
+        .alias("phase"),
+    ).orderBy("position")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_pack_sequences": pack_sequences,
     "train_test_split": train_test_split,
@@ -336,6 +367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_chunk_documents": chunk_documents,
     "train_contamination_check": contamination_check,
     "train_mixture_sample": mixture_sample,
+    "train_curriculum_order": curriculum_order,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -459,6 +491,24 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
                  AS realized_rate
         FROM marked GROUP BY source, target_rate ORDER BY source
+    """,
+    "train_curriculum_order": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, tokens,
+                 CAST(ROW_NUMBER() OVER (ORDER BY tokens, doc_id) AS BIGINT)
+                   AS position,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+          FROM t
+        )
+        SELECT doc_id, tokens, position,
+               CAST((position - 1) * {CURRICULUM_PHASES} // n_total + 1
+                    AS INT) AS phase
+        FROM r ORDER BY position
     """,
     "train_profile_columns": """
         SELECT * FROM (

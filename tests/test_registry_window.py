@@ -35,6 +35,7 @@ NEW_IN_R3 = {
     "text_repetition_filter",
     "train_mixture_sample",
     "events_funnel",
+    "train_curriculum_order",
 }
 
 
