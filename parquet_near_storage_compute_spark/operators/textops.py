@@ -192,6 +192,43 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-characteristic term per document by TF-IDF — the classic
+    keyword/topic signal (and the shape of any term-weighting pipeline:
+    explode → per-doc counts → corpus document frequencies → join back).
+
+    Scale shape: two hash aggregates (doc,term) and (term), one equi-join
+    on term (both sides shuffle; per-key volume on the tf side is bounded
+    by document frequency, i.e. the corpus itself — stopwords are the
+    hot keys, a production run drops df/N > 0.5 terms first), then a
+    per-doc window. The top-term RANKING is integer-only (tf desc, df asc,
+    term asc) so cross-engine float divergence in ln() can never flip a
+    winner; the tfidf double is output-only.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("tf"), F.asc("df"), F.asc("term")
+        )
+    )
+    return (
+        scored.withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_scores": quality_scores,
     "text_quality_filter": quality_filter,
@@ -200,6 +237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": fingerprint,
     "text_ngram_topk": ngram_topk,
     "text_repetition_filter": repetition_filter,
+    "text_tfidf_topk": tfidf_topk,
 }
 
 _MARKER_SQL = {
@@ -288,6 +326,28 @@ ORACLE_SQL: dict[str, str] = {
                (dup_frac > {REP_DUP_FRAC} OR top_frac > {REP_TOP_FRAC})
                  AS flagged
         FROM m
+    """,
+    "text_tfidf_topk": """
+        WITH pairs AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM pairs GROUP BY doc_id, term
+        ),
+        dfreq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rk
+          FROM tf t JOIN dfreq d USING (term), n
+        )
+        SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rk = 1
     """,
     "text_ngram_topk": f"""
         WITH g AS (

@@ -29,6 +29,9 @@ BNLJ_WHITELIST = {
     # normalization constant: ≤#sources-row counts frame × 1-row totals
     # frame (the corpus itself only sees a broadcast hash join on source)
     "train_mixture_sample",
+    # corpus-size constant: 1-row n_docs frame broadcast onto the scored
+    # term frame
+    "text_tfidf_topk",
 }
 
 _QUERIES = all_queries()

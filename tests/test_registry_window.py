@@ -36,6 +36,7 @@ NEW_IN_R3 = {
     "train_mixture_sample",
     "events_funnel",
     "train_curriculum_order",
+    "text_tfidf_topk",
 }
 
 
