@@ -136,9 +136,33 @@ def partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Committed CSV artifact (the S9 sink's own output, pinned by
+#: tests/test_sql_file.py) — doubles as the CSV *source* fixture.
+import os as _os
+
+GOLDEN_CSV = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "golden_selectivity_sf0.01.csv",
+)
+
+
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source — the inverse of the reference's S9 CSV sink: the engine
+    reads the committed snowset golden artifact back with an explicit
+    schema (header row, typed columns) and returns it as a typed frame.
+    Ignores ``sf_dir``: the artifact is a pinned fixture, same device as
+    ``types_unsigned_decimal``. At scale the CSV source splits by byte
+    ranges exactly like parquet (minus footer pruning — documented as the
+    reason parquet is the primary format)."""
+    df = read_csv(spark, GOLDEN_CSV, schema="bucket BIGINT, n BIGINT, pct DOUBLE")
+    return df.orderBy("bucket")
+
+
 QUERIES = {
     "source_glob_scan": glob_scan,
     "source_partitioned_scan": partitioned_scan,
+    "source_csv_scan": csv_scan,
 }
 
 ORACLE_SQL = {
@@ -154,6 +178,13 @@ ORACLE_SQL = {
         FROM events
         WHERE event_type IN ('click', 'purchase')
         GROUP BY event_type ORDER BY event_type
+    """,
+    "source_csv_scan": f"""
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(n AS BIGINT) AS n,
+               CAST(pct AS DOUBLE) AS pct
+        FROM read_csv('{GOLDEN_CSV}', header=true)
+        ORDER BY bucket
     """,
 }
 

@@ -37,6 +37,7 @@ NEW_IN_R3 = {
     "events_funnel",
     "train_curriculum_order",
     "text_tfidf_topk",
+    "source_csv_scan",
 }
 
 
