@@ -104,6 +104,26 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregation (2h window every 1h,
+    watermarked) — the Structured Streaming twin of time_sliding_window:
+    each event contributes to two overlapping windows, the state store
+    keys on (window, nothing else) and the watermark bounds retained
+    windows to ~2 slide intervals behind the max event time."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format("w.start", _FMT).alias("win_start"),
+        F.date_format("w.end", _FMT).alias("win_end"),
+        "n_events",
+    )
+
+
 def _user_stats_fn(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
@@ -212,6 +232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stateful_user_stats": stateful_user_stats,
     "stream_dedup_exact": stream_dedup,
     "stream_stream_join": stream_stream_join,
+    "stream_sliding_counts": sliding_counts,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -221,6 +242,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(value) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "stream_sliding_counts": """
+        -- same expansion as the batch time_sliding_window oracle: each
+        -- event belongs to [trunc(ts)-1h, +2h) and [trunc(ts), +2h)
+        WITH expanded AS (
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) AS win_start FROM events
+        )
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+               strftime(win_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM expanded GROUP BY 1, 2
     """,
     "stream_stateful_user_stats": """
         SELECT user_id,

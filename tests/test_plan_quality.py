@@ -38,7 +38,11 @@ _QUERIES = all_queries()
 
 #: Streaming queries execute on build (memory sink), so exclude them from
 #: the plan-text audit — their batch twins are covered.
-_SKIP = {"stream_windowed_counts", "stream_stateful_user_stats"}
+_SKIP = {
+    "stream_windowed_counts",
+    "stream_stateful_user_stats",
+    "stream_sliding_counts",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - _SKIP))

@@ -38,6 +38,7 @@ NEW_IN_R3 = {
     "train_curriculum_order",
     "text_tfidf_topk",
     "source_csv_scan",
+    "stream_sliding_counts",
 }
 
 
