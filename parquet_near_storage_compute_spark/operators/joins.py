@@ -201,6 +201,59 @@ def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Full-outer demo needs both unmatched sides non-empty: the customer side
+#: is filtered to high-balance accounts so some orders lose their customer
+#: row and some filtered customers have no orders.
+OUTER_ACCTBAL_MIN = 5000.0
+
+
+def full_outer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join + null-side accounting — the outer-join member of
+    the join family (the reference has only inner joins, §2.3): per-custkey
+    order rollups joined full-outer against high-balance customers, then
+    collapsed to match/customer-only/orders-only categories.
+
+    Scale shape: the fact side pre-aggregates per key BEFORE the join (the
+    same fact-collapse-first rule as snowset/gap_fill), so the outer join
+    runs key-vs-key (sort-merge on custkey), never row-level fact data."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > OUTER_ACCTBAL_MIN
+    ).select("c_custkey")
+    oagg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+        )
+    )
+    full = cust.join(
+        oagg, cust["c_custkey"] == oagg["o_custkey"], "full_outer"
+    )
+    side = (
+        F.when(
+            F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(),
+            "matched",
+        )
+        .when(F.col("c_custkey").isNotNull(), "customer_only")
+        .otherwise("orders_only")
+    )
+    return (
+        full.select(
+            side.alias("side"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+        )
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_spend").alias("total_spend"),
+        )
+        .orderBy("side")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_theta": theta_join,
     "join_self": self_join,
@@ -212,6 +265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_window_pct": window_pct,
     "join_asof": asof_join,
     "join_range": range_join,
+    "join_outer_full": full_outer_rollup,
 }
 
 _PCT_ORACLE = """
@@ -223,6 +277,31 @@ _PCT_ORACLE = """
 """
 
 ORACLE_SQL: dict[str, str] = {
+    "join_outer_full": f"""
+        WITH cust AS (
+          SELECT c_custkey FROM customer WHERE c_acctbal > {OUTER_ACCTBAL_MIN}
+        ),
+        oagg AS (
+          SELECT o_custkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(o_totalprice) AS DOUBLE) AS total_spend
+          FROM orders GROUP BY o_custkey
+        ),
+        full_j AS (
+          SELECT CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                      THEN 'matched'
+                      WHEN c.c_custkey IS NOT NULL THEN 'customer_only'
+                      ELSE 'orders_only' END AS side,
+                 COALESCE(o.n_orders, 0) AS n_orders,
+                 COALESCE(o.total_spend, 0.0) AS total_spend
+          FROM cust c FULL OUTER JOIN oagg o ON c.c_custkey = o.o_custkey
+        )
+        SELECT side,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+               CAST(SUM(total_spend) AS DOUBLE) AS total_spend
+        FROM full_j GROUP BY side ORDER BY side
+    """,
     "join_theta": """
         SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
         FROM customer c JOIN supplier s

@@ -39,6 +39,7 @@ NEW_IN_R3 = {
     "text_tfidf_topk",
     "source_csv_scan",
     "stream_sliding_counts",
+    "join_outer_full",
 }
 
 
