@@ -192,6 +192,60 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns — deliberately restricted to syntax with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+#: bounded repetition, literal escapes. Counted/replaced in a fixed order
+#: (emails → IPs → phones) on both engines.
+PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE_RE = r"555-[0-9]{4}"
+
+import os as _os
+
+PII_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "pii_docs.parquet",
+)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance stage of a pre-training pipeline:
+    count and strip email / IPv4 / phone-shaped tokens, emitting per-doc
+    redaction counts and the md5 of the scrubbed text (the hash pins the
+    full replacement output without shipping it).
+
+    Runs over the committed ``fixtures/pii_docs.parquet`` (the driver
+    corpus is clean word-salad, which would test nothing — same fixture
+    device as types_unsigned_decimal). Pure regexp expressions, narrow map,
+    zero shuffles; at 100 TB this is scan-speed."""
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(PII_FIXTURE)
+    t = F.col("text")
+
+    def n_matches(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        n_matches(PII_EMAIL_RE).alias("n_emails"),
+        n_matches(PII_IP_RE).alias("n_ips"),
+        n_matches(PII_PHONE_RE).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
 def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-characteristic term per document by TF-IDF — the classic
     keyword/topic signal (and the shape of any term-weighting pipeline:
@@ -238,6 +292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_topk": ngram_topk,
     "text_repetition_filter": repetition_filter,
     "text_tfidf_topk": tfidf_topk,
+    "text_pii_scrub": pii_scrub,
 }
 
 _MARKER_SQL = {
@@ -326,6 +381,20 @@ ORACLE_SQL: dict[str, str] = {
                (dup_frac > {REP_DUP_FRAC} OR top_frac > {REP_TOP_FRAC})
                  AS flagged
         FROM m
+    """,
+    "text_pii_scrub": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT)
+                 AS n_ips,
+               CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+                 AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                   text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_IP_RE}', '<IP>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
+        FROM read_parquet('{PII_FIXTURE}')
     """,
     "text_tfidf_topk": """
         WITH pairs AS (

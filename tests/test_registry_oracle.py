@@ -2,7 +2,8 @@
 
 This is the local mirror of the driver's t2 correctness gate: one
 parametrized case per (query, oracle) pair, run at sf0.001 for speed.
-``tests/test_full_oracle_sf001.py`` (marked slow) re-runs at sf0.01.
+The sf0.01 sweep (the driver's actual scale) lives in the verify recipe
+(.claude/skills/verify/SKILL.md) and is run before every commit.
 """
 
 from __future__ import annotations

@@ -40,6 +40,7 @@ NEW_IN_R3 = {
     "source_csv_scan",
     "stream_sliding_counts",
     "join_outer_full",
+    "text_pii_scrub",
 }
 
 
