@@ -262,6 +262,36 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Trailing range-frame width in days.
+RANGE_FRAME_DAYS = 30
+
+
+def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windowed aggregate — the value-based frame the rest of
+    the window family (ROWS frames, ranks) doesn't cover: per order, the
+    same customer's spend over the trailing 30 days. RANGE frames include
+    ALL ties of the current order value, so same-day orders see each other
+    symmetrically — semantics a ROWS frame cannot express.
+
+    Scale shape: one hash exchange on o_custkey + per-partition sort —
+    identical shuffle profile to every partitioned window. The order key is
+    an integer day number (date arithmetic, no timestamps in the output)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-RANGE_FRAME_DAYS, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day.cast("int").alias("day"),
+        F.sum("o_totalprice").over(w).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_30d"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_first_last_nth": first_last_nth,
     "window_percent_rank_cume": percent_rank_cume,
@@ -272,9 +302,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_moving_sum": moving_sum,
     "window_running_total": running_total,
     "window_ntile": ntile_buckets,
+    "window_range_frame": range_frame_trailing,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "window_range_frame": f"""
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS INT)
+                 AS day,
+               CAST(SUM(o_totalprice) OVER w AS DOUBLE) AS spend_30d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                     RANGE BETWEEN {RANGE_FRAME_DAYS} PRECEDING
+                           AND CURRENT ROW)
+    """,
     "window_first_last_nth": """
         SELECT o_orderkey, o_custkey,
                CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS cheapest,

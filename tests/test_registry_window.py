@@ -41,6 +41,7 @@ NEW_IN_R3 = {
     "stream_sliding_counts",
     "join_outer_full",
     "text_pii_scrub",
+    "window_range_frame",
 }
 
 
