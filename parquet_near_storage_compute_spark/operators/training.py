@@ -238,7 +238,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_near_storage_compute_spark.tables import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = fan_out(docs).select(
+    return _contamination_report(fan_out(docs))
+
+
+def _contamination_report(docs: DataFrame) -> DataFrame:
+    """Core of contamination_check over an arbitrary (doc_id, text) frame —
+    split out so adversarial tests can feed synthetic corpora."""
+    grams = docs.select(
         "doc_id",
         (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
         F.explode(
@@ -253,7 +259,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gm")
     )
     tr = grams.filter(~F.col("is_eval")).select("gm", "doc_id")
-    hits = tr.join(ev, "gm").join(rare, "gm")
+    # Join order is the skew guard: rare must prune the eval side BEFORE the
+    # train⋈eval join, otherwise a boilerplate gram present in most eval docs
+    # fans out unboundedly (10⁵ train × 10⁴ eval on one key) and only then
+    # gets discarded. With ev_rare built first, every gm entering the big
+    # join has ≤ CONTAM_MAX_DF eval rows — bounded per-key volume at any
+    # corpus size (plan pinned in tests/test_contamination_plan.py). At
+    # cluster scale, persist `grams` to avoid re-shingling for tr/ev/rare.
+    ev_rare = ev.join(rare, "gm")
+    hits = tr.join(ev_rare, "gm")
     return (
         hits.groupBy("doc_id")
         .agg(
