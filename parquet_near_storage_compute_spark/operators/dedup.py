@@ -63,8 +63,13 @@ LSH_BUCKET_CAP = 100
 #: Salt width for the two-level bucket merge. Level-1 groups hold
 #: ~bucket_size/SALT doc_ids before the cap+1 slice trims them, so raise
 #: this with cluster size (≥ #executor-cores at 100 TB) to keep partial
-#: aggregation rows small even for adversarial mega-buckets.
-LSH_MERGE_SALT = 16
+#: aggregation rows small even for adversarial mega-buckets. 4 at bench
+#: scale: the salt machinery costs ~(SALT/4)× extra aggregation state on
+#: EVERY bucket, and measured sf0.1 time for the LSH pipeline goes
+#: 1.8s (salt 16 + level-1 sort) → 1.3s (salt 4, level-2 sort only) —
+#: parity with an unbounded single-level groupBy, with the row-size bound
+#: (≤ SALT×(CAP+1) ids) intact.
+LSH_MERGE_SALT = 4
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,28 +124,39 @@ def _banded_buckets(bands: DataFrame, keys: list[str]) -> DataFrame:
     """Bucket materialization with a hot-bucket guard: two-level salted
     aggregation so no task ever holds an unbounded bucket row.
 
-    Level 1 groups on (keys…, salt) and emits the bucket-slice sorted and
-    trimmed to CAP+1 doc_ids (the true per-salt count is taken BEFORE the
-    slice, so over-cap buckets are still counted exactly). Level 2 merges
-    the ≤ SALT slices per bucket — a row is at most SALT×(CAP+1) ids no
+    Level 1 groups on (keys…, salt) and emits the bucket-slice trimmed to
+    CAP+1 doc_ids (the true per-salt count and min are taken BEFORE the
+    slice, so over-cap buckets still report exactly). Level 2 merges the
+    ≤ SALT slices per bucket — a row is at most SALT×(CAP+1) ids no
     matter how hot the bucket. Compare the naive
     ``groupBy(band, bh).agg(collect_list(doc_id))``: one boilerplate
     mega-bucket materializes as one giant row in one task → OOM at 100 TB.
     Single pass over the bands stream (a count-then-join alternative would
     execute the signature pipeline twice).
 
-    Output: (keys…, n_docs exact, ds = sorted ids, complete iff
-    n_docs ≤ CAP)."""
+    The ONLY sort is at level 2 (round 4; the r3 form also sorted every
+    level-1 slice, paying for the pathological case on every bucket). For
+    in-cap buckets every salt-slice is untrimmed (bucket ≤ CAP ⇒ each salt
+    group ≤ CAP < CAP+1), so ``ds`` is still the exact sorted member list.
+    For over-cap buckets the slice keeps an arbitrary CAP+1 ids per salt —
+    ``ds`` is then partial scratch (consumers must not read it; they get
+    zero pairs and use ``min_id``) while ``n_docs``/``min_id`` stay exact
+    via the dedicated aggregates.
+
+    Output: (keys…, n_docs exact, min_id exact, ds = sorted member ids,
+    exact and complete iff n_docs ≤ CAP)."""
     part = bands.groupBy(
         *keys, F.pmod(F.hash("doc_id"), F.lit(LSH_MERGE_SALT)).alias("_salt")
     ).agg(
         F.count(F.lit(1)).alias("_n_part"),
-        F.slice(
-            F.sort_array(F.collect_list("doc_id")), 1, LSH_BUCKET_CAP + 1
-        ).alias("_ds_part"),
+        F.min("doc_id").alias("_min_part"),
+        F.slice(F.collect_list("doc_id"), 1, LSH_BUCKET_CAP + 1).alias(
+            "_ds_part"
+        ),
     )
     return part.groupBy(*keys).agg(
         F.sum("_n_part").alias("n_docs"),
+        F.min("_min_part").alias("min_id"),
         F.sort_array(F.flatten(F.collect_list("_ds_part"))).alias("ds"),
     )
 
@@ -204,7 +220,7 @@ def minhash_dedup_decisions(docs: DataFrame) -> DataFrame:
         .join(pair_losers, "doc_id", "left_anti")
     )
     over_keys = buckets.filter(F.col("n_docs") > LSH_BUCKET_CAP).select(
-        "band", "bh", F.element_at("ds", 1).alias("keep_id")
+        "band", "bh", F.col("min_id").alias("keep_id")
     )
     over_members = bands.join(F.broadcast(over_keys), ["band", "bh"])
     over_losers = (
@@ -320,8 +336,8 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overflow accounting for the hot-bucket guard: one row per over-cap
-    bucket (band, bh, exact n_docs, smallest member id — the slices keep
-    each salt-group's minima, so the global min survives trimming). Empty
+    bucket (band, bh, exact n_docs, smallest member id — carried as a
+    dedicated min aggregate, immune to the slice trimming). Empty
     at every tested SF; at 100 TB this is the report a pipeline operator
     reads to route mega-buckets to cluster-level dedup instead of pairs.
     Not a registered contract (nothing to hash at small SF) — exercised by
@@ -332,7 +348,7 @@ def lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "bh",
         "n_docs",
-        F.element_at("ds", 1).alias("keep_doc_id"),
+        F.col("min_id").alias("keep_doc_id"),
     )
 
 

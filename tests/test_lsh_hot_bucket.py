@@ -52,15 +52,18 @@ def test_bucket_rows_are_bounded_and_counts_exact(spark):
     rows = {
         (r.band, r.bh): r
         for r in _banded_buckets(_bands_fixture(spark), ["band", "bh"])
-        .select("band", "bh", "n_docs", F.size("ds").alias("held"), "ds")
+        .select(
+            "band", "bh", "n_docs", "min_id", F.size("ds").alias("held"), "ds"
+        )
         .collect()
     }
     hot = rows[(0, "hot")]
     assert hot.n_docs == HOT  # exact count survives the slice
     assert hot.held <= LSH_MERGE_SALT * (LSH_BUCKET_CAP + 1)
-    assert hot.ds[0] == 0  # per-salt minima kept → global min survives
+    assert hot.min_id == 0  # dedicated min aggregate → global min survives
     assert rows[(1, "small")].n_docs == 3
     assert rows[(1, "small")].held == 3
+    assert rows[(1, "small")].ds == [10_000, 10_001, 10_002]  # in-cap: exact
 
 
 @pytest.mark.parametrize("n,expect_pairs", [
