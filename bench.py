@@ -267,21 +267,36 @@ def main() -> None:
             "agg_gbps": round(big_size / 1e9 / bagg_sec, 4),
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "ladder": ladder,
-                "ladder_rowgroup": ladder_rg,
-                "projection_width": projection,
-                "full_scan": scan,
-                "sf": sf,
-            }
-        )
+    # The driver records only the LAST ~2000 chars of stdout: the headline
+    # line must stay alone on stdout and compact (round 3's combined line
+    # overflowed the capture and the round's artifact recorded parsed:null).
+    # Ladder / row-group / projection / scan detail goes to a sidecar file
+    # and stderr instead.
+    headline_line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    detail = {
+        "ladder": ladder,
+        "ladder_rowgroup": ladder_rg,
+        "projection_width": projection,
+        "full_scan": scan,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
+    assert len(headline_line) <= 1800, len(headline_line)
+    print(headline_line)
     spark.stop()
 
 
