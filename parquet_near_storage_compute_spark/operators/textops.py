@@ -215,34 +215,46 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     redaction counts and the md5 of the scrubbed text (the hash pins the
     full replacement output without shipping it).
 
-    Runs over the committed ``fixtures/pii_docs.parquet`` (the driver
-    corpus is clean word-salad, which would test nothing — same fixture
-    device as types_unsigned_decimal). Pure regexp expressions, narrow map,
-    zero shuffles; at 100 TB this is scan-speed."""
-    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+    Runs over the ``sf_dir`` documents corpus (zero-redaction rows are a
+    result too — the compliance report covers every document) UNION the
+    committed ``fixtures/pii_docs.parquet`` positive control (the driver
+    corpus is clean word-salad; the fixture proves the patterns actually
+    fire — same device as types_unsigned_decimal). Counts are REDACTION
+    counts, taken progressively: emails counted on raw text then replaced,
+    IPs counted on the email-scrubbed text, phones on the IP-scrubbed text
+    — so an IP inside an email domain is counted once, as the email that
+    consumed it. Pure regexp expressions, narrow map, zero shuffles; at
+    100 TB this is scan-speed."""
+    from parquet_near_storage_compute_spark.tables import load_table
 
-    ensure_engine_confs(spark)
-    df = spark.read.parquet(PII_FIXTURE)
-    t = F.col("text")
-
-    def n_matches(pat: str) -> F.Column:
-        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
-
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-            PII_IP_RE,
-            "<IP>",
-        ),
-        PII_PHONE_RE,
-        "<PHONE>",
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fixture = spark.read.parquet(PII_FIXTURE).select("doc_id", "text")
+    corpus = docs.withColumn("corpus", F.lit("documents")).unionByName(
+        fixture.withColumn("corpus", F.lit("fixture"))
     )
-    return df.select(
+    return _pii_report(corpus)
+
+
+def _pii_report(corpus: DataFrame) -> DataFrame:
+    """Progressive scrub over a (corpus, doc_id, text) frame — split out so
+    tests can pin the count-equals-redaction semantics on crafted rows."""
+
+    def n_matches(col: F.Column, pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast(
+            "long"
+        )
+
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return corpus.select(
+        "corpus",
         "doc_id",
-        n_matches(PII_EMAIL_RE).alias("n_emails"),
-        n_matches(PII_IP_RE).alias("n_ips"),
-        n_matches(PII_PHONE_RE).alias("n_phones"),
-        F.md5(scrubbed).alias("scrubbed_hash"),
+        n_matches(t0, PII_EMAIL_RE).alias("n_emails"),
+        n_matches(t1, PII_IP_RE).alias("n_ips"),
+        n_matches(t2, PII_PHONE_RE).alias("n_phones"),
+        F.md5(t3).alias("scrubbed_hash"),
     )
 
 
@@ -383,18 +395,31 @@ ORACLE_SQL: dict[str, str] = {
         FROM m
     """,
     "text_pii_scrub": f"""
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+        WITH corpus AS (
+          SELECT 'documents' AS corpus, doc_id, text FROM documents
+          UNION ALL
+          SELECT 'fixture' AS corpus, doc_id, text
+          FROM read_parquet('{PII_FIXTURE}')
+        ),
+        s1 AS (
+          SELECT corpus, doc_id, text AS t0,
+                 regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+          FROM corpus
+        ),
+        s2 AS (
+          SELECT *, regexp_replace(t1, '{PII_IP_RE}', '<IP>', 'g') AS t2
+          FROM s1
+        )
+        SELECT corpus, doc_id,
+               CAST(len(regexp_extract_all(t0, '{PII_EMAIL_RE}')) AS BIGINT)
                  AS n_emails,
-               CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT)
+               CAST(len(regexp_extract_all(t1, '{PII_IP_RE}')) AS BIGINT)
                  AS n_ips,
-               CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+               CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS BIGINT)
                  AS n_phones,
-               md5(regexp_replace(regexp_replace(regexp_replace(
-                   text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{PII_IP_RE}', '<IP>', 'g'),
-                   '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
-        FROM read_parquet('{PII_FIXTURE}')
+               md5(regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g'))
+                 AS scrubbed_hash
+        FROM s2
     """,
     "text_tfidf_topk": """
         WITH pairs AS (
