@@ -159,10 +159,73 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("bucket")
 
 
+#: Tables scanned by the metadata-mode contract (embeddings excluded: its
+#: only nested column is FLOAT, so it contributes no BYTE_ARRAY stats).
+_META_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+]
+
+
+def stat_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 metadata mode as a driver contract (F8 + S3): per string column of
+    every corpus table, the file-level min/max statistics rendered through
+    the reference's 8-byte UTF-8 prefix rule (``v2/src/main.rs:338-398,
+    931-936``) — the compact stats the reference ships to the compute node,
+    computed from footers ONLY (no data pages are touched; ~10 footer reads
+    for the whole corpus). The DuckDB oracle reads the same footers through
+    ``parquet_metadata()``, so the driver hash pins the metadata surface
+    externally.
+
+    The footer loop runs on the driver: metadata-mode input is #tables
+    rows, and at 100 TB the same per-file footer decode fans out as a map
+    over the file listing (``parallelize(paths).flatMap``) — the per-file
+    logic is identical. Both sides pin the driver's sf0.01 corpus
+    (``sf_dir`` is accepted but unused, the csv_scan fixture device):
+    DuckDB's ``parquet_metadata`` takes literal paths, not views, so a
+    static oracle string cannot follow ``sf_dir``, and the two engines must
+    read the SAME footers for the hash to mean anything."""
+    from parquet_near_storage_compute_spark.plans.metrics import (
+        string_stat_prefixes,
+    )
+
+    rows = []
+    for t in _META_TABLES:
+        path = _os.path.join(_META_SF_DIR, f"{t}.parquet")
+        for col, v in sorted(string_stat_prefixes(path).items()):
+            rows.append((t, col, v["min_prefix"], v["max_prefix"]))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, "
+        "min_prefix string, max_prefix string",
+    ).orderBy("table_name", "column_name")
+
+
+_META_SF_DIR = "/root/testdata/sf0.01"
+
+_META_SQL = " UNION ALL ".join(
+    f"""
+        SELECT '{t}' AS table_name, path_in_schema AS column_name,
+               stats_min_value, stats_max_value
+        FROM parquet_metadata('{_META_SF_DIR}/{t}.parquet')
+        WHERE type = 'BYTE_ARRAY' AND stats_min_value IS NOT NULL
+    """
+    for t in _META_TABLES
+)
+
+
 QUERIES = {
     "source_glob_scan": glob_scan,
     "source_partitioned_scan": partitioned_scan,
     "source_csv_scan": csv_scan,
+    "meta_stat_prefixes": stat_prefixes,
 }
 
 ORACLE_SQL = {
@@ -185,6 +248,14 @@ ORACLE_SQL = {
                CAST(pct AS DOUBLE) AS pct
         FROM read_csv('{GOLDEN_CSV}', header=true)
         ORDER BY bucket
+    """,
+    "meta_stat_prefixes": f"""
+        SELECT table_name, column_name,
+               substr(MIN(stats_min_value), 1, 8) AS min_prefix,
+               substr(MAX(stats_max_value), 1, 8) AS max_prefix
+        FROM ({_META_SQL})
+        GROUP BY table_name, column_name
+        ORDER BY table_name, column_name
     """,
 }
 
