@@ -47,12 +47,34 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB: real image decode (PIL/opencv not in this container)."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; payload plumbing is exercised via "
-        "fake_features()"
-    )
+def decode_image(payload: bytes):
+    """Real image decode for binary PPM (P6) payloads — pure numpy, no
+    image library needed (round 4; PIL/opencv formats remain out of reach
+    in this container and raise). Parses the header (magic, dims, maxval,
+    each terminated by single whitespace per the netpbm spec) and returns
+    the pixel block as a (height, width, 3) uint8 array."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError(
+            "only binary PPM (P6) decodes without an image library; "
+            "PNG/JPEG need PIL/opencv"
+        )
+    import numpy as np
+
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raw RGB
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return img.reshape(h, w, 3)
 
 
 def decode_audio(payload: bytes) -> object:
@@ -185,11 +207,71 @@ def resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import os as _os
+
+IMAGE_FIXTURE = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+    "images.parquet",
+)
+
+
+def image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode through the mapInPandas template: binary PPM
+    payloads from the committed ``fixtures/images.parquet`` (generator in
+    tools/make_image_fixture.py; the driver corpus has no image column)
+    decode to pixel arrays via ``decode_image`` and reduce to integer
+    per-channel statistics. The emitted dims come from the DECODED array —
+    the fixture's metadata columns are deliberately ignored, so the driver
+    hash fails if the decoder misparses a header or drops a byte. The
+    DuckDB oracle re-reads the same payload bytes hex-wise; all outputs are
+    integers, so there is no float drift surface. At 100 TB this is the
+    image-corpus profile pass: mapInPandas streams Arrow batches, one
+    Python worker per core, metadata joins stay JVM-side."""
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    imgs = fan_out(spark.read.parquet(IMAGE_FIXTURE))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def stats(p: bytes) -> tuple[int, int, int, int, int, int]:
+            img = decode_image(p)
+            h, w, _ = img.shape
+            sums = img.sum(axis=(0, 1), dtype=np.int64)
+            return w, h, int(sums[0]), int(sums[1]), int(sums[2])
+
+        for pdf in batches:
+            s = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"],
+                    "width": s.map(lambda t: t[0]),
+                    "height": s.map(lambda t: t[1]),
+                    "n_pixels": s.map(lambda t: t[0] * t[1]),
+                    "sum_r": s.map(lambda t: t[2]),
+                    "sum_g": s.map(lambda t: t[3]),
+                    "sum_b": s.map(lambda t: t[4]),
+                    "checksum": s.map(lambda t: t[2] + t[3] + t[4]),
+                }
+            )
+
+    return imgs.select("img_id", "payload").mapInPandas(
+        decode,
+        "img_id bigint, width int, height int, n_pixels bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, checksum bigint",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_feature_extract": feature_extract,
     "mm_binary_metadata": binary_metadata,
     "mm_frame_sample": frame_sample,
     "mm_resize": resize,
+    "mm_image_decode": image_decode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -230,5 +312,38 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT) AS total_frames,
                CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM documents
+    """,
+    # Re-reads the SAME payload bytes the Spark kernel decodes: hex() the
+    # blob, skip the P6 header (9 + digits of the dim strings), and fold
+    # hex pairs back to byte values — an independent per-byte re-decode,
+    # not a regeneration from the pixel law.
+    "mm_image_decode": f"""
+        WITH raw AS (
+          SELECT img_id, width, height, lower(hex(payload)) AS hx,
+                 9 + length(CAST(width AS VARCHAR))
+                   + length(CAST(height AS VARCHAR)) AS hdr
+          FROM read_parquet('{IMAGE_FIXTURE}')
+        ),
+        px AS (
+          SELECT img_id, width, height,
+                 list_transform(range(width * height * 3), j ->
+                   (strpos('0123456789abcdef',
+                           hx[2*(hdr+j)+1 : 2*(hdr+j)+1]) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                             hx[2*(hdr+j)+2 : 2*(hdr+j)+2]) - 1)) AS bs
+          FROM raw
+        )
+        SELECT img_id,
+               CAST(width AS INT) AS width,
+               CAST(height AS INT) AS height,
+               CAST(width * height AS BIGINT) AS n_pixels,
+               CAST(list_sum(list_transform(range(width * height),
+                    p -> bs[3*p + 1])) AS BIGINT) AS sum_r,
+               CAST(list_sum(list_transform(range(width * height),
+                    p -> bs[3*p + 2])) AS BIGINT) AS sum_g,
+               CAST(list_sum(list_transform(range(width * height),
+                    p -> bs[3*p + 3])) AS BIGINT) AS sum_b,
+               CAST(list_sum(bs) AS BIGINT) AS checksum
+        FROM px
     """,
 }
