@@ -108,8 +108,11 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-window aggregation (2h window every 1h,
     watermarked) — the Structured Streaming twin of time_sliding_window:
     each event contributes to two overlapping windows, the state store
-    keys on (window, nothing else) and the watermark bounds retained
-    windows to ~2 slide intervals behind the max event time."""
+    keys on (window, nothing else). The watermark matters only in an
+    append-mode production run, where it bounds retained windows to ~2
+    slide intervals behind the max event time; this demo runs in complete
+    mode for a deterministic full-history result, and complete mode never
+    evicts window state (same honest framing as windowed_counts)."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")

@@ -51,7 +51,8 @@ def test_mixture_sample_rates_and_determinism(spark, sf_dir):
         assert 0.0 < r.target_rate <= 1.0
         assert 0 <= r.n_kept <= r.n_total
         # the md5 draw is uniform: realized tracks target within a loose
-        # binomial band (fixture sources are ≥~30 docs)
+        # binomial band (sf0.001 has 20 sources × 25 docs; the draws are
+        # deterministic md5 values, so this cannot flake)
         assert abs(r.realized_rate - r.target_rate) < 0.35
     # temperature flattening: smaller sources get higher keep rates
     by_n = sorted(a, key=lambda r: r.n_total)
