@@ -8,11 +8,13 @@ a collision raises at import time so it can't silently shadow coverage.
 Ordering matters: the driver's correctness gate checks the FIRST 50 keys in
 iteration order. Round 1 verified the core v1/snowset/join/agg/window surface
 (CORRECTNESS_r01, 47/50); round 2 verified the 50 extension operators
-(CORRECTNESS_r02, 50/50); round 3 rotates back to the r1-era core plus the
-never-checked train_/stream_/kmeans contracts so every registered operator
-has a driver row from round 2 or 3. ``_PRIORITY`` pins the window explicitly;
-everything else follows in module order so the window can rotate again in
-later rounds without code churn elsewhere.
+(CORRECTNESS_r02, 50/50); round 3 rotated back to the r1-era core plus the
+never-checked train_/stream_/kmeans contracts (CORRECTNESS_r03, 50/50);
+round 4 rotates to the 18 new-in-r3 contracts, the r3/r4-modified dedup/mm
+contracts, the 2 new-in-r4 contracts, and the oldest-verified r2 window as
+fill. ``_PRIORITY`` pins the window explicitly; everything else follows in
+module order so the window can rotate again in later rounds without code
+churn elsewhere.
 """
 
 from __future__ import annotations
@@ -44,75 +46,75 @@ _MODULES = [
 ]
 
 
-#: The round-3 driver correctness window: the 48 contracts with no
-#: current-round row after round 2 — the r1-verified core (v1/snowset/joins/
-#: aggs/windows, several modified since their r1 rows, e.g. the salted
-#: window_topk_per_group) plus the 9 never-driver-checked (train_* ×4,
-#: stream_* ×4, iter_kmeans_lite, now oracle-backed via the unrolled Lloyd
-#: SQL) — plus two re-confirmation slots for the dedup contracts whose
-#: candidate-generation internals change this round (hot-bucket cap /
-#: bounded blocks). After this window lands green, every registered contract
-#: has a driver row from round 2 or 3.
+#: The round-4 driver correctness window: the 18 contracts first registered
+#: in round 3 (no driver row yet — the rotation debt VERDICT r3 ranks #1),
+#: the 2 modified in r3 without re-confirmation (dedup_ngram_jaccard shares
+#: the reworked bucket helper; mm_resize's kernel was rewritten), the 2
+#: dedup contracts whose shared ``_banded_buckets`` helper changed again
+#: this round (salt 16→4, level-2-only sort), the 2 new-in-r4 contracts
+#: (meta_stat_prefixes, mm_image_decode), and — filling the remaining 26
+#: slots — the oldest-verified contracts, in their CORRECTNESS_r02 order
+#: (last externally confirmed two rounds ago; several of their families
+#: were touched this round: text_pii_scrub's corpus union lives in the
+#: new-in-r3 group, the mm_* family gained a real decoder). After this
+#: window lands green, every contract except 24 r2-verified stragglers has
+#: a round-3-or-4 driver row; the stragglers rotate in round 5.
 _PRIORITY = [
-    # v1 scan/agg core (8)
-    "v1_footer_only_agg",
-    "v1_flagship",
-    "v1_ladder_real",
-    "v1_ladder_worst",
-    "v1_grammar_boolean",
-    "v1_grammar_extended",
-    "v1_count_semantics",
-    "v1_projection_rows",
-    # snowset (3)
-    "snowset_selectivity_distribution",
-    "snowset_selectivity_distribution_sql",
-    "snowset_retrieval_rate",
-    # joins (10)
-    "join_theta",
-    "join_self",
-    "join_broadcast_inner",
-    "join_multiway",
-    "join_semi",
-    "join_anti",
-    "join_cross_pct",
-    "join_window_pct",
-    "join_asof",
-    "join_range",
-    # aggregates (9)
-    "agg_pricing_summary",
-    "agg_over_expression",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_min_max_by",
-    "agg_stats",
-    "agg_percentile",
-    # windows (9; topk salt + ntile plan changed post-r1)
-    "window_first_last_nth",
-    "window_percent_rank_cume",
-    "window_mode_per_group",
-    "window_topk_per_group",
-    "window_rank_dense_rank",
-    "window_lag_lead",
-    "window_moving_sum",
-    "window_running_total",
-    "window_ntile",
-    # iterative — first driver hash check (oracle added round 3) (1)
-    "iter_kmeans_lite",
-    # training ops — never driver-checked (4)
-    "train_pack_sequences",
-    "train_test_split",
-    "train_stratified_sample",
-    "train_profile_columns",
-    # streaming — never driver-checked (4)
-    "stream_windowed_counts",
-    "stream_stateful_user_stats",
-    "stream_dedup_exact",
-    "stream_stream_join",
-    # re-confirm: modified this round (hot-bucket cap, bounded blocks) (2)
+    # new in r3 — first driver check (18)
+    "sim_knn_join",
+    "dedup_connected_components",
+    "time_gap_fill",
+    "events_funnel",
+    "agg_histogram",
+    "join_outer_full",
+    "window_range_frame",
+    "text_ngram_topk",
+    "text_repetition_filter",
+    "text_tfidf_topk",
+    "text_pii_scrub",
+    "train_chunk_documents",
+    "train_contamination_check",
+    "train_mixture_sample",
+    "train_curriculum_order",
+    "stream_sliding_counts",
+    "source_partitioned_scan",
+    "source_csv_scan",
+    # modified r3, not re-confirmed (2)
+    "dedup_ngram_jaccard",
+    "mm_resize",
+    # modified r4: shared bucket-merge helper reworked (2)
     "dedup_minhash_lsh",
     "dedup_blocked_jaccard",
+    # new in r4 (2)
+    "meta_stat_prefixes",
+    "mm_image_decode",
+    # oldest-verified rotation fill, CORRECTNESS_r02 order (26)
+    "dedup_exact",
+    "dedup_key",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_numpy",
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "sim_lsh_bucket_histogram",
+    "sim_label_centroid",
+    "text_quality_scores",
+    "text_quality_filter",
+    "text_language_id",
+    "text_token_counts",
+    "text_fingerprint",
+    "mm_feature_extract",
+    "mm_binary_metadata",
+    "mm_frame_sample",
+    "time_tumbling_hourly",
+    "time_sliding_window",
+    "time_sessionize",
+    "time_session_window_native",
+    "time_json_extract",
+    "time_datetime_parts",
+    "relational_correlated_subquery",
+    "relational_pivot",
 ]
 
 

@@ -1,10 +1,14 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
-contract. Round 3's window = the 48 contracts without a round-2 row (r1-era
-core + train_/stream_/kmeans) + 2 re-confirmation slots for dedup contracts
-modified this round."""
+contract. Round 4's window = every contract without a round-3 driver row
+that is new or was modified since its last row (18 new-in-r3 + 2 modified-r3
++ 2 modified-r4 + 2 new-in-r4), padded with the oldest-verified contracts
+(the CORRECTNESS_r02 window, in its original order)."""
 
 from __future__ import annotations
+
+import json
+import os
 
 from parquet_near_storage_compute_spark.registry import (
     _PRIORITY,
@@ -12,17 +16,15 @@ from parquet_near_storage_compute_spark.registry import (
     all_queries,
 )
 
-
-def test_window_is_exactly_priority():
-    assert len(_PRIORITY) == 50
-    assert len(set(_PRIORITY)) == 50
-    assert list(all_queries())[:50] == _PRIORITY
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-#: Contracts first registered in round 3, after the window was pinned: they
-#: cannot have an r2 row and do not displace the rotation debt the window
-#: retires. They are fully covered by the local differential suite this
-#: round and rotate into round 4's spare slots for driver confirmation.
+def _round_keys(name: str) -> list[str]:
+    with open(os.path.join(_REPO, name)) as fh:
+        return list(json.load(fh))
+
+
+#: Contracts first registered in round 3 — no driver row before round 4.
 NEW_IN_R3 = {
     "dedup_connected_components",
     "train_chunk_documents",
@@ -44,44 +46,56 @@ NEW_IN_R3 = {
     "window_range_frame",
 }
 
+#: Modified in round 3 after the r3 window was pinned (shared bucket helper
+#: / rewritten resize kernel) — r2 rows exist but predate the change.
+MODIFIED_R3_UNCONFIRMED = {"dedup_ngram_jaccard", "mm_resize"}
 
-def test_window_covers_unrotated_core():
-    """Everything that had no CORRECTNESS_r02 row must be in the r3 window —
-    after this round, every registered contract has a driver row from the
-    last two rounds."""
-    r2_window = {
-        "dedup_exact", "dedup_key", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_blocked_jaccard", "dedup_simhash", "dedup_embedding_lsh",
-        "sim_topk_bruteforce", "sim_topk_numpy", "sim_topk_lsh", "sim_topk_ivf",
-        "sim_lsh_bucket_histogram", "sim_label_centroid",
-        "text_quality_scores", "text_quality_filter", "text_language_id",
-        "text_token_counts", "text_fingerprint",
-        "mm_feature_extract", "mm_binary_metadata", "mm_frame_sample",
-        "mm_resize",
-        "time_tumbling_hourly", "time_sliding_window", "time_sessionize",
-        "time_session_window_native", "time_json_extract",
-        "time_datetime_parts",
-        "relational_correlated_subquery", "relational_pivot",
-        "relational_unpivot", "relational_distinct_rows", "sort_limit_topk",
-        "setop_union_all", "setop_intersect", "setop_except",
-        "scalar_case_bucket", "scalar_arithmetic_chain",
-        "pipeline_training_data", "scalar_array_ops", "scalar_string_ops",
-        "udf_readability", "udf_sql_surface", "udaf_geomean",
-        "udf_grouped_map_zscore", "source_glob_scan",
-        "agg_reaggregate", "agg_collect", "agg_approx_distinct",
-        "types_unsigned_decimal",
-    }
-    registered = set(all_queries())
-    in_window = set(_PRIORITY)
-    unrotated = registered - r2_window - NEW_IN_R3
-    for name in unrotated:
-        assert name in in_window, f"{name} has no r2 row and is outside the window"
+#: Modified in round 4: ``_banded_buckets`` reworked (salt 16→4, level-2-
+#: only sort, dedicated min_id) — their r3 rows predate the change.
+#: (train_contamination_check and text_pii_scrub also changed in r4 but
+#: already sit in NEW_IN_R3.)
+MODIFIED_IN_R4 = {"dedup_minhash_lsh", "dedup_blocked_jaccard"}
+
+#: First registered in round 4.
+NEW_IN_R4 = {"meta_stat_prefixes", "mm_image_decode"}
+
+
+def test_window_is_exactly_priority():
+    assert len(_PRIORITY) == 50
+    assert len(set(_PRIORITY)) == 50
+    assert list(all_queries())[:50] == _PRIORITY
+
+
+def test_window_covers_every_unconfirmed_contract():
+    """Everything new or modified since its last driver row must be in the
+    round-4 window."""
+    must = NEW_IN_R3 | MODIFIED_R3_UNCONFIRMED | MODIFIED_IN_R4 | NEW_IN_R4
+    missing = must - set(_PRIORITY)
+    assert not missing, f"unconfirmed contracts outside the window: {missing}"
+
+
+def test_fill_slots_are_oldest_verified_r2_contracts():
+    """The non-mandatory slots must be drawn from the CORRECTNESS_r02 window
+    (last confirmed two rounds ago) in its original order — the rotation
+    rule VERDICT r3 endorses."""
+    must = NEW_IN_R3 | MODIFIED_R3_UNCONFIRMED | MODIFIED_IN_R4 | NEW_IN_R4
+    fill = [n for n in _PRIORITY if n not in must]
+    r2 = [n for n in _round_keys("CORRECTNESS_r02.json") if n not in must]
+    assert fill == r2[: len(fill)]
+
+
+def test_every_registered_contract_has_a_recent_or_scheduled_row():
+    """No contract may fall through the rotation: each is either in the r4
+    window, or carries an r2/r3 driver row and is unmodified since."""
+    r2 = set(_round_keys("CORRECTNESS_r02.json"))
+    r3 = set(_round_keys("CORRECTNESS_r03.json"))
+    holes = set(all_queries()) - set(_PRIORITY) - r2 - r3
+    assert not holes, f"contracts with no driver row and no window slot: {holes}"
 
 
 def test_window_queries_are_oracle_backed():
     """Every window slot must have a DuckDB oracle — the full hash check,
-    not the weaker rows-only gate. (iter_kmeans_lite gained its unrolled
-    Lloyd oracle in round 3, so the whole window hashes.)"""
+    not the weaker rows-only gate."""
     oracles = all_oracles()
     for name in _PRIORITY:
         assert name in oracles, f"{name} has no oracle"
