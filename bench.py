@@ -267,6 +267,26 @@ def main() -> None:
             "agg_gbps": round(big_size / 1e9 / bagg_sec, 4),
         }
 
+    # Opt-in 10× scale-evidence rung (SPARK_GRAFT_SCALE_EVIDENCE=1): re-runs
+    # the skew-sensitive operators (LSH dedup, contamination check, kNN
+    # join) on a REPS×-replicated corpus and records the per-task /
+    # per-key row maxima that back SCALING.md's boundedness claims. Writes
+    # SCALE_EVIDENCE.json; detail stays off the headline stdout line.
+    if os.environ.get("SPARK_GRAFT_SCALE_EVIDENCE") == "1":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.scale_evidence import run as _scale_run
+
+        scale_out = _scale_run(spark, sf_dir)
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "SCALE_EVIDENCE.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump(scale_out, fh, indent=1)
+        print(json.dumps(scale_out, separators=(",", ":")), file=sys.stderr)
+
     # The driver records only the LAST ~2000 chars of stdout: the headline
     # line must stay alone on stdout and compact (round 3's combined line
     # overflowed the capture and the round's artifact recorded parsed:null).

@@ -1,0 +1,199 @@
+"""Scale-evidence rung (opt-in): re-run the skew-sensitive operators on a
+REPS×-replicated corpus and measure the boundedness claims SCALING.md makes
+— per-task (post-shuffle partition) row maxima, per-key fan-out maxima, and
+overflow accounting — at 10× the data the per-round bench sees.
+
+Replication law: rep r remaps doc_id/vec_id by +r·20 000 000 (a multiple of
+EVAL_MOD, so train/eval classes are preserved) and suffixes text with
+' r{r}' (r>0) — every document gains REPS near-identical copies, which is
+precisely the adversarial regime the LSH bucket cap and the contamination
+join-order guard exist for.
+
+Measured queries: dedup_minhash_lsh, train_contamination_check,
+sim_knn_join (VERDICT r3 #8).
+
+Run: PYTHONPATH=/root/repo python tools/scale_evidence.py
+     (or SPARK_GRAFT_SCALE_EVIDENCE=1 python bench.py)
+Output: SCALE_EVIDENCE.json at the repo root + one stderr JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "10"))
+ID_STRIDE = 20_000_000  # multiple of EVAL_MOD: doc_id % 20 classes survive
+
+
+def _replicate(spark, sf_dir: str, out_dir: str) -> None:
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = None
+    for r in range(REPS):
+        part = docs.select(
+            (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
+            (
+                F.col("text")
+                if r == 0
+                else F.concat(F.col("text"), F.lit(f" r{r}"))
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        reps = part if reps is None else reps.unionByName(part)
+    reps.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ereps = None
+    for r in range(REPS):
+        part = emb.select(
+            (F.col("vec_id") + F.lit(r * ID_STRIDE)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        ereps = part if ereps is None else ereps.unionByName(part)
+    ereps.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def _max_partition_rows(df) -> int:
+    """Actual per-task row counts of the frame's final stage: the direct
+    'max shuffle rows any single task held' observable."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()
+    )
+    return int(rows[0].mx) if rows and rows[0].mx is not None else 0
+
+
+def _timed(df) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return round(time.perf_counter() - t0, 2), n
+
+
+def run(spark, sf_dir: str) -> dict:
+    from parquet_near_storage_compute_spark.operators import dedup as D
+    from parquet_near_storage_compute_spark.operators import (
+        similarity as S,
+        training as T,
+    )
+
+    big = os.path.join(REPO, ".tmp", f"scale_evidence_x{REPS}")
+    if not os.path.isdir(os.path.join(big, "documents.parquet")):
+        _replicate(spark, sf_dir, big)
+
+    out: dict = {"reps": REPS, "base_sf_dir": sf_dir}
+
+    # dedup_minhash_lsh: every doc now has REPS near-copies → buckets grow
+    # REPS×; the cap must keep held ids ≤ SALT×(CAP+1) and route over-cap
+    # buckets to overflow, never to pairs.
+    docs = D.load_table(spark, big, "documents")
+    buckets = D._banded_buckets(
+        D._bands(D._minhash_signatures(docs)), ["band", "bh"]
+    )
+    sec, n_pairs = _timed(D._lsh_candidates(D._minhash_signatures(docs)))
+    stats = buckets.agg(
+        F.max("n_docs").alias("max_bucket"),
+        F.max(F.size("ds")).alias("max_held_ids"),
+        F.sum((F.col("n_docs") > D.LSH_BUCKET_CAP).cast("long")).alias(
+            "n_over_cap"
+        ),
+    ).collect()[0]
+    out["dedup_minhash_lsh"] = {
+        "sec": sec,
+        "pairs": n_pairs,
+        "max_bucket_n_docs": int(stats.max_bucket),
+        "max_held_ids_per_row": int(stats.max_held_ids),
+        "held_ids_bound": D.LSH_MERGE_SALT * (D.LSH_BUCKET_CAP + 1),
+        "over_cap_buckets_routed_to_overflow": int(stats.n_over_cap),
+        "max_task_rows_bucket_stage": _max_partition_rows(buckets),
+    }
+
+    # train_contamination_check: the rare-gram cap must bound per-key eval
+    # fan-out entering the big join to CONTAM_MAX_DF even though every gram
+    # now appears in REPS× more docs.
+    from parquet_near_storage_compute_spark.functions.text import (
+        shingles,
+        words,
+    )
+
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % T.EVAL_MOD == 0).alias("is_eval"),
+        F.explode(
+            F.array_distinct(shingles(words("text"), T.CONTAM_NGRAM))
+        ).alias("gm"),
+    )
+    ev = grams.filter("is_eval").select("gm", F.col("doc_id").alias("eval_doc"))
+    rare = (
+        ev.groupBy("gm")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= T.CONTAM_MAX_DF)
+        .select("gm")
+    )
+    ev_rare = ev.join(rare, "gm")
+    fanout = ev_rare.groupBy("gm").count().agg(F.max("count")).collect()[0][0]
+    sec, n_rows = _timed(T._contamination_report(docs))
+    out["train_contamination_check"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "max_eval_fanout_per_gram": int(fanout or 0),
+        "fanout_bound": T.CONTAM_MAX_DF,
+        "max_task_rows_join_input": _max_partition_rows(ev_rare),
+    }
+
+    # sim_knn_join: candidate volume is O(Σ bucket²) by design — record the
+    # bucket histogram max and the per-task rows of the scored stage.
+    v = S._vectors(spark, big).withColumn(
+        "bucket", S.lsh_bucket(F.col("v"), S._PLANES)
+    )
+    hist = v.groupBy("bucket").count()
+    max_bucket = hist.agg(F.max("count")).collect()[0][0]
+    sec, n_rows = _timed(S.knn_join(spark, big))
+    out["sim_knn_join"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "max_lsh_bucket": int(max_bucket or 0),
+        "max_task_rows_bucketed_vectors": _max_partition_rows(
+            v.repartition("bucket")
+        ),
+    }
+    return out
+
+
+def main() -> None:
+    from parquet_near_storage_compute_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="pnsc-scale-evidence",
+        master=f"local[{cpus}]",
+        conf={"spark.sql.shuffle.partitions": str(max(int(cpus), 8))},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run(spark, sf_dir)
+    path = os.path.join(REPO, "SCALE_EVIDENCE.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, separators=(",", ":")), file=sys.stderr)
+    print(f"wrote {path}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
