@@ -163,6 +163,44 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (round 4): users grouped by first-seen day; for
+    each (cohort_day, day_offset) the distinct users active that many days
+    after joining, plus the fraction of the cohort retained — the standard
+    product-analytics curve, and for a training-data pipeline the
+    freshness/activity profile of a telemetry source.
+
+    Scale shape: the cohort day comes from a min-window over the user
+    partition (ONE shuffle on user_id, no join back — the groupBy+rejoin
+    form would shuffle events twice), then one aggregate on
+    (cohort, offset) keys. Cohort sizes are read from the aggregate's own
+    offset-0 rows (cohorts×offsets rows, tiny) and broadcast back; the
+    retention fraction divides two exact counts, so both engines compute
+    the identical double."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort_d", F.min("d").over(w))
+    ret = cohorted.groupBy(
+        "cohort_d", F.datediff("d", "cohort_d").alias("day_offset")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    sizes = ret.filter(F.col("day_offset") == 0).select(
+        "cohort_d", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_d")
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_users",
+            "cohort_size",
+            (F.col("n_users") / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 #: Funnel stage order (event sequence a conversion must follow).
 FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -226,9 +264,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_datetime_parts": datetime_parts,
     "time_gap_fill": gap_fill_hourly,
     "events_funnel": events_funnel,
+    "events_retention_cohorts": retention_cohorts,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "events_retention_cohorts": """
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS d,
+                 MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_d
+          FROM events
+        ),
+        ret AS (
+          SELECT cohort_d, date_diff('day', cohort_d, d) AS day_offset,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM ev GROUP BY cohort_d, day_offset
+        ),
+        sizes AS (
+          SELECT cohort_d, n_users AS cohort_size FROM ret WHERE day_offset = 0
+        )
+        SELECT strftime(r.cohort_d, '%Y-%m-%d') AS cohort_day,
+               CAST(r.day_offset AS INT) AS day_offset,
+               r.n_users,
+               s.cohort_size,
+               CAST(r.n_users AS DOUBLE) / s.cohort_size AS retention
+        FROM ret r JOIN sizes s USING (cohort_d)
+        ORDER BY cohort_day, day_offset
+    """,
     "events_funnel": """
         WITH per_user AS (
           SELECT user_id,
