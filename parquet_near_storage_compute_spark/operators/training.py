@@ -373,6 +373,49 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("position")
 
 
+#: Top-K adjacent character pairs reported by the BPE first-merge pass.
+BPE_TOP_K = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, first merge round (round 4): the most frequent
+    adjacent character pairs across the corpus, weighted by word frequency
+    — exactly the statistic a BPE trainer maximizes at each merge step.
+
+    Scale shape is the actual BPE trick: pair generation runs over the
+    DISTINCT-WORD vocabulary with counts, not over the corpus — the corpus
+    sees one word-count shuffle (map-side combined), and the per-character
+    explode touches Σ|word| characters over the vocab, which is orders of
+    magnitude smaller than the corpus at any scale. Top-K via one ordered
+    limit on the #distinct-pairs frame (≤ alphabet², tiny). Ties break on
+    the pair string so the cut is deterministic across engines."""
+    from parquet_near_storage_compute_spark.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, 2),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(BPE_TOP_K)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_pack_sequences": pack_sequences,
     "train_test_split": train_test_split,
@@ -382,9 +425,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_contamination_check": contamination_check,
     "train_mixture_sample": mixture_sample,
     "train_curriculum_order": curriculum_order,
+    "train_bpe_pair_counts": bpe_pair_counts,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "train_bpe_pair_counts": f"""
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        v AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+          FROM w GROUP BY word HAVING length(word) >= 2
+        ),
+        p AS (
+          SELECT n, unnest(list_transform(range(1, length(word)),
+                                          i -> word[i : i + 1])) AS pair
+          FROM v
+        )
+        SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+        FROM p GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT {BPE_TOP_K}
+    """,
     "train_pack_sequences": f"""
         WITH t AS (
           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
