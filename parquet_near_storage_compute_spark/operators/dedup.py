@@ -379,6 +379,49 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Containment threshold as an exact integer ratio (7/10): the cut is an
+#: integer comparison (10·|A∩B| ≥ 7·min|A|,|B|), so no float division can
+#: flip a pair between engines.
+CONTAINMENT_NUM = 7
+CONTAINMENT_DEN = 10
+
+
+def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication (round 4): containment |A∩B| / min(|A|,|B|)
+    over the LSH candidate pairs — the quote/inclusion detector Jaccard
+    misses when sizes differ (a paragraph wholly copied into a 100× longer
+    document has tiny Jaccard but containment ≈ 1). Same two-phase shape
+    as ngram_jaccard: capped LSH candidates, exact verify on candidates
+    only; the threshold compares integers so the cut is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_minhash_signatures(docs))
+    sets = fan_out(docs).select(
+        "doc_id", F.array_distinct(shingles(words("text"), 3)).alias("sset")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    mn = F.least(F.size("set_a"), F.size("set_b")).cast("long")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_shared"),
+            mn.alias("min_size"),
+            (inter.cast("double") / mn).alias("containment"),
+        )
+        .filter(
+            (F.col("min_size") > 0)
+            & (
+                F.col("n_shared") * CONTAINMENT_DEN
+                >= F.col("min_size") * CONTAINMENT_NUM
+            )
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set Jaccard within (lang, source) blocks, candidates generated
     by MinHash-LSH INSIDE each block (round 3; the r2 form was an in-block
@@ -533,6 +576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_key": key_dedup,
     "dedup_minhash_lsh": minhash_lsh,
     "dedup_ngram_jaccard": ngram_jaccard,
+    "dedup_shingle_containment": shingle_containment,
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
     "dedup_connected_components": connected_components,
@@ -601,6 +645,28 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLE_CTE}
         SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
+    """,
+    "dedup_shingle_containment": f"""
+        WITH {_SHINGLE_CTE},
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   CASE WHEN len(ws) >= 3 THEN range(len(ws)-2) ELSE [] END,
+                   i -> array_to_string(ws[i+1:i+3], ' '))) AS sset
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS n_shared,
+               CAST(least(len(a.sset), len(b.sset)) AS BIGINT) AS min_size,
+               CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+                 / least(len(a.sset), len(b.sset)) AS containment
+        FROM cand c
+        JOIN sets a ON c.doc_a = a.doc_id
+        JOIN sets b ON c.doc_b = b.doc_id
+        WHERE least(len(a.sset), len(b.sset)) > 0
+          AND {CONTAINMENT_DEN} * len(list_intersect(a.sset, b.sset))
+              >= {CONTAINMENT_NUM} * least(len(a.sset), len(b.sset))
+        ORDER BY c.doc_a, c.doc_b
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLE_CTE},
