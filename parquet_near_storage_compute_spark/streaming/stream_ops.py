@@ -127,6 +127,31 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermarked tumbling counts (round 4) — the streaming
+    contract where the watermark is LOAD-BEARING, not inert: append mode
+    emits a window only once the watermark (max event time − 1h) passes
+    its end, so the trailing still-open windows are withheld from the
+    result and evicted state is what production would actually free. Over
+    the static corpus via AvailableNow this is deterministic: emitted
+    windows are exactly those with end ≤ max(ts) − 1h, which is what the
+    DuckDB oracle computes. Complete-mode twins (windowed_counts,
+    sliding_counts) keep the full-history view; this one proves the
+    eviction semantics."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.date_format("w.start", _FMT).alias("win_start"),
+        F.date_format("w.end", _FMT).alias("win_end"),
+        "n_events",
+    ).orderBy("win_start")
+
+
 def _user_stats_fn(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
@@ -236,6 +261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_exact": stream_dedup,
     "stream_stream_join": stream_stream_join,
     "stream_sliding_counts": sliding_counts,
+    "stream_append_closed_windows": append_closed_windows,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -258,6 +284,22 @@ ORACLE_SQL: dict[str, str] = {
                strftime(win_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM expanded GROUP BY 1, 2
+    """,
+    "stream_append_closed_windows": """
+        -- append-mode emission rule: a window surfaces only when the
+        -- watermark (max event time - 1h) has passed its end
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+        b AS (
+          SELECT date_trunc('hour', ts) AS h,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1
+        )
+        SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS win_start,
+               strftime(h + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
+               n_events
+        FROM b, wm
+        WHERE h + INTERVAL 1 HOUR <= wm.w
+        ORDER BY win_start
     """,
     "stream_stateful_user_stats": """
         SELECT user_id,
