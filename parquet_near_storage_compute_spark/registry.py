@@ -51,14 +51,15 @@ _MODULES = [
 #: the 2 modified in r3 without re-confirmation (dedup_ngram_jaccard shares
 #: the reworked bucket helper; mm_resize's kernel was rewritten), the 2
 #: dedup contracts whose shared ``_banded_buckets`` helper changed again
-#: this round (salt 16→4, level-2-only sort), the 2 new-in-r4 contracts
-#: (meta_stat_prefixes, mm_image_decode), and — filling the remaining 26
-#: slots — the oldest-verified contracts, in their CORRECTNESS_r02 order
-#: (last externally confirmed two rounds ago; several of their families
-#: were touched this round: text_pii_scrub's corpus union lives in the
-#: new-in-r3 group, the mm_* family gained a real decoder). After this
-#: window lands green, every contract except 24 r2-verified stragglers has
-#: a round-3-or-4 driver row; the stragglers rotate in round 5.
+#: this round (salt 16→4, level-2-only sort), the 6 new-in-r4 contracts
+#: (meta_stat_prefixes, mm_image_decode, events_retention_cohorts,
+#: train_bpe_pair_counts, dedup_shingle_containment,
+#: stream_append_closed_windows — never-checked beats re-confirmation for
+#: a slot), and — filling the remaining 22 slots — the oldest-verified
+#: contracts, in their CORRECTNESS_r02 order (last externally confirmed
+#: two rounds ago). After this window lands green, every contract except
+#: 28 r2-verified stragglers has a round-3-or-4 driver row; the stragglers
+#: rotate in round 5.
 _PRIORITY = [
     # new in r3 — first driver check (18)
     "sim_knn_join",
@@ -85,10 +86,14 @@ _PRIORITY = [
     # modified r4: shared bucket-merge helper reworked (2)
     "dedup_minhash_lsh",
     "dedup_blocked_jaccard",
-    # new in r4 (2)
+    # new in r4 (6)
     "meta_stat_prefixes",
     "mm_image_decode",
-    # oldest-verified rotation fill, CORRECTNESS_r02 order (26)
+    "events_retention_cohorts",
+    "train_bpe_pair_counts",
+    "dedup_shingle_containment",
+    "stream_append_closed_windows",
+    # oldest-verified rotation fill, CORRECTNESS_r02 order (22)
     "dedup_exact",
     "dedup_key",
     "dedup_simhash",
@@ -111,10 +116,6 @@ _PRIORITY = [
     "time_sliding_window",
     "time_sessionize",
     "time_session_window_native",
-    "time_json_extract",
-    "time_datetime_parts",
-    "relational_correlated_subquery",
-    "relational_pivot",
 ]
 
 

@@ -42,6 +42,7 @@ _SKIP = {
     "stream_windowed_counts",
     "stream_stateful_user_stats",
     "stream_sliding_counts",
+    "stream_append_closed_windows",
 }
 
 

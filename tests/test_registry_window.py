@@ -57,7 +57,14 @@ MODIFIED_R3_UNCONFIRMED = {"dedup_ngram_jaccard", "mm_resize"}
 MODIFIED_IN_R4 = {"dedup_minhash_lsh", "dedup_blocked_jaccard"}
 
 #: First registered in round 4.
-NEW_IN_R4 = {"meta_stat_prefixes", "mm_image_decode"}
+NEW_IN_R4 = {
+    "meta_stat_prefixes",
+    "mm_image_decode",
+    "events_retention_cohorts",
+    "train_bpe_pair_counts",
+    "dedup_shingle_containment",
+    "stream_append_closed_windows",
+}
 
 
 def test_window_is_exactly_priority():
