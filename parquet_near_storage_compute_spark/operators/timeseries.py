@@ -201,6 +201,79 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day (round 4) — 'cumulative uniques',
+    the growth curve every telemetry dashboard wants and a naive
+    countDistinct-over-window cannot compute at scale (distinct state per
+    frame grows unboundedly).
+
+    The classic reformulation: a user counts on every day ≥ their first-seen
+    day, so cumulative uniques at day d = #users with first_seen ≤ d. One
+    user-keyed aggregate (first_seen), one day-keyed count, then a running
+    sum over the ≤#days frame — the unbounded-state window never exists;
+    the single-partition window at the end spans only #days rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    per_day = first.groupBy("first_d").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("first_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.date_format("first_d", "yyyy-MM-dd").alias("day"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    ).orderBy("day")
+
+
+#: MAD anomaly threshold: a bucket is anomalous when
+#: |n − median| > MAD_K × MAD. All quantities are exact binary fractions
+#: (medians of integers interpolate to halves), so the comparison cannot
+#: drift between engines.
+MAD_K = 3
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection per event type (round 4): hourly
+    counts vs the type's median ± MAD_K × MAD (median absolute deviation) —
+    the monitoring pass a pipeline runs over its own telemetry; MAD ignores
+    the outliers that corrupt a stddev rule.
+
+    Scale shape: one (hour, type) aggregate over the events (the only
+    row-level shuffle), then medians over the ≤hours×types counts frame —
+    dimension-sized statistics joined back broadcast. Exactness: counts are
+    integers, medians interpolate to binary halves, MAD_K is an integer —
+    every comparison is exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > MAD_K * F.col("mad"))
+        .select(
+            F.date_format("h", _FMT).alias("hour_start"),
+            "event_type",
+            "n",
+            "med",
+            "mad",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
 #: Funnel stage order (event sequence a conversion must follow).
 FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -265,9 +338,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_gap_fill": gap_fill_hourly,
     "events_funnel": events_funnel,
     "events_retention_cohorts": retention_cohorts,
+    "events_cumulative_users": cumulative_distinct_users,
+    "events_anomaly_mad": anomaly_mad,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "events_cumulative_users": """
+        WITH first AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+          FROM events GROUP BY user_id
+        ),
+        per_day AS (
+          SELECT first_d, CAST(COUNT(*) AS BIGINT) AS n_new_users
+          FROM first GROUP BY first_d
+        )
+        SELECT strftime(first_d, '%Y-%m-%d') AS day,
+               n_new_users,
+               CAST(SUM(n_new_users) OVER (ORDER BY first_d
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM per_day ORDER BY day
+    """,
+    "events_anomaly_mad": f"""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS h, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        med AS (
+          SELECT event_type, median(n) AS med FROM hourly GROUP BY event_type
+        ),
+        dev AS (
+          SELECT hourly.*, med.med, abs(n - med.med) AS adev
+          FROM hourly JOIN med USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+        )
+        SELECT strftime(dev.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               dev.event_type, dev.n, dev.med, mad.mad
+        FROM dev JOIN mad USING (event_type)
+        WHERE dev.adev > {MAD_K} * mad.mad
+        ORDER BY hour_start, event_type
+    """,
     "events_retention_cohorts": """
         WITH ev AS (
           SELECT user_id, CAST(ts AS DATE) AS d,
