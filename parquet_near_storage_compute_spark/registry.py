@@ -51,14 +51,15 @@ _MODULES = [
 #: the 2 modified in r3 without re-confirmation (dedup_ngram_jaccard shares
 #: the reworked bucket helper; mm_resize's kernel was rewritten), the 2
 #: dedup contracts whose shared ``_banded_buckets`` helper changed again
-#: this round (salt 16→4, level-2-only sort), the 6 new-in-r4 contracts
+#: this round (salt 16→4, level-2-only sort), the 8 new-in-r4 contracts
 #: (meta_stat_prefixes, mm_image_decode, events_retention_cohorts,
 #: train_bpe_pair_counts, dedup_shingle_containment,
-#: stream_append_closed_windows — never-checked beats re-confirmation for
-#: a slot), and — filling the remaining 22 slots — the oldest-verified
-#: contracts, in their CORRECTNESS_r02 order (last externally confirmed
-#: two rounds ago). After this window lands green, every contract except
-#: 28 r2-verified stragglers has a round-3-or-4 driver row; the stragglers
+#: stream_append_closed_windows, events_cumulative_users,
+#: events_anomaly_mad — never-checked beats re-confirmation for a slot),
+#: and — filling the remaining 20 slots — the oldest-verified contracts,
+#: in their CORRECTNESS_r02 order (last externally confirmed two rounds
+#: ago). After this window lands green, every contract except 30
+#: r2-verified stragglers has a round-3-or-4 driver row; the stragglers
 #: rotate in round 5.
 _PRIORITY = [
     # new in r3 — first driver check (18)
@@ -93,7 +94,9 @@ _PRIORITY = [
     "train_bpe_pair_counts",
     "dedup_shingle_containment",
     "stream_append_closed_windows",
-    # oldest-verified rotation fill, CORRECTNESS_r02 order (22)
+    "events_cumulative_users",
+    "events_anomaly_mad",
+    # oldest-verified rotation fill, CORRECTNESS_r02 order (20)
     "dedup_exact",
     "dedup_key",
     "dedup_simhash",
@@ -114,8 +117,6 @@ _PRIORITY = [
     "mm_frame_sample",
     "time_tumbling_hourly",
     "time_sliding_window",
-    "time_sessionize",
-    "time_session_window_native",
 ]
 
 

@@ -64,6 +64,8 @@ NEW_IN_R4 = {
     "train_bpe_pair_counts",
     "dedup_shingle_containment",
     "stream_append_closed_windows",
+    "events_cumulative_users",
+    "events_anomaly_mad",
 }
 
 

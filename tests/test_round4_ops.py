@@ -75,3 +75,31 @@ def test_containment_catches_size_skewed_inclusion(spark, sf_dir):
     for r in rows:
         assert 10 * r.n_shared >= 7 * r.min_size
         assert abs(r.containment - r.n_shared / r.min_size) < 1e-12
+
+
+def test_cumulative_users_monotone_and_total(spark, sf_dir):
+    from parquet_near_storage_compute_spark.operators.timeseries import (
+        cumulative_distinct_users,
+    )
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    rows = cumulative_distinct_users(spark, sf_dir).collect()
+    cums = [r.cum_users for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r.n_new_users for r in rows)
+    total = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert cums[-1] == total
+
+
+def test_anomaly_mad_flags_are_beyond_threshold(spark, sf_dir):
+    from parquet_near_storage_compute_spark.operators.timeseries import (
+        MAD_K,
+        anomaly_mad,
+    )
+
+    for r in anomaly_mad(spark, sf_dir).collect():
+        assert abs(r.n - r.med) > MAD_K * r.mad
