@@ -93,6 +93,7 @@ def glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sf_dir so different scale factors never collide. Written once per
 #: process lifetime of the directory (the _SUCCESS marker gates rewrite).
 _PARTITIONED_DIR_PREFIX = "/tmp/pnsc_partitioned_events"
+_TMP_DIR = "/tmp/pnsc_sources"
 
 
 def partitioned_events_path(sf_dir: str) -> str:
@@ -134,6 +135,90 @@ def partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Round-trip subset for the JSONL/ORC source contracts: every 50th event.
+_RT_MOD = 50
+
+
+def _roundtrip_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % _RT_MOD == 0)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+def _roundtrip_scan(
+    spark: SparkSession, sf_dir: str, fmt: str
+) -> DataFrame:
+    """Shared body of the JSONL/ORC source contracts: write a deterministic
+    events subset in ``fmt``, read it back through the corresponding Spark
+    source, and aggregate. The DuckDB oracle computes the same aggregate
+    straight from the parquet events view — equality proves the format
+    round-trip was lossless, without DuckDB needing to read the format
+    itself (it cannot read ORC). Timestamps travel as formatted strings:
+    the contract tests the source plumbing, not timezone serialization."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(_TMP_DIR, f"roundtrip_{fmt}_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _roundtrip_subset(spark, sf_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).format(fmt).save(path)
+    schema = "event_id bigint, ts_str string, event_type string, value double"
+    df = spark.read.schema(schema).format(fmt).load(path)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts_str").alias("min_ts"),
+            F.max("ts_str").alias("max_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: Spark's native json reader with an explicit
+    schema (schema inference over JSON is a full extra pass — never at
+    100 TB). Splittable by byte ranges like CSV; no footer pruning, which
+    is the documented reason parquet stays the primary format."""
+    return _roundtrip_scan(spark, sf_dir, "json")
+
+
+def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: Spark's built-in columnar alternative to parquet (stripe
+    statistics give it the same pushdown/pruning machinery). Round-trip
+    equality against the parquet-derived oracle proves lossless transport
+    through the second columnar format."""
+    return _roundtrip_scan(spark, sf_dir, "orc")
+
+
+_RT_ORACLE = f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(value) AS DOUBLE) AS sum_value,
+           MIN(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS min_ts,
+           MAX(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS max_ts
+    FROM events
+    WHERE event_id % {_RT_MOD} = 0
+    GROUP BY event_type ORDER BY event_type
+"""
 
 
 #: Committed CSV artifact (the S9 sink's own output, pinned by
@@ -225,6 +310,8 @@ QUERIES = {
     "source_glob_scan": glob_scan,
     "source_partitioned_scan": partitioned_scan,
     "source_csv_scan": csv_scan,
+    "source_jsonl_scan": jsonl_scan,
+    "source_orc_scan": orc_scan,
     "meta_stat_prefixes": stat_prefixes,
 }
 
@@ -249,6 +336,8 @@ ORACLE_SQL = {
         FROM read_csv('{GOLDEN_CSV}', header=true)
         ORDER BY bucket
     """,
+    "source_jsonl_scan": _RT_ORACLE,
+    "source_orc_scan": _RT_ORACLE,
     "meta_stat_prefixes": f"""
         SELECT table_name, column_name,
                substr(MIN(stats_min_value), 1, 8) AS min_prefix,
