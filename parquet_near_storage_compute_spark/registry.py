@@ -11,7 +11,7 @@ iteration order. Round 1 verified the core v1/snowset/join/agg/window surface
 (CORRECTNESS_r02, 50/50); round 3 rotated back to the r1-era core plus the
 never-checked train_/stream_/kmeans contracts (CORRECTNESS_r03, 50/50);
 round 4 rotates to the 18 new-in-r3 contracts, the r3/r4-modified dedup/mm
-contracts, the 2 new-in-r4 contracts, and the oldest-verified r2 window as
+contracts, the 10 new-in-r4 contracts, and the oldest-verified r2 window as
 fill. ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -51,16 +51,17 @@ _MODULES = [
 #: the 2 modified in r3 without re-confirmation (dedup_ngram_jaccard shares
 #: the reworked bucket helper; mm_resize's kernel was rewritten), the 2
 #: dedup contracts whose shared ``_banded_buckets`` helper changed again
-#: this round (salt 16→4, level-2-only sort), the 8 new-in-r4 contracts
+#: this round (salt 16→4, level-2-only sort), the 10 new-in-r4 contracts
 #: (meta_stat_prefixes, mm_image_decode, events_retention_cohorts,
 #: train_bpe_pair_counts, dedup_shingle_containment,
 #: stream_append_closed_windows, events_cumulative_users,
-#: events_anomaly_mad — never-checked beats re-confirmation for a slot),
-#: and — filling the remaining 20 slots — the oldest-verified contracts,
-#: in their CORRECTNESS_r02 order (last externally confirmed two rounds
-#: ago). After this window lands green, every contract except 30
-#: r2-verified stragglers has a round-3-or-4 driver row; the stragglers
-#: rotate in round 5.
+#: events_anomaly_mad, source_jsonl_scan, source_orc_scan — never-checked
+#: beats re-confirmation for a slot), and — filling the remaining 18
+#: slots — the oldest-verified contracts, in their CORRECTNESS_r02 order
+#: (last externally confirmed two rounds ago). After this window lands
+#: green, every contract except 28 r2-verified stragglers has a
+#: round-3-or-4 driver row; the stragglers rotate in round 5 (exact list
+#: at the end of NOTES_r4.md).
 _PRIORITY = [
     # new in r3 — first driver check (18)
     "sim_knn_join",
@@ -87,7 +88,7 @@ _PRIORITY = [
     # modified r4: shared bucket-merge helper reworked (2)
     "dedup_minhash_lsh",
     "dedup_blocked_jaccard",
-    # new in r4 (6)
+    # new in r4 (10)
     "meta_stat_prefixes",
     "mm_image_decode",
     "events_retention_cohorts",
@@ -96,7 +97,9 @@ _PRIORITY = [
     "stream_append_closed_windows",
     "events_cumulative_users",
     "events_anomaly_mad",
-    # oldest-verified rotation fill, CORRECTNESS_r02 order (20)
+    "source_jsonl_scan",
+    "source_orc_scan",
+    # oldest-verified rotation fill, CORRECTNESS_r02 order (18)
     "dedup_exact",
     "dedup_key",
     "dedup_simhash",
@@ -115,8 +118,6 @@ _PRIORITY = [
     "mm_feature_extract",
     "mm_binary_metadata",
     "mm_frame_sample",
-    "time_tumbling_hourly",
-    "time_sliding_window",
 ]
 
 
