@@ -173,10 +173,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the cohort day comes from a min-window over the user
     partition (ONE shuffle on user_id, no join back — the groupBy+rejoin
     form would shuffle events twice), then one aggregate on
-    (cohort, offset) keys. Cohort sizes are read from the aggregate's own
-    offset-0 rows (cohorts×offsets rows, tiny) and broadcast back; the
-    retention fraction divides two exact counts, so both engines compute
-    the identical double."""
+    (cohort, offset) keys. Cohort sizes are the aggregate's own offset-0
+    rows, read via a window over the cohort partition of the tiny
+    (cohorts×offsets) frame — a filter+broadcast-rejoin would re-execute
+    the whole events subtree for a dimension-sized branch. The retention
+    fraction divides two exact counts, so both engines compute the
+    identical double."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
@@ -185,11 +187,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret = cohorted.groupBy(
         "cohort_d", F.datediff("d", "cohort_d").alias("day_offset")
     ).agg(F.countDistinct("user_id").alias("n_users"))
-    sizes = ret.filter(F.col("day_offset") == 0).select(
-        "cohort_d", F.col("n_users").alias("cohort_size")
-    )
+    wc = Window.partitionBy("cohort_d")
     return (
-        ret.join(F.broadcast(sizes), "cohort_d")
+        ret.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(wc),
+        )
         .select(
             F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
             F.col("day_offset").cast("int").alias("day_offset"),
@@ -242,27 +245,27 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the monitoring pass a pipeline runs over its own telemetry; MAD ignores
     the outliers that corrupt a stddev rule.
 
-    Scale shape: one (hour, type) aggregate over the events (the only
-    row-level shuffle), then medians over the ≤hours×types counts frame —
-    dimension-sized statistics joined back broadcast. Exactness: counts are
-    integers, medians interpolate to binary halves, MAD_K is an integer —
-    every comparison is exact in both engines."""
+    Scale shape: one (hour, type) aggregate over the events — the ONLY
+    row-level shuffle and the only execution of the events subtree. The
+    median and MAD are whole-partition window aggregates over the
+    ≤hours×types counts frame, partitioned by event_type (the
+    groupBy+broadcast-join form would re-execute the events aggregate for
+    each statistics branch). Exactness: counts are integers, medians
+    interpolate to binary halves, MAD_K is an integer — every comparison
+    is exact in both engines."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    med = hourly.groupBy("event_type").agg(
-        F.percentile("n", F.lit(0.5)).alias("med")
-    )
-    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("n") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
+    wt = Window.partitionBy("event_type")
+    dev = hourly.withColumn(
+        "med", F.percentile("n", F.lit(0.5)).over(wt)
+    ).withColumn("adev", F.abs(F.col("n") - F.col("med")))
+    flagged = dev.withColumn(
+        "mad", F.percentile("adev", F.lit(0.5)).over(wt)
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
-        .filter(F.col("adev") > MAD_K * F.col("mad"))
+        flagged.filter(F.col("adev") > MAD_K * F.col("mad"))
         .select(
             F.date_format("h", _FMT).alias("hour_start"),
             "event_type",
