@@ -110,6 +110,32 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT (round 4): the two
+    priciest lineitems of every high-value order — the 'top-N per outer
+    row' idiom SQL users reach for before they know window functions.
+    Catalyst decorrelates it (DecorrelateInnerQuery): the executed plan is
+    a row_number window over the lineitem side + an equi-join on the
+    correlation key — no per-outer-row re-execution, no nested loop, and
+    at 100 TB it scales exactly like the window form
+    (window_topk_per_group). DuckDB runs the identical LATERAL text."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM orders o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) t
+        WHERE o.o_totalprice > 400000
+        ORDER BY o.o_orderkey, l_extendedprice DESC, l_linenumber
+        """
+    )
+
+
 def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: events wide per user-bucket × event_type (explicit value list
     so the plan needs no extra distinct pass — the 100 TB form)."""
@@ -148,6 +174,7 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relational_correlated_subquery": correlated_subquery,
+    "relational_lateral_topn": lateral_topn,
     "relational_pivot": pivot_counts,
     "relational_unpivot": unpivot_measures,
     "relational_distinct_rows": distinct_rows,
@@ -160,6 +187,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "relational_lateral_topn": """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM orders o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) t
+        WHERE o.o_totalprice > 400000
+        ORDER BY o.o_orderkey, l_extendedprice DESC, l_linenumber
+    """,
     "relational_correlated_subquery": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders o
