@@ -153,14 +153,61 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (round 4; completes the §2.10 UDF/UDAF/UDTF triple): a
+    table function exploding a document into (pos, token, token_len) rows,
+    applied per outer row via LATERAL — the UDTF API surface
+    (``@udtf`` + ``spark.udtf.register`` + lateral table reference).
+    Restricted to a doc_id slice because a row-at-a-time Python UDTF is
+    the SLOW path by design — the production form of this exact operation
+    is the builtin posexplode(split(...)) (text_token_counts and friends);
+    the contract exists to prove the API, not to recommend it at 100 TB.
+    The oracle replays it with list_transform + unnest."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("pnsc_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM documents d, LATERAL pnsc_tokenize(d.text) t
+        WHERE d.doc_id < 20
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udf_readability": udf_readability,
     "udf_sql_surface": udf_sql_surface,
     "udaf_geomean": udaf_geomean,
     "udf_grouped_map_zscore": grouped_map_zscore,
+    "udtf_tokenize": udtf_tokenize,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "udtf_tokenize": """
+        SELECT doc_id,
+               CAST(t.pos AS INT) AS pos,
+               t.token,
+               CAST(length(t.token) AS INT) AS token_len
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(string_split(text, ' '),
+                        (tok, i) -> struct_pack(pos := i - 1, token := tok)))
+                   AS t
+          FROM documents WHERE doc_id < 20
+        )
+        ORDER BY doc_id, pos
+    """,
     "udf_readability": _UDF_ORACLE,
     "udf_sql_surface": _UDF_ORACLE,
     "udaf_geomean": """
