@@ -207,8 +207,9 @@ def minhash_dedup_decisions(docs: DataFrame) -> DataFrame:
 
     Output: (doc_id, keep, reason) for every input document — reason ∈
     {'unique', 'pair_survivor', 'near_dup', 'overflow_survivor',
-    'overflow_cluster'}. Not a registered contract; exercised by
-    tests/test_lsh_hot_bucket.py."""
+    'overflow_cluster'}. Registered as ``minhash_dedup_decisions`` (round
+    4, full-logic DuckDB oracle); the adversarial overflow branches are
+    additionally exercised by tests/test_lsh_hot_bucket.py."""
     sig = _minhash_signatures(docs)
     bands = _bands(sig)
     buckets = _banded_buckets(bands, ["band", "bh"])
@@ -580,6 +581,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
     "dedup_connected_components": connected_components,
+    "minhash_dedup_decisions": lambda spark, sf_dir: (
+        minhash_dedup_decisions(load_table(spark, sf_dir, "documents"))
+        .orderBy("doc_id")
+    ),
     # dedup_embedding (all-pairs baseline) is deliberately NOT registered:
     # its theta join is O(n²) compare volume, a scale-killer as a contract
     # query. It stays as the exactness baseline for the LSH variant in
@@ -764,6 +769,44 @@ ORACLE_SQL: dict[str, str] = {
     # reach it; the component representative is the min. Same fixpoint the
     # Spark loop converges to — both sides are pure functions of the edge
     # set, so the hash gate is exact.
+    "minhash_dedup_decisions": f"""
+        WITH {_SHINGLE_CTE},
+        pair_losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand),
+        pair_winners AS (
+          SELECT DISTINCT doc_a AS doc_id FROM cand
+          WHERE doc_a NOT IN (SELECT doc_id FROM pair_losers)
+        ),
+        over_keys AS (SELECT band, bh FROM bsz WHERE n > {LSH_BUCKET_CAP}),
+        over_members AS (
+          SELECT DISTINCT b.doc_id, b.band, b.bh
+          FROM bands b JOIN over_keys USING (band, bh)
+        ),
+        over_min AS (
+          SELECT band, bh, MIN(doc_id) AS keep_id
+          FROM over_members GROUP BY band, bh
+        ),
+        over_losers AS (
+          SELECT DISTINCT m.doc_id FROM over_members m
+          JOIN over_min USING (band, bh) WHERE m.doc_id <> keep_id
+        ),
+        over_keepers AS (
+          SELECT DISTINCT m.doc_id FROM over_members m
+          JOIN over_min USING (band, bh) WHERE m.doc_id = keep_id
+        )
+        SELECT d.doc_id,
+               (oc.doc_id IS NULL AND nd.doc_id IS NULL) AS keep,
+               CASE WHEN oc.doc_id IS NOT NULL THEN 'overflow_cluster'
+                    WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                    WHEN os.doc_id IS NOT NULL THEN 'overflow_survivor'
+                    WHEN pw.doc_id IS NOT NULL THEN 'pair_survivor'
+                    ELSE 'unique' END AS reason
+        FROM documents d
+        LEFT JOIN over_losers oc ON d.doc_id = oc.doc_id
+        LEFT JOIN pair_losers nd ON d.doc_id = nd.doc_id
+        LEFT JOIN over_keepers os ON d.doc_id = os.doc_id
+        LEFT JOIN pair_winners pw ON d.doc_id = pw.doc_id
+        ORDER BY d.doc_id
+    """,
     "dedup_connected_components": f"""
         WITH RECURSIVE {_SHINGLE_CTE},
         edges AS (
