@@ -55,3 +55,49 @@ def test_single_doc_corpus_has_no_pairs(spark):
     sig = _minhash_signatures(docs)
     pairs = _bucket_pairs(_banded_buckets(_bands(sig), ["band", "bh"]))
     assert pairs.count() == 0
+
+
+def test_contamination_report_empty_and_eval_only(spark):
+    from parquet_near_storage_compute_spark.operators.training import (
+        _contamination_report,
+    )
+
+    assert _contamination_report(_empty_docs(spark)).count() == 0
+    # eval-only corpus (every doc_id % 20 == 0): no train side, no hits
+    ev_only = spark.createDataFrame(
+        [(0, "aa bb cc dd ee ff"), (20, "aa bb cc dd ee gg")],
+        "doc_id long, text string",
+    )
+    assert _contamination_report(ev_only).count() == 0
+
+
+def test_pii_report_empty(spark):
+    from parquet_near_storage_compute_spark.operators.textops import (
+        _pii_report,
+    )
+
+    empty = spark.createDataFrame([], "corpus string, doc_id long, text string")
+    assert _pii_report(empty).count() == 0
+
+
+def test_decisions_on_empty_and_singleton(spark):
+    from parquet_near_storage_compute_spark.operators.dedup import (
+        minhash_dedup_decisions,
+    )
+
+    assert minhash_dedup_decisions(_empty_docs(spark)).count() == 0
+    one = spark.createDataFrame(
+        [(5, "one single document with plenty of words")],
+        "doc_id long, text string",
+    )
+    rows = minhash_dedup_decisions(one).collect()
+    assert [(r.doc_id, r.keep, r.reason) for r in rows] == [(5, True, "unique")]
+
+
+def test_propagate_min_labels_empty_edges(spark):
+    from parquet_near_storage_compute_spark.operators.dedup import (
+        propagate_min_labels,
+    )
+
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert propagate_min_labels(edges).count() == 0
