@@ -27,6 +27,17 @@ from parquet_near_storage_compute_spark.operators.dedup import (
     shingles,
 )
 from parquet_near_storage_compute_spark.functions.text import words
+from parquet_near_storage_compute_spark.operators.dedup import LSH_BUCKET_CAP
+from parquet_near_storage_compute_spark.operators.textops import (
+    PII_EMAIL_RE,
+    PII_IP_RE,
+    PII_PHONE_RE,
+)
+from parquet_near_storage_compute_spark.operators.training import (
+    CONTAM_MAX_DF,
+    CONTAM_NGRAM,
+    EVAL_MOD,
+)
 from parquet_near_storage_compute_spark.tables import fan_out, load_table
 
 
@@ -71,11 +82,148 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard (round 4): the compliance/quality
+    summary a data owner reads before a training run, composing three
+    round-4 operators over ONE pass of the corpus —
+
+      near-dup decisions (``minhash_dedup_decisions``: keep/drop per doc)
+      + PII flags (``_pii_report``: any progressive redaction hit)
+      + decontamination flags (``_contamination_report``: rare-gram overlap
+        with the held-out slice)
+
+    reduced to per-source counts: docs, near-dup drops, PII-bearing docs,
+    contaminated docs, and the clean remainder (kept ∧ no PII ∧ not
+    contaminated). The three flag frames are doc_id-keyed (each bounded by
+    its operator's own shuffle budget) and join back on doc_id before a
+    #sources-row aggregate — the composite inherits every component's
+    scale design and adds only dimension-sized work."""
+    from parquet_near_storage_compute_spark.operators.dedup import (
+        minhash_dedup_decisions,
+    )
+    from parquet_near_storage_compute_spark.operators.textops import (
+        _pii_report,
+    )
+    from parquet_near_storage_compute_spark.operators.training import (
+        _contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = minhash_dedup_decisions(docs).select("doc_id", "keep")
+    pii = _pii_report(
+        docs.select(F.lit("documents").alias("corpus"), "doc_id", "text")
+    ).select(
+        "doc_id",
+        (
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0
+        ).alias("has_pii"),
+    )
+    contam = (
+        _contamination_report(fan_out(docs))
+        .select("doc_id")
+        .withColumn("contaminated", F.lit(True))
+    )
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(dec, "doc_id")
+        .join(pii, "doc_id")
+        .join(contam, "doc_id", "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+    )
+    as_long = lambda c: c.cast("int").cast("long")  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(as_long(~F.col("keep"))).alias("n_near_dup_drops"),
+            F.sum(as_long(F.col("has_pii"))).alias("n_pii_docs"),
+            F.sum(as_long(F.col("contaminated"))).alias("n_contaminated"),
+            F.sum(
+                as_long(
+                    F.col("keep")
+                    & ~F.col("has_pii")
+                    & ~F.col("contaminated")
+                )
+            ).alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_training_data": training_data_pipeline,
+    "pipeline_curation_report": curation_report,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "pipeline_curation_report": f"""
+        WITH {_SHINGLE_CTE},
+        pair_losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand),
+        over_keys AS (SELECT band, bh FROM bsz WHERE n > {LSH_BUCKET_CAP}),
+        over_members AS (
+          SELECT DISTINCT b.doc_id, b.band, b.bh
+          FROM bands b JOIN over_keys USING (band, bh)
+        ),
+        over_min AS (
+          SELECT band, bh, MIN(doc_id) AS keep_id
+          FROM over_members GROUP BY band, bh
+        ),
+        over_losers AS (
+          SELECT DISTINCT m.doc_id FROM over_members m
+          JOIN over_min USING (band, bh) WHERE m.doc_id <> keep_id
+        ),
+        drops AS (
+          SELECT doc_id FROM pair_losers
+          UNION SELECT doc_id FROM over_losers
+        ),
+        pii AS (
+          SELECT doc_id,
+                 (len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+                  + len(regexp_extract_all(
+                      regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PII_IP_RE}'))
+                  + len(regexp_extract_all(
+                      regexp_replace(regexp_replace(
+                        text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PII_IP_RE}', '<IP>', 'g'),
+                      '{PII_PHONE_RE}'))) > 0 AS has_pii
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, doc_id % {EVAL_MOD} = 0 AS is_eval,
+                 unnest(list_distinct(list_transform(
+                   CASE WHEN len(ws) >= {CONTAM_NGRAM}
+                        THEN range(len(ws) - {CONTAM_NGRAM - 1}) ELSE [] END,
+                   i -> array_to_string(
+                          ws[i + 1 : i + {CONTAM_NGRAM}], ' ')))) AS gm
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        ev AS (SELECT gm, doc_id AS eval_doc FROM g WHERE is_eval),
+        rare AS (
+          SELECT gm FROM ev GROUP BY gm HAVING COUNT(*) <= {CONTAM_MAX_DF}
+        ),
+        contam AS (
+          SELECT DISTINCT t.doc_id
+          FROM (SELECT gm, doc_id FROM g WHERE NOT is_eval) t
+          JOIN ev USING (gm) JOIN rare USING (gm)
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_drops,
+               CAST(SUM(CASE WHEN p.has_pii
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+               CAST(SUM(CASE WHEN c.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(SUM(CASE WHEN dr.doc_id IS NULL AND NOT p.has_pii
+                             AND c.doc_id IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        FROM documents d
+        LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+        JOIN pii p ON d.doc_id = p.doc_id
+        LEFT JOIN contam c ON d.doc_id = c.doc_id
+        GROUP BY d.source ORDER BY d.source
+    """,
     "pipeline_training_data": f"""
         WITH quality AS (
           SELECT * FROM documents

@@ -51,18 +51,18 @@ _MODULES = [
 #: the 2 modified in r3 without re-confirmation (dedup_ngram_jaccard shares
 #: the reworked bucket helper; mm_resize's kernel was rewritten), the 2
 #: dedup contracts whose shared ``_banded_buckets`` helper changed again
-#: this round (salt 16→4, level-2-only sort), the 13 new-in-r4 contracts
+#: this round (salt 16→4, level-2-only sort), the 14 new-in-r4 contracts
 #: (meta_stat_prefixes, mm_image_decode, events_retention_cohorts,
 #: train_bpe_pair_counts, dedup_shingle_containment,
 #: stream_append_closed_windows, events_cumulative_users,
 #: events_anomaly_mad, source_jsonl_scan, source_orc_scan,
-#: relational_lateral_topn, udtf_tokenize, minhash_dedup_decisions —
-#: never-checked beats re-confirmation for a slot), and — filling the
-#: remaining 15 slots — the oldest-verified contracts, in their
-#: CORRECTNESS_r02 order (last externally confirmed two rounds ago).
-#: After this window lands green, every contract except 31 r2-verified
-#: stragglers has a round-3-or-4 driver row; the stragglers rotate in
-#: round 5 (exact list at the end of NOTES_r4.md).
+#: relational_lateral_topn, udtf_tokenize, minhash_dedup_decisions,
+#: pipeline_curation_report — never-checked beats re-confirmation for a
+#: slot), and — filling the remaining 14 slots — the oldest-verified
+#: contracts, in their CORRECTNESS_r02 order (last externally confirmed
+#: two rounds ago). After this window lands green, every contract except
+#: 32 r2-verified stragglers has a round-3-or-4 driver row; the
+#: stragglers rotate in round 5 (exact list at the end of NOTES_r4.md).
 _PRIORITY = [
     # new in r3 — first driver check (18)
     "sim_knn_join",
@@ -89,7 +89,7 @@ _PRIORITY = [
     # modified r4: shared bucket-merge helper reworked (2)
     "dedup_minhash_lsh",
     "dedup_blocked_jaccard",
-    # new in r4 (13)
+    # new in r4 (14)
     "meta_stat_prefixes",
     "mm_image_decode",
     "events_retention_cohorts",
@@ -103,7 +103,8 @@ _PRIORITY = [
     "relational_lateral_topn",
     "udtf_tokenize",
     "minhash_dedup_decisions",
-    # oldest-verified rotation fill, CORRECTNESS_r02 order (15)
+    "pipeline_curation_report",
+    # oldest-verified rotation fill, CORRECTNESS_r02 order (14)
     "dedup_exact",
     "dedup_key",
     "dedup_simhash",
@@ -118,7 +119,6 @@ _PRIORITY = [
     "text_quality_filter",
     "text_language_id",
     "text_token_counts",
-    "text_fingerprint",
 ]
 
 

@@ -2,7 +2,7 @@
 ``all_queries()`` in iteration order, so the window contents are part of the
 contract. Round 4's window = every contract without a round-3 driver row
 that is new or was modified since its last row (18 new-in-r3 + 2 modified-r3
-+ 2 modified-r4 + 13 new-in-r4), padded with the oldest-verified contracts
++ 2 modified-r4 + 14 new-in-r4), padded with the oldest-verified contracts
 (the CORRECTNESS_r02 window, in its original order)."""
 
 from __future__ import annotations
@@ -71,6 +71,7 @@ NEW_IN_R4 = {
     "relational_lateral_topn",
     "udtf_tokenize",
     "minhash_dedup_decisions",
+    "pipeline_curation_report",
 }
 
 
