@@ -215,7 +215,14 @@ def full_outer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the fact side pre-aggregates per key BEFORE the join (the
     same fact-collapse-first rule as snowset/gap_fill), so the outer join
-    runs key-vs-key (sort-merge on custkey), never row-level fact data."""
+    runs key-vs-key (sort-merge on custkey), never row-level fact data.
+
+    Engine exactness: ``total_spend`` is a TWO-level sum (per-custkey, then
+    per-side after the join).  Double addition is order-dependent, so a
+    double sum here drifts a few ulps between engines / partition orders
+    (observed: ...8900027 vs ...8900006 at 1.6e9).  TPC-H prices are exact
+    2-decimal values, so both levels sum as DECIMAL — exact and
+    order-independent — and cast to DOUBLE only in the final projection."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_acctbal") > OUTER_ACCTBAL_MIN
     ).select("c_custkey")
@@ -224,7 +231,9 @@ def full_outer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("total_spend"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "total_spend"
+            ),
         )
     )
     full = cust.join(
@@ -242,13 +251,15 @@ def full_outer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         full.select(
             side.alias("side"),
             F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
-            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+            F.coalesce(
+                F.col("total_spend"), F.lit(0).cast("decimal(28,2)")
+            ).alias("total_spend"),
         )
         .groupBy("side")
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("n_orders").alias("n_orders"),
-            F.sum("total_spend").alias("total_spend"),
+            F.sum("total_spend").cast("double").alias("total_spend"),
         )
         .orderBy("side")
     )
@@ -284,7 +295,7 @@ ORACLE_SQL: dict[str, str] = {
         oagg AS (
           SELECT o_custkey,
                  CAST(COUNT(*) AS BIGINT) AS n_orders,
-                 CAST(SUM(o_totalprice) AS DOUBLE) AS total_spend
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
           FROM orders GROUP BY o_custkey
         ),
         full_j AS (
@@ -293,7 +304,7 @@ ORACLE_SQL: dict[str, str] = {
                       WHEN c.c_custkey IS NOT NULL THEN 'customer_only'
                       ELSE 'orders_only' END AS side,
                  COALESCE(o.n_orders, 0) AS n_orders,
-                 COALESCE(o.total_spend, 0.0) AS total_spend
+                 COALESCE(o.total_spend, CAST(0 AS DECIMAL(18,2))) AS total_spend
           FROM cust c FULL OUTER JOIN oagg o ON c.c_custkey = o.o_custkey
         )
         SELECT side,

@@ -62,17 +62,22 @@ def decode_image(payload: bytes):
 
     fields: list[bytes] = []
     pos = 2
+    end = len(payload)
     while len(fields) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < end and payload[pos : pos + 1].isspace():
             pos += 1
         start = pos
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
+        if pos == start or pos >= end:
+            raise ValueError("truncated PPM header")
         fields.append(payload[start:pos])
     pos += 1  # single whitespace after maxval, then raw RGB
     w, h, maxval = (int(f) for f in fields)
     if maxval != 255:
         raise NotImplementedError("16-bit PPM not supported")
+    if end - pos < w * h * 3:
+        raise ValueError("truncated PPM pixel block")
     img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return img.reshape(h, w, 3)
 

@@ -42,11 +42,21 @@ from parquet_near_storage_compute_spark.tables import fan_out, load_table
 
 
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-scan discipline: the corpus is read from parquet ONCE.  The
+    # quality gate is persisted (consumed by the canonical-hash branch and
+    # the semi-join), and the exact-deduped survivor frame is persisted
+    # (consumed by MinHash signatures, shingle sets, and the final anti-
+    # join) — at 100 TB the alternative is 3× corpus I/O per run.  Spark's
+    # CacheManager keys entries by logical plan, so repeated invocations
+    # reuse rather than re-cache.  tests/test_pipeline_single_scan.py pins
+    # the one-FileScan shape.
     docs = load_table(spark, sf_dir, "documents")
 
     # 1. quality gate (narrow map)
     ws = words("text")
-    quality = docs.filter((F.length("text") >= 100) & (F.size(ws) >= 20))
+    quality = fan_out(
+        docs.filter((F.length("text") >= 100) & (F.size(ws) >= 20))
+    ).persist()
 
     # 2. exact dedup: canonical doc per content hash
     canonical = (
@@ -54,11 +64,11 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact_deduped = quality.join(canonical, "doc_id", "left_semi")
+    exact_deduped = quality.join(canonical, "doc_id", "left_semi").persist()
 
     # 3. near-dup removal: LSH candidates → Jaccard ≥ 0.5 → drop doc_b
-    cand = _lsh_candidates(_minhash_signatures(fan_out(exact_deduped)))
-    sets = fan_out(exact_deduped).select(
+    cand = _lsh_candidates(_minhash_signatures(exact_deduped))
+    sets = exact_deduped.select(
         "doc_id", F.array_distinct(shingles(words("text"), 3)).alias("sset")
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
@@ -97,7 +107,13 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated). The three flag frames are doc_id-keyed (each bounded by
     its operator's own shuffle budget) and join back on doc_id before a
     #sources-row aggregate — the composite inherits every component's
-    scale design and adds only dimension-sized work."""
+    scale design and adds only dimension-sized work.
+
+    Single-scan discipline: all three components (and the final join spine)
+    consume ONE persisted fan-out of the corpus — one parquet scan, then
+    InMemoryRelation reuse — instead of each re-scanning ``documents``
+    (3× corpus I/O at 100 TB).  Pinned in
+    tests/test_pipeline_single_scan.py."""
     from parquet_near_storage_compute_spark.operators.dedup import (
         minhash_dedup_decisions,
     )
@@ -108,7 +124,9 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _contamination_report,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).persist()
     dec = minhash_dedup_decisions(docs).select("doc_id", "keep")
     pii = _pii_report(
         docs.select(F.lit("documents").alias("corpus"), "doc_id", "text")
@@ -119,7 +137,7 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("has_pii"),
     )
     contam = (
-        _contamination_report(fan_out(docs))
+        _contamination_report(docs)
         .select("doc_id")
         .withColumn("contaminated", F.lit(True))
     )

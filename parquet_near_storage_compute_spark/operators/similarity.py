@@ -283,18 +283,31 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Salt factor for the kNN self-join: one LSH bucket's O(b²) candidate
+#: volume is split across KNN_SALT tasks, bounding per-task work by
+#: b²/KNN_SALT.  Exact — top-k merges associatively, so local top-k per
+#: (src_id, salt) followed by a global top-k per src_id returns exactly
+#: the unsalted result (same device as window_topk_per_group).
+KNN_SALT = 8
+
+
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph construction: top-k neighbours for EVERY vector among its
     sign-LSH bucket-mates — the self-join form of ANN (the `sim_topk_*`
     family ranks against a small query set; this builds the full graph
     that embedding clustering / near-dup detection consumes).
 
-    Shape: one narrow map assigns buckets, one shuffle co-locates each
-    bucket, the per-vector heap is a window partitioned by src_id (millions
-    of keys — parallel). Candidate volume is O(Σ bucket²); at 100 TB raise
-    N_PLANES so buckets stay small and watch `sim_lsh_bucket_histogram` —
-    a skewed histogram here means a skewed kNN join. Recall trades exactly
-    as in `sim_topk_lsh` (neighbours across a hyperplane are missed)."""
+    Shape: one narrow map assigns buckets; the neighbour side is salted by
+    ``pmod(nbr_id, KNN_SALT)`` and the src side replicated once per salt,
+    so the join shuffles on (bucket, salt) and a single hot bucket spreads
+    over KNN_SALT tasks instead of OOMing one (at 10× adversarial data the
+    largest bucket is ~1600 vectors — 2.6M pairs unsalted, ~330K per task
+    salted).  A local top-k per (src_id, salt) shrinks the frame to
+    ≤ KNN_SALT·k rows per vector before the global top-k per src_id —
+    exact, because every global top-k element is in its salt's local
+    top-k.  Candidate volume is still O(Σ bucket²); at 100 TB raise
+    N_PLANES so buckets stay small and watch `sim_lsh_bucket_histogram`.
+    Recall trades exactly as in `sim_topk_lsh`."""
     v = _vectors(spark, sf_dir).withColumn(
         "bucket", lsh_bucket(F.col("v"), _PLANES)
     )
@@ -303,25 +316,40 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("sv"),
         F.col("nrm").alias("sn"),
         F.col("bucket").alias("sb"),
+    ).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(KNN_SALT - 1)))
     )
     b = v.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("v").alias("nv"),
         F.col("nrm").alias("nn"),
         F.col("bucket").alias("nb"),
+        F.pmod(F.col("vec_id"), F.lit(KNN_SALT)).alias("nsalt"),
     )
     scored = a.join(
-        b, (F.col("sb") == F.col("nb")) & (F.col("src_id") != F.col("nbr_id"))
+        b,
+        (F.col("sb") == F.col("nb"))
+        & (F.col("salt") == F.col("nsalt"))
+        & (F.col("src_id") != F.col("nbr_id")),
     ).select(
         "src_id",
+        "salt",
         "nbr_id",
         (dot(F.col("sv"), F.col("nv")) / (F.col("sn") * F.col("nn"))).alias(
             "cos_sim"
         ),
     )
+    wl = Window.partitionBy("src_id", "salt").orderBy(
+        F.col("cos_sim").desc(), "nbr_id"
+    )
+    local = (
+        scored.withColumn("lrk", F.row_number().over(wl))
+        .filter(F.col("lrk") <= TOP_K)
+        .drop("lrk", "salt")
+    )
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        local.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("src_id", "nbr_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
     )

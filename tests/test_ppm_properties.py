@@ -5,6 +5,7 @@ whitespace-sensitive headers (no Spark session needed)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -35,3 +36,18 @@ def test_ppm_trailing_bytes_ignored_and_pixel_values_raw():
     payload = b"P6\n2 2\n255\n" + px.tobytes() + b"garbage-tail"
     img = decode_image(payload)
     assert np.array_equal(img, px)
+
+
+def test_ppm_truncated_header_raises_not_hangs():
+    # regression: a truncated header used to spin forever once pos ran past
+    # the payload end (b''.isspace() is False); in the mapInPandas kernel
+    # that wedged an executor task. Must raise, promptly.
+    for bad in (b"P6\n2", b"P6", b"P6\n", b"P6\n2 3", b"P6\n2 3\n255"):
+        with pytest.raises(ValueError):
+            decode_image(bad)
+
+
+def test_ppm_truncated_pixel_block_raises():
+    payload = b"P6\n4 4\n255\n" + b"\x01" * 10  # needs 48 bytes
+    with pytest.raises(ValueError):
+        decode_image(payload)

@@ -2,8 +2,8 @@
 
 This is the local mirror of the driver's t2 correctness gate: one
 parametrized case per (query, oracle) pair, run at sf0.001 for speed.
-The sf0.01 sweep (the driver's actual scale) lives in the verify recipe
-(.claude/skills/verify/SKILL.md) and is run before every commit.
+The same sweep is also run at sf0.01 (the driver's actual scale) via
+``tools/run_registry_sweep.py`` as a pre-commit check.
 """
 
 from __future__ import annotations
