@@ -104,10 +104,22 @@ _UDF_ORACLE = """
 """
 
 def _geomean_kernel(v: pd.Series) -> float:
-    """Grouped-aggregate kernel: geometric mean (UDAF surface)."""
+    """Grouped-aggregate kernel: geometric mean (UDAF surface).
+
+    Engine-exactness discipline: values are SORTED before the log-sum (so
+    the result is independent of Arrow batch / partition arrival order —
+    double addition is order-dependent) and the fold is sequential
+    (``cumsum``'s last element is the left fold; numpy's plain ``sum`` is
+    pairwise), mirroring the oracle's ``list_reduce`` over a sorted list.
+    log/exp are not correctly-rounded across libms, so the residual
+    cross-engine drift (~1e-15 relative) is absorbed by rounding to cents
+    at source on both sides."""
     import numpy as np
 
-    return float(np.exp(np.log(v[v > 0]).mean()))
+    vals = np.sort(v[v > 0].to_numpy())
+    logs = np.log(vals)
+    mean = logs.cumsum()[-1] / len(logs)
+    return round(float(np.exp(mean)), 2)
 
 
 def geomean():
@@ -135,11 +147,34 @@ def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: per-user z-score of event values (sample std;
-    NULL when the group has no variance, matching SQL semantics)."""
-    std = pdf["value"].std(ddof=1)
-    mean = pdf["value"].mean()
+    NULL when the group has no variance, matching SQL semantics).
+
+    Engine-exactness discipline: rows are sorted by event_id and mean /
+    sum-of-squared-deviations computed as sequential left folds
+    (``cumsum``'s last element), bit-identical to the oracle's
+    ``list_reduce`` over event_id-ordered lists — pandas ``mean``/``std``
+    use different summation orders than any SQL engine and drifted
+    ~1e-12, the same magnitude that flaked join_outer_full. sqrt and the
+    per-element (x−mean)/std are single IEEE ops, identical everywhere."""
+    import math
+
+    import numpy as np
+
+    pdf = pdf.sort_values("event_id")
+    vals = pdf["value"].to_numpy(dtype="float64")
+    n = len(vals)
     out = pdf[["event_id", "user_id"]].copy()
-    out["zscore"] = (pdf["value"] - mean) / std if std and std > 0 else None
+    if n < 2:
+        out["zscore"] = None
+        return out
+    mean = vals.cumsum()[-1] / n
+    dev = vals - mean
+    var = (dev * dev).cumsum()[-1] / (n - 1)
+    if var <= 0:
+        out["zscore"] = None
+        return out
+    std = math.sqrt(var)
+    out["zscore"] = dev / std
     return out
 
 
@@ -210,18 +245,48 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "udf_readability": _UDF_ORACLE,
     "udf_sql_surface": _UDF_ORACLE,
+    # sequential fold over value-sorted logs + round-to-cents, mirroring
+    # the kernel's sorted cumsum (see _geomean_kernel's exactness note)
     "udaf_geomean": """
+        WITH g AS (
+          SELECT o_orderstatus,
+                 list(ln(o_totalprice) ORDER BY o_totalprice) AS ls,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders WHERE o_totalprice > 0
+          GROUP BY o_orderstatus
+        )
         SELECT o_orderstatus,
-               CAST(EXP(AVG(LN(o_totalprice))) AS DOUBLE) AS geomean_price,
-               CAST(COUNT(*) AS BIGINT) AS n_orders
-        FROM orders
-        GROUP BY o_orderstatus
+               CAST(round(exp(list_reduce(ls, (a, b) -> a + b) / len(ls)), 2)
+                    AS DOUBLE) AS geomean_price,
+               n_orders
+        FROM g
     """,
+    # sequential folds over event_id-ordered lists, mirroring the kernel's
+    # sorted cumsum (see _zscore_group's exactness note)
     "udf_grouped_map_zscore": """
-        SELECT event_id, user_id,
-               CAST((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w
+        WITH g AS (
+          SELECT user_id,
+                 list(event_id ORDER BY event_id) AS ids,
+                 list(value ORDER BY event_id) AS vs
+          FROM events GROUP BY user_id
+        ),
+        st AS (
+          SELECT user_id, ids, vs,
+                 list_reduce(vs, (a, b) -> a + b) / len(vs) AS mean
+          FROM g
+        ),
+        sd AS (
+          SELECT user_id, ids, vs, mean,
+                 CASE WHEN len(vs) >= 2 THEN
+                   sqrt(list_reduce(
+                          list_transform(vs, x -> (x - mean) * (x - mean)),
+                          (a, b) -> a + b) / (len(vs) - 1))
+                 END AS std
+          FROM st
+        )
+        SELECT unnest(ids) AS event_id, user_id,
+               CAST(CASE WHEN std > 0 THEN (unnest(vs) - mean) / std END
                     AS DOUBLE) AS zscore
-        FROM events
-        WINDOW w AS (PARTITION BY user_id)
+        FROM sd
     """,
 }

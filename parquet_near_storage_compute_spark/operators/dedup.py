@@ -201,9 +201,11 @@ def minhash_dedup_decisions(docs: DataFrame) -> DataFrame:
     The trimmed bucket arrays cannot enumerate a mega-bucket, so overflow
     membership comes from joining the bands stream against the over-cap
     bucket KEYS — broadcast, because pathological buckets are few by
-    nature; the bands side stays narrow. The bands subtree executes twice
-    (buckets + membership); a caller looping over corpora at scale should
-    persist the signature frame first.
+    nature; the bands side stays narrow. The bands subtree feeds two
+    consumers (buckets + membership), so it is persisted (round 5):
+    without the cache each consumer re-scans the corpus and recomputes
+    the MinHash signatures — 2× I/O + 2× hashing at 100 TB for one
+    narrow (doc_id, band, bh) frame.
 
     Output: (doc_id, keep, reason) for every input document — reason ∈
     {'unique', 'pair_survivor', 'near_dup', 'overflow_survivor',
@@ -211,7 +213,7 @@ def minhash_dedup_decisions(docs: DataFrame) -> DataFrame:
     4, full-logic DuckDB oracle); the adversarial overflow branches are
     additionally exercised by tests/test_lsh_hot_bucket.py."""
     sig = _minhash_signatures(docs)
-    bands = _bands(sig)
+    bands = _bands(sig).persist()
     buckets = _banded_buckets(bands, ["band", "bh"])
     pairs = _bucket_pairs(buckets)
     pair_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()

@@ -82,9 +82,40 @@ def decode_image(payload: bytes):
     return img.reshape(h, w, 3)
 
 
-def decode_audio(payload: bytes) -> object:
-    """STUB: real audio decode (soundfile/librosa not in this container)."""
-    raise NotImplementedError("audio decode requires soundfile/librosa")
+def decode_audio(payload: bytes):
+    """Real audio decode for WAV (RIFF/PCM) payloads — stdlib ``wave`` +
+    numpy, no audio library needed (round 5; lossy codecs — mp3/ogg/flac —
+    need soundfile/librosa and raise). Returns
+    ``(n_channels, sample_rate, samples)`` where ``samples`` is a
+    (n_frames, n_channels) int16 array. Raises ValueError on truncated or
+    malformed payloads (a bad clip must fail its task, not wedge it)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not payload.startswith(b"RIFF"):
+        raise NotImplementedError(
+            "only RIFF/WAV decodes without an audio library; "
+            "mp3/ogg/flac need soundfile/librosa"
+        )
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_channels = w.getnchannels()
+            sample_width = w.getsampwidth()
+            sample_rate = w.getframerate()
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"malformed WAV payload: {e}") from e
+    if sample_width != 2:
+        raise NotImplementedError("only 16-bit PCM supported")
+    if len(raw) < n_frames * n_channels * 2:
+        raise ValueError("truncated WAV data chunk")
+    samples = np.frombuffer(
+        raw, dtype="<i2", count=n_frames * n_channels
+    ).reshape(n_frames, n_channels)
+    return n_channels, sample_rate, samples
 
 
 def fake_features(payload: bytes) -> list[float]:
@@ -271,15 +302,121 @@ def image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_FIXTURE = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+    "audio.parquet",
+)
+
+#: Canonical RIFF/PCM16 header length — pinned at fixture-build time
+#: (tools/make_audio_fixture.py asserts the 'data' marker position), so
+#: the hex-wise oracle can use a fixed data offset.
+WAV_DATA_OFFSET = 44
+
+
+def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode through the mapInPandas template: WAV payloads
+    from the committed ``fixtures/audio.parquet`` (generator in
+    tools/make_audio_fixture.py; the driver corpus has no audio column)
+    decode to int16 PCM via ``decode_audio`` and reduce to integer
+    statistics. The emitted channel/rate/frame counts come from the
+    DECODED header and the sums from the decoded samples — the fixture's
+    metadata columns are deliberately ignored, so the driver hash fails
+    if the decoder misparses a header or drops a sample. The DuckDB
+    oracle re-reads the same payload bytes hex-wise (little-endian int16
+    from the fixed 44-byte data offset); all outputs are integers, so
+    there is no float drift surface. At 100 TB this is the audio-corpus
+    profile pass: mapInPandas streams Arrow batches, one Python worker
+    per core."""
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    clips = fan_out(spark.read.parquet(AUDIO_FIXTURE))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(p: bytes) -> tuple[int, int, int, int, int, int]:
+            n_ch, rate, samples = decode_audio(p)
+            return (
+                n_ch,
+                rate,
+                samples.shape[0],
+                int(samples.sum(dtype="int64")),
+                int(samples.min()) if samples.size else 0,
+                int(samples.max()) if samples.size else 0,
+            )
+
+        for pdf in batches:
+            s = pdf["payload"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "n_channels": s.map(lambda t: t[0]),
+                    "sample_rate": s.map(lambda t: t[1]),
+                    "n_frames": s.map(lambda t: t[2]),
+                    "sum_pcm": s.map(lambda t: t[3]),
+                    "min_pcm": s.map(lambda t: t[4]),
+                    "max_pcm": s.map(lambda t: t[5]),
+                }
+            )
+
+    return clips.select("clip_id", "payload").mapInPandas(
+        decode,
+        "clip_id bigint, n_channels int, sample_rate int, n_frames bigint, "
+        "sum_pcm bigint, min_pcm int, max_pcm int",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_feature_extract": feature_extract,
     "mm_binary_metadata": binary_metadata,
     "mm_frame_sample": frame_sample,
     "mm_resize": resize,
     "mm_image_decode": image_decode,
+    "mm_audio_decode": audio_decode,
 }
 
+def _hexbyte(k: str) -> str:
+    """DuckDB expr: value of 0-based byte ``k`` of the hex string ``hx``."""
+    return (
+        f"((strpos('0123456789abcdef', hx[2*{k}+1 : 2*{k}+1]) - 1) * 16"
+        f" + (strpos('0123456789abcdef', hx[2*{k}+2 : 2*{k}+2]) - 1))"
+    )
+
+
+_PCM_U16 = f"({_hexbyte('(44 + 2*j)')} + 256 * {_hexbyte('(45 + 2*j)')})"
+_PCM_I16 = (
+    f"CASE WHEN {_PCM_U16} >= 32768 THEN {_PCM_U16} - 65536 ELSE {_PCM_U16} END"
+)
+
 ORACLE_SQL: dict[str, str] = {
+    # Re-reads the SAME payload bytes the Spark kernel decodes: hex() the
+    # blob, skip the canonical 44-byte RIFF/PCM16 header (marker position
+    # asserted at fixture build), fold hex pairs to little-endian signed
+    # int16 — an independent per-sample re-decode, not a regeneration
+    # from the sample law.
+    "mm_audio_decode": f"""
+        WITH raw AS (
+          SELECT clip_id, n_channels, sample_rate, n_frames,
+                 lower(hex(payload)) AS hx
+          FROM read_parquet('{{AUDIO_FIXTURE}}')
+        ),
+        pcm AS (
+          SELECT clip_id, n_channels, sample_rate, n_frames,
+                 list_transform(range(n_frames * n_channels),
+                                j -> {_PCM_I16}) AS vals
+          FROM raw
+        )
+        SELECT clip_id,
+               CAST(n_channels AS INT) AS n_channels,
+               CAST(sample_rate AS INT) AS sample_rate,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(list_sum(vals) AS BIGINT) AS sum_pcm,
+               CAST(list_min(vals) AS INT) AS min_pcm,
+               CAST(list_max(vals) AS INT) AS max_pcm
+        FROM pcm
+    """.replace("{AUDIO_FIXTURE}", AUDIO_FIXTURE),
     "mm_feature_extract": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

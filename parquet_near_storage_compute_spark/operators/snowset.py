@@ -105,7 +105,7 @@ _SELECTIVITY_SQL = """
     total_queries AS (SELECT SUM(query_count) AS total FROM query_counts)
     SELECT qc.selectivity_bucket,
            qc.query_count,
-           CAST((qc.query_count * 100.0) / tq.total AS DOUBLE) AS query_percentage
+           CAST((qc.query_count * 100e0) / tq.total AS DOUBLE) AS query_percentage
     FROM query_counts qc, total_queries tq
     ORDER BY qc.selectivity_bucket
 """
@@ -113,7 +113,17 @@ _SELECTIVITY_SQL = """
 
 def retrieval_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``retrieval_rate.sql`` (intended semantics): weighted average of
-    scanbytes-per-size by estimated size, with the /14*365/12 scaling chain."""
+    scanbytes-per-size by estimated size, with the /14*365/12 scaling chain.
+
+    Engine exactness (round 5; the float audit caught this one
+    partition-order UNSTABLE): (a) the per-suppkey price sum runs as
+    DECIMAL(18,2) — exact, order-independent — and is cast to DOUBLE only
+    for the division; (b) the final weighted average folds the per-key
+    terms SEQUENTIALLY in l_suppkey order (collect a sorted struct array,
+    ``F.aggregate``), mirrored by the oracle's ``list_reduce`` over
+    l_suppkey-ordered lists, instead of an order-dependent double SUM.
+    The collected array is one row per SUPPLIER (a dimension, bounded) —
+    fine at any corpus scale."""
     li = load_table(spark, sf_dir, "lineitem")
     ws = _warehouse_size_estimates(li)
     per_size = (
@@ -121,20 +131,36 @@ def retrieval_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "estimated_warehouse_size")
         .agg(
             (
-                F.sum("l_extendedprice")
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
                 / F.nullif(F.col("estimated_warehouse_size"), F.lit(0.0))
             ).alias("scanbytes_per_estimated_size")
         )
     )
-    return per_size.agg(
-        (
-            F.sum(
-                F.col("scanbytes_per_estimated_size")
-                * F.col("estimated_warehouse_size")
+    arr = per_size.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "l_suppkey",
+                    "estimated_warehouse_size",
+                    "scanbytes_per_estimated_size",
+                )
             )
-            / F.sum("estimated_warehouse_size")
-            / 14 * 365 / 12
-        ).alias("weighted_avg_gb_read_per_warehouse_size")
+        ).alias("xs")
+    )
+    num = F.aggregate(
+        "xs",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["scanbytes_per_estimated_size"] * x["estimated_warehouse_size"],
+    )
+    den = F.aggregate(
+        "xs", F.lit(0.0), lambda acc, x: acc + x["estimated_warehouse_size"]
+    )
+    return arr.select(
+        (num / den / 14 * 365 / 12).alias(
+            "weighted_avg_gb_read_per_warehouse_size"
+        )
     )
 
 
@@ -171,7 +197,7 @@ _SELECTIVITY_ORACLE = """
     total_queries AS (SELECT SUM(query_count) AS total FROM query_counts)
     SELECT qc.selectivity_bucket,
            qc.query_count,
-           CAST((qc.query_count * 100.0) / tq.total AS DOUBLE) AS query_percentage
+           CAST((qc.query_count * 100e0) / tq.total AS DOUBLE) AS query_percentage
     FROM query_counts qc, total_queries tq
     ORDER BY qc.selectivity_bucket
 """
@@ -179,6 +205,9 @@ _SELECTIVITY_ORACLE = """
 ORACLE_SQL: dict[str, str] = {
     "snowset_selectivity_distribution": _SELECTIVITY_ORACLE,
     "snowset_selectivity_distribution_sql": _SELECTIVITY_ORACLE,
+    # per-key DECIMAL(18,2) price sums + a sequential l_suppkey-ordered
+    # fold for the weighted average — bit-identical to the Spark chain's
+    # sort_array + F.aggregate (see retrieval_rate's exactness note)
     "snowset_retrieval_rate": """
         WITH warehouse_sizes AS (
           SELECT l_suppkey,
@@ -188,16 +217,25 @@ ORACLE_SQL: dict[str, str] = {
         ),
         gb_read_per_size AS (
           SELECT ws.l_suppkey, ws.estimated_warehouse_size,
-                 (SUM(s.l_extendedprice) / NULLIF(ws.estimated_warehouse_size, 0))
+                 (CAST(SUM(CAST(s.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / NULLIF(ws.estimated_warehouse_size, 0))
                    AS scanbytes_per_estimated_size
           FROM lineitem s
           JOIN warehouse_sizes ws ON s.l_suppkey = ws.l_suppkey
           GROUP BY ws.l_suppkey, ws.estimated_warehouse_size
+        ),
+        ordered AS (
+          SELECT
+            list(scanbytes_per_estimated_size * estimated_warehouse_size
+                 ORDER BY l_suppkey) AS nums,
+            list(estimated_warehouse_size ORDER BY l_suppkey) AS dens
+          FROM gb_read_per_size
         )
         SELECT CAST(
-                 SUM(scanbytes_per_estimated_size * estimated_warehouse_size)
-                 / SUM(estimated_warehouse_size) / 14 * 365 / 12 AS DOUBLE)
+                 list_reduce(list_prepend(0e0, nums), (a, b) -> a + b)
+                 / list_reduce(list_prepend(0e0, dens), (a, b) -> a + b)
+                 / 14 * 365 / 12 AS DOUBLE)
                AS weighted_avg_gb_read_per_warehouse_size
-        FROM gb_read_per_size
+        FROM ordered
     """,
 }

@@ -244,13 +244,18 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _contamination_report(docs: DataFrame) -> DataFrame:
     """Core of contamination_check over an arbitrary (doc_id, text) frame —
     split out so adversarial tests can feed synthetic corpora."""
+    # The gram frame feeds three consumers (tr, ev→rare, ev→ev_rare);
+    # without the persist each one re-scans and re-shingles the corpus —
+    # 3× I/O + 3× explode at 100 TB. One materialized narrow frame
+    # (doc_id, bool, gram) trades that for a single shingle pass; Spark's
+    # CacheManager dedups by plan, so repeated calls reuse the entry.
     grams = docs.select(
         "doc_id",
         (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
         F.explode(
             F.array_distinct(shingles(words("text"), CONTAM_NGRAM))
         ).alias("gm"),
-    )
+    ).persist()
     ev = grams.filter("is_eval").select("gm", F.col("doc_id").alias("eval_doc"))
     rare = (
         ev.groupBy("gm")
@@ -264,8 +269,7 @@ def _contamination_report(docs: DataFrame) -> DataFrame:
     # fans out unboundedly (10⁵ train × 10⁴ eval on one key) and only then
     # gets discarded. With ev_rare built first, every gm entering the big
     # join has ≤ CONTAM_MAX_DF eval rows — bounded per-key volume at any
-    # corpus size (plan pinned in tests/test_contamination_plan.py). At
-    # cluster scale, persist `grams` to avoid re-shingling for tr/ev/rare.
+    # corpus size (plan pinned in tests/test_contamination_plan.py).
     ev_rare = ev.join(rare, "gm")
     hits = tr.join(ev_rare, "gm")
     return (

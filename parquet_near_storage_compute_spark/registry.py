@@ -46,79 +46,73 @@ _MODULES = [
 ]
 
 
-#: The round-4 driver correctness window: the 18 contracts first registered
-#: in round 3 (no driver row yet — the rotation debt VERDICT r3 ranks #1),
-#: the 2 modified in r3 without re-confirmation (dedup_ngram_jaccard shares
-#: the reworked bucket helper; mm_resize's kernel was rewritten), the 2
-#: dedup contracts whose shared ``_banded_buckets`` helper changed again
-#: this round (salt 16→4, level-2-only sort), the 14 new-in-r4 contracts
-#: (meta_stat_prefixes, mm_image_decode, events_retention_cohorts,
-#: train_bpe_pair_counts, dedup_shingle_containment,
-#: stream_append_closed_windows, events_cumulative_users,
-#: events_anomaly_mad, source_jsonl_scan, source_orc_scan,
-#: relational_lateral_topn, udtf_tokenize, minhash_dedup_decisions,
-#: pipeline_curation_report — never-checked beats re-confirmation for a
-#: slot), and — filling the remaining 14 slots — the oldest-verified
-#: contracts, in their CORRECTNESS_r02 order (last externally confirmed
-#: two rounds ago). After this window lands green, every contract except
-#: 32 r2-verified stragglers has a round-3-or-4 driver row; the
-#: stragglers rotate in round 5 (exact list at the end of NOTES_r4.md).
+#: The round-5 driver correctness window: the 32 contracts whose last
+#: external confirmation is round 2 (the straggler list from the end of
+#: NOTES_r4.md — after this window lands green, every registered contract
+#: has a round-3-or-later driver row), the 10 contracts round 5 modified
+#: or added (the engine-exactness rewrites from the float audit —
+#: join_outer_full decimal sums, snowset_retrieval_rate sorted-fold,
+#: snowset_selectivity_distribution_sql double literal, the two
+#: round-trip sources' integer cents sum, udaf_geomean / zscore are in
+#: the straggler set already — plus the salted sim_knn_join, the
+#: single-scan pipeline_curation_report, the bounds-checked
+#: mm_image_decode, meta_stat_prefixes' env-derived corpus dir, and the
+#: new mm_audio_decode), and — filling the remaining 8 slots — the
+#: oldest round-3-verified contracts in their CORRECTNESS_r03 order.
 _PRIORITY = [
-    # new in r3 — first driver check (18)
-    "sim_knn_join",
-    "dedup_connected_components",
-    "time_gap_fill",
-    "events_funnel",
-    "agg_histogram",
+    # r2-only stragglers — oldest external confirmation (32)
+    "agg_approx_distinct",
+    "agg_collect",
+    "agg_reaggregate",
+    "mm_binary_metadata",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "pipeline_training_data",
+    "relational_correlated_subquery",
+    "relational_distinct_rows",
+    "relational_pivot",
+    "relational_unpivot",
+    "scalar_arithmetic_chain",
+    "scalar_array_ops",
+    "scalar_case_bucket",
+    "scalar_string_ops",
+    "setop_except",
+    "setop_intersect",
+    "text_fingerprint",
+    "setop_union_all",
+    "sort_limit_topk",
+    "source_glob_scan",
+    "time_datetime_parts",
+    "time_json_extract",
+    "time_session_window_native",
+    "time_sessionize",
+    "time_sliding_window",
+    "time_tumbling_hourly",
+    "types_unsigned_decimal",
+    "udaf_geomean",
+    "udf_grouped_map_zscore",
+    "udf_readability",
+    "udf_sql_surface",
+    # modified or new in r5 (10)
     "join_outer_full",
-    "window_range_frame",
-    "text_ngram_topk",
-    "text_repetition_filter",
-    "text_tfidf_topk",
-    "text_pii_scrub",
-    "train_chunk_documents",
-    "train_contamination_check",
-    "train_mixture_sample",
-    "train_curriculum_order",
-    "stream_sliding_counts",
-    "source_partitioned_scan",
-    "source_csv_scan",
-    # modified r3, not re-confirmed (2)
-    "dedup_ngram_jaccard",
-    "mm_resize",
-    # modified r4: shared bucket-merge helper reworked (2)
-    "dedup_minhash_lsh",
-    "dedup_blocked_jaccard",
-    # new in r4 (14)
-    "meta_stat_prefixes",
-    "mm_image_decode",
-    "events_retention_cohorts",
-    "train_bpe_pair_counts",
-    "dedup_shingle_containment",
-    "stream_append_closed_windows",
-    "events_cumulative_users",
-    "events_anomaly_mad",
+    "sim_knn_join",
+    "pipeline_curation_report",
     "source_jsonl_scan",
     "source_orc_scan",
-    "relational_lateral_topn",
-    "udtf_tokenize",
-    "minhash_dedup_decisions",
-    "pipeline_curation_report",
-    # oldest-verified rotation fill, CORRECTNESS_r02 order (14)
-    "dedup_exact",
-    "dedup_key",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "sim_topk_bruteforce",
-    "sim_topk_numpy",
-    "sim_topk_lsh",
-    "sim_topk_ivf",
-    "sim_lsh_bucket_histogram",
-    "sim_label_centroid",
-    "text_quality_scores",
-    "text_quality_filter",
-    "text_language_id",
-    "text_token_counts",
+    "meta_stat_prefixes",
+    "snowset_retrieval_rate",
+    "snowset_selectivity_distribution_sql",
+    "mm_image_decode",
+    "mm_audio_decode",
+    # oldest-r3-verified rotation fill, CORRECTNESS_r03 order (8)
+    "v1_footer_only_agg",
+    "v1_flagship",
+    "v1_ladder_real",
+    "v1_ladder_worst",
+    "v1_grammar_boolean",
+    "v1_grammar_extended",
+    "v1_count_semantics",
+    "v1_projection_rows",
 ]
 
 

@@ -167,13 +167,26 @@ def _roundtrip_scan(
     straight from the parquet events view — equality proves the format
     round-trip was lossless, without DuckDB needing to read the format
     itself (it cannot read ORC). Timestamps travel as formatted strings:
-    the contract tests the source plumbing, not timezone serialization."""
+    the contract tests the source plumbing, not timezone serialization.
+
+    The /tmp cache key includes the source parquet's mtime+size, so a
+    corpus regenerated at the same path invalidates the cached subset
+    instead of silently serving stale rows against a live oracle.
+    ``sum_value_cents`` sums floor(value·100) as integers: value·100 is
+    the same IEEE double in both engines and floor is exact, so the
+    aggregate is order-independent — no cross-engine float drift."""
     import hashlib
     import os
 
     from pyspark.sql import functions as F
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    from parquet_near_storage_compute_spark.tables import table_path
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(_TMP_DIR, f"roundtrip_{fmt}_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _roundtrip_subset(spark, sf_dir).coalesce(1).write.mode(
@@ -185,7 +198,7 @@ def _roundtrip_scan(
         df.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
             F.min("ts_str").alias("min_ts"),
             F.max("ts_str").alias("max_ts"),
         )
@@ -212,7 +225,8 @@ def orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RT_ORACLE = f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(value) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents,
            MIN(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS min_ts,
            MAX(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS max_ts
     FROM events
@@ -272,11 +286,20 @@ def stat_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     The footer loop runs on the driver: metadata-mode input is #tables
     rows, and at 100 TB the same per-file footer decode fans out as a map
     over the file listing (``parallelize(paths).flatMap``) — the per-file
-    logic is identical. Both sides pin the driver's sf0.01 corpus
-    (``sf_dir`` is accepted but unused, the csv_scan fixture device):
-    DuckDB's ``parquet_metadata`` takes literal paths, not views, so a
-    static oracle string cannot follow ``sf_dir``, and the two engines must
-    read the SAME footers for the hash to mean anything."""
+    logic is identical. Both sides pin the SAME corpus dir
+    (``SPARK_GRAFT_META_SF_DIR``, default the driver's sf0.01; ``sf_dir``
+    is accepted but unused, the csv_scan fixture device): DuckDB's
+    ``parquet_metadata`` takes literal paths, not views, so a static
+    oracle string cannot follow ``sf_dir``, and the two engines must read
+    the SAME footers for the hash to mean anything.
+
+    ASCII guard: the DuckDB oracle's ``substr(..., 1, 8)`` counts
+    CHARACTERS and this engine's F8 rule counts BYTES — identical only
+    for ASCII statistics. The engine helper (``string_stat_prefixes``)
+    stays byte-faithful to the reference for any input (non-UTF-8 cuts
+    render U+FFFD, unit-tested); the CONTRACT asserts its stats are
+    ASCII so a future non-ASCII corpus fails loudly here rather than
+    hash-mismatching mysteriously."""
     from parquet_near_storage_compute_spark.plans.metrics import (
         string_stat_prefixes,
     )
@@ -285,6 +308,13 @@ def stat_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _META_TABLES:
         path = _os.path.join(_META_SF_DIR, f"{t}.parquet")
         for col, v in sorted(string_stat_prefixes(path).items()):
+            for p in (v["min_prefix"], v["max_prefix"]):
+                if not p.isascii():
+                    raise ValueError(
+                        f"{t}.{col}: non-ASCII stat prefix {p!r} — the "
+                        "SQL oracle's char-based substr would diverge "
+                        "from the byte-based F8 prefix"
+                    )
             rows.append((t, col, v["min_prefix"], v["max_prefix"]))
     return spark.createDataFrame(
         rows,
@@ -293,7 +323,9 @@ def stat_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name", "column_name")
 
 
-_META_SF_DIR = "/root/testdata/sf0.01"
+_META_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_META_SF_DIR", "/root/testdata/sf0.01"
+)
 
 _META_SQL = " UNION ALL ".join(
     f"""

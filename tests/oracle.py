@@ -1,8 +1,15 @@
 """Local mimic of the driver's DuckDB-oracle comparison.
 
-Row-count + column names + order-insensitive value comparison with float
-tolerance (FIXTURES.md: float columns epsilon-rounded before hashing; v1
-itself uses epsilon float equality, ``v1/src/main.rs:716-732``).
+Row-count + column names + order-insensitive value comparison. Floats are
+epsilon-rounded (~9 significant digits) only to PAIR rows across engines;
+the paired raw values must then agree to 5e-13 RELATIVE tolerance — ~3000×
+tighter than the pairing epsilon. Rationale (round 5): the external
+driver's hash flaked on a 1.3e-12 relative drift (join_outer_full's
+order-dependent double sum) that 9-digit rounding absorbed locally, so the
+local gate must catch everything above the ~1e-13 danger zone while still
+admitting the benign 1-ulp (≤1e-15) cross-engine differences inherent to
+division/log results. (v1 itself uses epsilon float equality,
+``v1/src/main.rs:716-732``.)
 """
 
 from __future__ import annotations
@@ -47,10 +54,36 @@ def _norm_value(v: Any) -> Any:
     return v
 
 
-def _norm_rows(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+def _sorted_raw(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    """Column-reorder + row-sort by the ROUNDED representation (stable
+    pairing across engines), returning the raw values."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    normed = [tuple(_norm_value(r[i]) for i in order) for r in rows]
-    return sorted(normed, key=repr)
+    raw = [tuple(r[i] for i in order) for r in rows]
+    return sorted(raw, key=lambda r: repr(tuple(_norm_value(v) for v in r)))
+
+
+#: Relative tolerance for paired float values — admits benign last-ulp
+#: engine differences (~1e-15), rejects the ≥1e-12 order-dependent-sum
+#: drift the external driver's hash can flake on.
+FLOAT_RTOL = 5e-13
+
+
+def _values_close(a: Any, b: Any) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        if not isinstance(a, (int, float)) or not isinstance(b, (int, float)):
+            return False
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return math.isclose(a, b, rel_tol=FLOAT_RTOL, abs_tol=1e-12)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            _values_close(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(a, dict) and isinstance(b, dict):
+        return set(a) == set(b) and all(
+            _values_close(a[k], b[k]) for k in a
+        )
+    return _norm_value(a) == _norm_value(b)
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
@@ -67,7 +100,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     assert len(spark_rows) == len(duck_rows), (
         f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
-    s = _norm_rows(spark_rows, spark_cols)
-    d = _norm_rows(duck_rows, duck_cols)
+    s = _sorted_raw(spark_rows, spark_cols)
+    d = _sorted_raw(duck_rows, duck_cols)
     for i, (a, b) in enumerate(zip(s, d)):
-        assert a == b, f"value mismatch at sorted row {i}:\n  spark={a}\n  duck ={b}"
+        assert _values_close(a, b), (
+            f"value mismatch at sorted row {i}:\n  spark={a}\n  duck ={b}"
+        )

@@ -1,9 +1,13 @@
-"""Multimodal decode kernels: binary PPM decodes for real (pure numpy,
-round 4); PNG/JPEG/audio remain clearly-marked NotImplementedError (those
-libraries are not in this container; BASELINE.json's stub contract). The
-fake feature kernel stays deterministic."""
+"""Multimodal decode kernels: binary PPM (round 4) and RIFF/PCM WAV
+(round 5) decode for real — pure numpy + stdlib; PNG/JPEG and lossy audio
+codecs remain clearly-marked NotImplementedError (those libraries are not
+in this container; BASELINE.json's stub contract). The fake feature
+kernel stays deterministic."""
 
 from __future__ import annotations
+
+import io
+import wave
 
 import numpy as np
 import pytest
@@ -18,10 +22,54 @@ from parquet_near_storage_compute_spark.operators.multimodal import (
 def test_decode_stubs_raise():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF...")
+    with pytest.raises(NotImplementedError):  # mp3 needs soundfile/librosa
+        decode_audio(b"ID3\x04\x00...")
     with pytest.raises(NotImplementedError):  # 16-bit PPM
         decode_image(b"P6\n2 1\n65535\n" + bytes(12))
+
+
+def _wav(pcm: np.ndarray, n_channels: int, rate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_round_trip():
+    pcm = np.array([0, 1, -1, 32767, -32768, 12345], dtype="<i2")
+    n_ch, rate, samples = decode_audio(_wav(pcm, 2, rate=44100))
+    assert (n_ch, rate) == (2, 44100)
+    assert samples.shape == (3, 2)
+    assert np.array_equal(samples.ravel(), pcm)
+
+
+def test_wav_truncated_raises_not_hangs():
+    full = _wav(np.arange(100, dtype="<i2"), 1)
+    # header cuts (wave.Error -> ValueError) and a data-chunk cut (the
+    # declared frame count exceeds the surviving bytes)
+    for cut in (4, 12, 30, 43, 60):
+        with pytest.raises(ValueError):
+            decode_audio(full[:cut])
+
+
+def test_wav_fixture_matches_generator_law():
+    import pyarrow.parquet as pq
+
+    from parquet_near_storage_compute_spark.operators.multimodal import (
+        AUDIO_FIXTURE,
+    )
+
+    r = pq.read_table(AUDIO_FIXTURE).to_pylist()[11]
+    n_ch, rate, samples = decode_audio(r["payload"])
+    assert n_ch == r["n_channels"]
+    assert rate == r["sample_rate"]
+    assert samples.shape == (r["n_frames"], n_ch)
+    flat = samples.ravel()
+    for j in (0, 7, len(flat) - 1):
+        assert flat[j] == ((17 * j + 31 * r["clip_id"]) % 65536) - 32768
 
 
 def test_ppm_decode_round_trip():

@@ -1,9 +1,9 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
-contract. Round 4's window = every contract without a round-3 driver row
-that is new or was modified since its last row (18 new-in-r3 + 2 modified-r3
-+ 2 modified-r4 + 14 new-in-r4), padded with the oldest-verified contracts
-(the CORRECTNESS_r02 window, in its original order)."""
+contract. Round 5's window = the 32 contracts whose last driver row is from
+round 2 (the rotation debt VERDICT r4 ranks #1), every contract round 5
+modified or added, padded with the oldest round-3-verified contracts in
+their CORRECTNESS_r03 order."""
 
 from __future__ import annotations
 
@@ -24,54 +24,58 @@ def _round_keys(name: str) -> list[str]:
         return list(json.load(fh))
 
 
-#: Contracts first registered in round 3 — no driver row before round 4.
-NEW_IN_R3 = {
-    "dedup_connected_components",
-    "train_chunk_documents",
-    "train_contamination_check",
-    "text_ngram_topk",
-    "agg_histogram",
-    "source_partitioned_scan",
-    "sim_knn_join",
-    "time_gap_fill",
-    "text_repetition_filter",
-    "train_mixture_sample",
-    "events_funnel",
-    "train_curriculum_order",
-    "text_tfidf_topk",
-    "source_csv_scan",
-    "stream_sliding_counts",
-    "join_outer_full",
-    "text_pii_scrub",
-    "window_range_frame",
+#: Last externally confirmed in round 2 — the NOTES_r4 straggler list.
+R2_ONLY_STRAGGLERS = {
+    "agg_approx_distinct",
+    "agg_collect",
+    "agg_reaggregate",
+    "mm_binary_metadata",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "pipeline_training_data",
+    "relational_correlated_subquery",
+    "relational_distinct_rows",
+    "relational_pivot",
+    "relational_unpivot",
+    "scalar_arithmetic_chain",
+    "scalar_array_ops",
+    "scalar_case_bucket",
+    "scalar_string_ops",
+    "setop_except",
+    "setop_intersect",
+    "text_fingerprint",
+    "setop_union_all",
+    "sort_limit_topk",
+    "source_glob_scan",
+    "time_datetime_parts",
+    "time_json_extract",
+    "time_session_window_native",
+    "time_sessionize",
+    "time_sliding_window",
+    "time_tumbling_hourly",
+    "types_unsigned_decimal",
+    "udaf_geomean",
+    "udf_grouped_map_zscore",
+    "udf_readability",
+    "udf_sql_surface",
 }
 
-#: Modified in round 3 after the r3 window was pinned (shared bucket helper
-#: / rewritten resize kernel) — r2 rows exist but predate the change.
-MODIFIED_R3_UNCONFIRMED = {"dedup_ngram_jaccard", "mm_resize"}
-
-#: Modified in round 4: ``_banded_buckets`` reworked (salt 16→4, level-2-
-#: only sort, dedicated min_id) — their r3 rows predate the change.
-#: (train_contamination_check and text_pii_scrub also changed in r4 but
-#: already sit in NEW_IN_R3.)
-MODIFIED_IN_R4 = {"dedup_minhash_lsh", "dedup_blocked_jaccard"}
-
-#: First registered in round 4.
-NEW_IN_R4 = {
-    "meta_stat_prefixes",
-    "mm_image_decode",
-    "events_retention_cohorts",
-    "train_bpe_pair_counts",
-    "dedup_shingle_containment",
-    "stream_append_closed_windows",
-    "events_cumulative_users",
-    "events_anomaly_mad",
+#: Modified in round 5 (engine-exactness rewrites from the float audit,
+#: the salted kNN join, single-scan composites, source cents sums, the
+#: bounds-checked PPM decoder) or first registered in round 5 (WAV audio
+#: decode). udaf_geomean / udf_grouped_map_zscore / pipeline_training_data
+#: also changed but already sit in R2_ONLY_STRAGGLERS.
+MODIFIED_OR_NEW_IN_R5 = {
+    "join_outer_full",
+    "sim_knn_join",
+    "pipeline_curation_report",
     "source_jsonl_scan",
     "source_orc_scan",
-    "relational_lateral_topn",
-    "udtf_tokenize",
-    "minhash_dedup_decisions",
-    "pipeline_curation_report",
+    "meta_stat_prefixes",
+    "snowset_retrieval_rate",
+    "snowset_selectivity_distribution_sql",
+    "mm_image_decode",
+    "mm_audio_decode",
 }
 
 
@@ -82,30 +86,34 @@ def test_window_is_exactly_priority():
 
 
 def test_window_covers_every_unconfirmed_contract():
-    """Everything new or modified since its last driver row must be in the
-    round-4 window."""
-    must = NEW_IN_R3 | MODIFIED_R3_UNCONFIRMED | MODIFIED_IN_R4 | NEW_IN_R4
+    """Every straggler and everything modified since its last driver row
+    must be in the round-5 window."""
+    must = R2_ONLY_STRAGGLERS | MODIFIED_OR_NEW_IN_R5
     missing = must - set(_PRIORITY)
     assert not missing, f"unconfirmed contracts outside the window: {missing}"
 
 
-def test_fill_slots_are_oldest_verified_r2_contracts():
-    """The non-mandatory slots must be drawn from the CORRECTNESS_r02 window
-    (last confirmed two rounds ago) in its original order — the rotation
-    rule VERDICT r3 endorses."""
-    must = NEW_IN_R3 | MODIFIED_R3_UNCONFIRMED | MODIFIED_IN_R4 | NEW_IN_R4
+def test_fill_slots_are_oldest_r3_verified_contracts():
+    """The non-mandatory slots must be drawn from the CORRECTNESS_r03 window
+    (the oldest still-unrotated rows) in its original order."""
+    must = R2_ONLY_STRAGGLERS | MODIFIED_OR_NEW_IN_R5
     fill = [n for n in _PRIORITY if n not in must]
-    r2 = [n for n in _round_keys("CORRECTNESS_r02.json") if n not in must]
-    assert fill == r2[: len(fill)]
+    r4 = set(_round_keys("CORRECTNESS_r04.json"))
+    r3 = [
+        n
+        for n in _round_keys("CORRECTNESS_r03.json")
+        if n not in must and n not in r4
+    ]
+    assert fill == r3[: len(fill)]
 
 
 def test_every_registered_contract_has_a_recent_or_scheduled_row():
-    """No contract may fall through the rotation: each is either in the r4
-    window, or carries an r2/r3 driver row and is unmodified since."""
-    r2 = set(_round_keys("CORRECTNESS_r02.json"))
+    """No contract may fall through the rotation: each is either in the r5
+    window, or carries an r3/r4 driver row and is unmodified since."""
     r3 = set(_round_keys("CORRECTNESS_r03.json"))
-    holes = set(all_queries()) - set(_PRIORITY) - r2 - r3
-    assert not holes, f"contracts with no driver row and no window slot: {holes}"
+    r4 = set(_round_keys("CORRECTNESS_r04.json"))
+    holes = set(all_queries()) - set(_PRIORITY) - r3 - r4
+    assert not holes, f"contracts with no recent driver row and no window slot: {holes}"
 
 
 def test_window_queries_are_oracle_backed():

@@ -1,7 +1,10 @@
-"""Scale-evidence rung (opt-in): re-run the skew-sensitive operators on a
+"""Scale-evidence rungs (opt-in): re-run the skew-sensitive operators on a
 REPS×-replicated corpus and measure the boundedness claims SCALING.md makes
 — per-task (post-shuffle partition) row maxima, per-key fan-out maxima, and
-overflow accounting — at 10× the data the per-round bench sees.
+overflow accounting — at 10× the data the per-round bench sees, plus a 30×
+rung for the two heaviest families (dedup_minhash_lsh, sim_knn_join) that
+confirms the bounds are FLAT in replication factor, not just satisfied at
+one point (VERDICT r4 #8).
 
 Replication law: rep r remaps doc_id/vec_id by +r·20 000 000 (a multiple of
 EVAL_MOD, so train/eval classes are preserved) and suffixes text with
@@ -10,7 +13,7 @@ precisely the adversarial regime the LSH bucket cap and the contamination
 join-order guard exist for.
 
 Measured queries: dedup_minhash_lsh, train_contamination_check,
-sim_knn_join (VERDICT r3 #8).
+sim_knn_join (VERDICT r3 #8; post-salt join-key volumes since round 5).
 
 Run: PYTHONPATH=/root/repo python tools/scale_evidence.py
      (or SPARK_GRAFT_SCALE_EVIDENCE=1 python bench.py)
@@ -28,15 +31,16 @@ import pyspark.sql.functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "10"))
+HIGH_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH_REPS", "30"))
 ID_STRIDE = 20_000_000  # multiple of EVAL_MOD: doc_id % 20 classes survive
 
 
-def _replicate(spark, sf_dir: str, out_dir: str) -> None:
+def _replicate(spark, sf_dir: str, out_dir: str, n_reps: int) -> None:
     from parquet_near_storage_compute_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     reps = None
-    for r in range(REPS):
+    for r in range(n_reps):
         part = docs.select(
             (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
             (
@@ -55,7 +59,7 @@ def _replicate(spark, sf_dir: str, out_dir: str) -> None:
 
     emb = load_table(spark, sf_dir, "embeddings")
     ereps = None
-    for r in range(REPS):
+    for r in range(n_reps):
         part = emb.select(
             (F.col("vec_id") + F.lit(r * ID_STRIDE)).alias("vec_id"),
             "embedding",
@@ -85,18 +89,20 @@ def _timed(df) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 2), n
 
 
-def run(spark, sf_dir: str) -> dict:
+def run(
+    spark, sf_dir: str, n_reps: int = REPS, skip_contamination: bool = False
+) -> dict:
     from parquet_near_storage_compute_spark.operators import dedup as D
     from parquet_near_storage_compute_spark.operators import (
         similarity as S,
         training as T,
     )
 
-    big = os.path.join(REPO, ".tmp", f"scale_evidence_x{REPS}")
+    big = os.path.join(REPO, ".tmp", f"scale_evidence_x{n_reps}")
     if not os.path.isdir(os.path.join(big, "documents.parquet")):
-        _replicate(spark, sf_dir, big)
+        _replicate(spark, sf_dir, big, n_reps)
 
-    out: dict = {"reps": REPS, "base_sf_dir": sf_dir}
+    out: dict = {"reps": n_reps, "base_sf_dir": sf_dir}
 
     # dedup_minhash_lsh: every doc now has REPS near-copies → buckets grow
     # REPS×; the cap must keep held ids ≤ SALT×(CAP+1) and route over-cap
@@ -131,6 +137,9 @@ def run(spark, sf_dir: str) -> dict:
         words,
     )
 
+    if skip_contamination:
+        return _knn_section(spark, S, big, out)
+
     grams = docs.select(
         "doc_id",
         (F.col("doc_id") % T.EVAL_MOD == 0).alias("is_eval"),
@@ -156,18 +165,42 @@ def run(spark, sf_dir: str) -> dict:
         "max_task_rows_join_input": _max_partition_rows(ev_rare),
     }
 
+    return _knn_section(spark, S, big, out)
+
+
+def _knn_section(spark, S, big: str, out: dict) -> dict:
     # sim_knn_join: candidate volume is O(Σ bucket²) by design — record the
-    # bucket histogram max and the per-task rows of the scored stage.
+    # bucket histogram max, the per-task rows of the bucketed stage, and
+    # (round 5) the post-salt per-join-key candidate volume: the salt must
+    # cut the largest single task's pair work by ~KNN_SALT.
     v = S._vectors(spark, big).withColumn(
         "bucket", S.lsh_bucket(F.col("v"), S._PLANES)
     )
     hist = v.groupBy("bucket").count()
     max_bucket = hist.agg(F.max("count")).collect()[0][0]
+    nbr_cnt = (
+        v.select(
+            "bucket", F.pmod(F.col("vec_id"), F.lit(S.KNN_SALT)).alias("nsalt")
+        )
+        .groupBy("bucket", "nsalt")
+        .count()
+        .withColumnRenamed("count", "n_nbr")
+    )
+    salted_vol = (
+        hist.withColumnRenamed("count", "n_src")
+        .join(nbr_cnt, "bucket")
+        .select((F.col("n_src") * F.col("n_nbr")).alias("vol"))
+        .agg(F.max("vol"))
+        .collect()[0][0]
+    )
     sec, n_rows = _timed(S.knn_join(spark, big))
     out["sim_knn_join"] = {
         "sec": sec,
         "rows": n_rows,
         "max_lsh_bucket": int(max_bucket or 0),
+        "unsalted_max_joinkey_pairs": int(max_bucket or 0) ** 2,
+        "salted_max_joinkey_pairs": int(salted_vol or 0),
+        "knn_salt": S.KNN_SALT,
         "max_task_rows_bucketed_vectors": _max_partition_rows(
             v.repartition("bucket")
         ),
@@ -186,7 +219,14 @@ def main() -> None:
         conf={"spark.sql.shuffle.partitions": str(max(int(cpus), 8))},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out = run(spark, sf_dir)
+    out = run(spark, sf_dir, REPS)
+    if HIGH_REPS > REPS:
+        # second rung: the two heaviest families only, to show the bounds
+        # are flat in replication factor (contamination's fan-out bound is
+        # structural — rare means df ≤ cap — so one rung suffices there)
+        out["higher_rungs"] = [
+            run(spark, sf_dir, HIGH_REPS, skip_contamination=True)
+        ]
     path = os.path.join(REPO, "SCALE_EVIDENCE.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
