@@ -48,18 +48,21 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Real image decode for binary PPM (P6) payloads — pure numpy, no
-    image library needed (round 4; PIL/opencv formats remain out of reach
-    in this container and raise). Parses the header (magic, dims, maxval,
-    each terminated by single whitespace per the netpbm spec) and returns
-    the pixel block as a (height, width, 3) uint8 array."""
-    if not payload.startswith(b"P6"):
+    """Real image decode for binary netpbm payloads — pure numpy, no image
+    library needed (P6 RGB in round 4; P5 grayscale and 16-bit maxval in
+    round 5; compressed formats — PNG/JPEG — genuinely need PIL/opencv
+    and raise). Parses the header (magic, dims, maxval, each terminated
+    by single whitespace per the netpbm spec) and returns the pixel block
+    as a (height, width, 3) or (height, width) array — uint8 for
+    maxval ≤ 255, uint16 (big-endian samples per the spec) above."""
+    if payload[:2] not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "only binary PPM (P6) decodes without an image library; "
+            "only binary netpbm (P5/P6) decodes without an image library; "
             "PNG/JPEG need PIL/opencv"
         )
     import numpy as np
 
+    channels = 3 if payload[:2] == b"P6" else 1
     fields: list[bytes] = []
     pos = 2
     end = len(payload)
@@ -70,16 +73,19 @@ def decode_image(payload: bytes):
         while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
         if pos == start or pos >= end:
-            raise ValueError("truncated PPM header")
+            raise ValueError("truncated netpbm header")
         fields.append(payload[start:pos])
-    pos += 1  # single whitespace after maxval, then raw RGB
+    pos += 1  # single whitespace after maxval, then raw samples
     w, h, maxval = (int(f) for f in fields)
-    if maxval != 255:
-        raise NotImplementedError("16-bit PPM not supported")
-    if end - pos < w * h * 3:
-        raise ValueError("truncated PPM pixel block")
-    img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-    return img.reshape(h, w, 3)
+    if not 0 < maxval < 65536:
+        raise ValueError(f"invalid netpbm maxval {maxval}")
+    dtype = np.dtype("u1") if maxval <= 255 else np.dtype(">u2")
+    n_samples = w * h * channels
+    if end - pos < n_samples * dtype.itemsize:
+        raise ValueError("truncated netpbm pixel block")
+    img = np.frombuffer(payload, dtype=dtype, count=n_samples, offset=pos)
+    shape = (h, w, 3) if channels == 3 else (h, w)
+    return img.reshape(shape)
 
 
 def decode_audio(payload: bytes):

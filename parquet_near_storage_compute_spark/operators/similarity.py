@@ -355,6 +355,62 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cosine threshold for range search — picked against the corpus: random
+#: 64-dim cosines have p99 ≈ 0.29, so ≥ 0.30 marks genuinely-similar
+#: pairs while keeping the pair set sparse.
+COS_RANGE_THRESHOLD = 0.30
+
+
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold range search: ALL vector pairs with cosine ≥ τ among
+    sign-LSH bucket-mates — the semantic-dedup form of ANN (top-k asks
+    "who are my k nearest"; dedup asks "who is closer than τ", and the
+    answer set drives drop decisions exactly like MinHash pairs drive
+    near-dup removal).
+
+    Shape: identical to the salted kNN join (neighbour side salted by
+    pmod(vec_id, KNN_SALT), src side replicated, join on (bucket, salt))
+    but with a thresholded filter instead of a top-k window — no window
+    at all, so the only post-join work is the predicate. The vec_a <
+    vec_b condition emits each unordered pair once. Exact within a
+    bucket; recall across hyperplanes trades as in `sim_topk_lsh`."""
+    v = _vectors(spark, sf_dir).withColumn(
+        "bucket", lsh_bucket(F.col("v"), _PLANES)
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+        F.col("bucket").alias("ab"),
+    ).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(KNN_SALT - 1)))
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+        F.col("bucket").alias("bb"),
+        F.pmod(F.col("vec_id"), F.lit(KNN_SALT)).alias("bsalt"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ab") == F.col("bb"))
+            & (F.col("salt") == F.col("bsalt"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= COS_RANGE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
     "sim_topk_numpy": topk_numpy,
@@ -363,6 +419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh_bucket_histogram": bucket_histogram,
     "sim_label_centroid": label_centroid_cosine,
     "sim_knn_join": knn_join,
+    "sim_range_search": range_search,
 }
 
 _COS = (
@@ -379,6 +436,18 @@ def _bucket_expr(vec_sql: str) -> str:
     )
 
 ORACLE_SQL: dict[str, str] = {
+    "sim_range_search": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {_bucket_expr("embedding::DOUBLE[]")} AS bucket
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS} AS cos_sim
+        FROM v a JOIN v b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_COS} >= {COS_RANGE_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
     "sim_knn_join": f"""
         WITH v AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -295,6 +295,58 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Segment width for cross-document duplicate-segment accounting.
+SEG_WORDS = 10
+
+
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-segment accounting (the Gopher-style
+    "fraction of duplicated n-gram blocks" corpus signal, but at segment
+    granularity): split every document into non-overlapping SEG_WORDS-word
+    segments, count how many documents each distinct segment appears in,
+    and report per document how many of its segments are shared with at
+    least one OTHER occurrence. Complements `text_repetition_filter`
+    (within-doc repetition) and `dedup_shingle_containment` (pairwise
+    containment) with the corpus-wide boilerplate view that drives
+    segment-level scrubbing in a real pipeline.
+
+    Scale shape: one explode (narrow, ~n_words/SEG_WORDS rows per doc),
+    one segment-keyed hash aggregate (map-side combined), one equi-join
+    of the segment stream against the per-segment counts (1:1 lookup —
+    counts frame has one row per distinct segment, so no fan-out skew),
+    one doc-keyed aggregate. Nothing quadratic; boilerplate-heavy
+    corpora concentrate JOIN keys, not join outputs."""
+    ws = words("text")
+    n_segs = F.ceil(F.size(ws) / F.lit(SEG_WORDS)).cast("int")
+    seg_array = F.when(
+        F.size(ws) > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(ws, i * SEG_WORDS + 1, SEG_WORDS), " "
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = (
+        fan_out(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(seg_array).alias("seg"))
+    )
+    counts = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    return (
+        segs.join(counts, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("n_docs_with") >= 2).cast("long")).alias(
+                "n_shared_segments"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_scores": quality_scores,
     "text_quality_filter": quality_filter,
@@ -305,6 +357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition_filter": repetition_filter,
     "text_tfidf_topk": tfidf_topk,
     "text_pii_scrub": pii_scrub,
+    "text_dedup_segments": dedup_segments,
 }
 
 _MARKER_SQL = {
@@ -318,6 +371,26 @@ def _score(lang: str) -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "text_dedup_segments": f"""
+        WITH segs AS (
+          SELECT DISTINCT doc_id, seg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(CAST(ceil(len(ws) / {SEG_WORDS}.0) AS BIGINT)),
+                     i -> array_to_string(
+                            ws[i * {SEG_WORDS} + 1 : i * {SEG_WORDS} + {SEG_WORDS}],
+                            ' '))) AS seg
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          )
+        ),
+        cnt AS (SELECT seg, COUNT(*) AS n FROM segs GROUP BY seg)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared_segments
+        FROM segs JOIN cnt USING (seg)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     "text_quality_scores": f"""
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
         SELECT doc_id,

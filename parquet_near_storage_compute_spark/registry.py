@@ -93,9 +93,11 @@ _PRIORITY = [
     "udf_grouped_map_zscore",
     "udf_readability",
     "udf_sql_surface",
-    # modified or new in r5 (10)
+    # modified or new in r5 (12)
     "join_outer_full",
     "sim_knn_join",
+    "sim_range_search",
+    "text_dedup_segments",
     "pipeline_curation_report",
     "source_jsonl_scan",
     "source_orc_scan",
@@ -104,15 +106,13 @@ _PRIORITY = [
     "snowset_selectivity_distribution_sql",
     "mm_image_decode",
     "mm_audio_decode",
-    # oldest-r3-verified rotation fill, CORRECTNESS_r03 order (8)
+    # oldest-r3-verified rotation fill, CORRECTNESS_r03 order (6)
     "v1_footer_only_agg",
     "v1_flagship",
     "v1_ladder_real",
     "v1_ladder_worst",
     "v1_grammar_boolean",
     "v1_grammar_extended",
-    "v1_count_semantics",
-    "v1_projection_rows",
 ]
 
 

@@ -24,8 +24,26 @@ def test_decode_stubs_raise():
         decode_image(b"\x89PNG...")
     with pytest.raises(NotImplementedError):  # mp3 needs soundfile/librosa
         decode_audio(b"ID3\x04\x00...")
-    with pytest.raises(NotImplementedError):  # 16-bit PPM
-        decode_image(b"P6\n2 1\n65535\n" + bytes(12))
+
+
+def test_ppm_16bit_decode():
+    # 2x1 16-bit PPM: big-endian u2 samples per the netpbm spec
+    samples = np.array([[0, 1, 513], [65535, 256, 2]], dtype=">u2")
+    img = decode_image(b"P6\n2 1\n65535\n" + samples.tobytes())
+    assert img.dtype == np.dtype(">u2")
+    assert img.shape == (1, 2, 3)
+    assert np.array_equal(img.reshape(2, 3), samples)
+
+
+def test_pgm_grayscale_decode():
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    img = decode_image(b"P5\n4 3\n255\n" + px.tobytes())
+    assert img.shape == (3, 4)
+    assert np.array_equal(img, px)
+    img16 = decode_image(
+        b"P5\n2 2\n65535\n" + np.array([1, 2, 300, 65535], dtype=">u2").tobytes()
+    )
+    assert img16.shape == (2, 2) and int(img16[1, 1]) == 65535
 
 
 def _wav(pcm: np.ndarray, n_channels: int, rate: int = 8000) -> bytes:

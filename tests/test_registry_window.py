@@ -68,6 +68,8 @@ R2_ONLY_STRAGGLERS = {
 MODIFIED_OR_NEW_IN_R5 = {
     "join_outer_full",
     "sim_knn_join",
+    "sim_range_search",
+    "text_dedup_segments",
     "pipeline_curation_report",
     "source_jsonl_scan",
     "source_orc_scan",
