@@ -116,14 +116,17 @@ def retrieval_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanbytes-per-size by estimated size, with the /14*365/12 scaling chain.
 
     Engine exactness (round 5; the float audit caught this one
-    partition-order UNSTABLE): (a) the per-suppkey price sum runs as
-    DECIMAL(18,2) — exact, order-independent — and is cast to DOUBLE only
-    for the division; (b) the final weighted average folds the per-key
-    terms SEQUENTIALLY in l_suppkey order (collect a sorted struct array,
-    ``F.aggregate``), mirrored by the oracle's ``list_reduce`` over
-    l_suppkey-ordered lists, instead of an order-dependent double SUM.
-    The collected array is one row per SUPPLIER (a dimension, bounded) —
-    fine at any corpus scale."""
+    partition-order UNSTABLE): (a) the per-suppkey price sum runs as an
+    INTEGER sum of round(price·100) cents — prices are exact 2-decimal
+    values, so round() lands on the true integer cents in both engines
+    and long addition is order-independent (and ~2× faster than the
+    DECIMAL sum it replaces, measured under the noop sink); (b) the
+    final weighted average folds the per-key terms SEQUENTIALLY in
+    l_suppkey order (collect a sorted struct array, ``F.aggregate``),
+    mirrored by the oracle's ``list_reduce`` over l_suppkey-ordered
+    lists, instead of an order-dependent double SUM. The collected array
+    is one row per SUPPLIER (a dimension, bounded) — fine at any corpus
+    scale."""
     li = load_table(spark, sf_dir, "lineitem")
     ws = _warehouse_size_estimates(li)
     per_size = (
@@ -131,8 +134,10 @@ def retrieval_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "estimated_warehouse_size")
         .agg(
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                .cast("double")
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                ).cast("double")
+                / F.lit(100.0)
                 / F.nullif(F.col("estimated_warehouse_size"), F.lit(0.0))
             ).alias("scanbytes_per_estimated_size")
         )
@@ -205,8 +210,8 @@ _SELECTIVITY_ORACLE = """
 ORACLE_SQL: dict[str, str] = {
     "snowset_selectivity_distribution": _SELECTIVITY_ORACLE,
     "snowset_selectivity_distribution_sql": _SELECTIVITY_ORACLE,
-    # per-key DECIMAL(18,2) price sums + a sequential l_suppkey-ordered
-    # fold for the weighted average — bit-identical to the Spark chain's
+    # per-key integer cents sums + a sequential l_suppkey-ordered fold
+    # for the weighted average — bit-identical to the Spark chain's
     # sort_array + F.aggregate (see retrieval_rate's exactness note)
     "snowset_retrieval_rate": """
         WITH warehouse_sizes AS (
@@ -217,7 +222,8 @@ ORACLE_SQL: dict[str, str] = {
         ),
         gb_read_per_size AS (
           SELECT ws.l_suppkey, ws.estimated_warehouse_size,
-                 (CAST(SUM(CAST(s.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 (CAST(SUM(CAST(round(s.l_extendedprice * 100) AS BIGINT))
+                       AS DOUBLE) / 100e0
                   / NULLIF(ws.estimated_warehouse_size, 0))
                    AS scanbytes_per_estimated_size
           FROM lineitem s

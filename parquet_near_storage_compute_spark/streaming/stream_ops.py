@@ -255,6 +255,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (F.session_window, 30-min gap, keyed by
+    user) — the Structured Streaming twin of time_session_window_native
+    and the canonical merging-state operator: unlike tumbling/sliding
+    windows, session state MERGES when a new event bridges two open
+    sessions, so the state store does real coalescing work per key. In an
+    append-mode production run the watermark closes sessions whose end
+    precedes it (bounding open-session state per user); this demo runs
+    complete mode over AvailableNow for a deterministic full-history
+    result (same honest framing as windowed_counts). Outputs are
+    integer-only — session boundaries and counts — so there is no float
+    drift surface."""
+    ev = _events_stream(spark, sf_dir)
+    per_session = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(per_session, "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": windowed_counts,
     "stream_stateful_user_stats": stateful_user_stats,
@@ -262,9 +294,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stream_join": stream_stream_join,
     "stream_sliding_counts": sliding_counts,
     "stream_append_closed_windows": append_closed_windows,
+    "stream_session_windows": session_windows,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    # identical islands logic to the time_session_window_native oracle
+    # (new session when ts >= prev + gap), reduced to integer counts
+    "stream_session_windows": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessioned AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
+          FROM flagged
+        ),
+        per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n
+          FROM sessioned GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(MAX(n) AS BIGINT) AS max_session_events,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
     "stream_windowed_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                event_type,

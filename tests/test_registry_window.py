@@ -78,6 +78,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "snowset_selectivity_distribution_sql",
     "mm_image_decode",
     "mm_audio_decode",
+    "stream_session_windows",
 }
 
 
