@@ -49,17 +49,18 @@ _MODULES = [
 #: The round-5 driver correctness window: the 32 contracts whose last
 #: external confirmation is round 2 (the straggler list from the end of
 #: NOTES_r4.md — after this window lands green, every registered contract
-#: has a round-3-or-later driver row), the 13 contracts round 5 modified
+#: has a round-3-or-later driver row), the 14 contracts round 5 modified
 #: or added (the engine-exactness rewrites from the float audit —
 #: join_outer_full decimal sums, snowset_retrieval_rate cents-sum +
 #: sorted-fold, snowset_selectivity_distribution_sql double literal, the
 #: two round-trip sources' integer cents sum, udaf_geomean / zscore are
 #: in the straggler set already — plus the salted sim_knn_join, the new
 #: sim_range_search / text_dedup_segments / mm_audio_decode /
-#: stream_session_windows, the single-scan pipeline_curation_report, the
-#: bounds-checked mm_image_decode, and meta_stat_prefixes' env-derived
-#: corpus dir), and — filling the remaining 5 slots — the oldest
-#: round-3-verified contracts in their CORRECTNESS_r03 order.
+#: stream_session_windows / join_bucketed_colocated, the single-scan
+#: pipeline_curation_report, the bounds-checked mm_image_decode, and
+#: meta_stat_prefixes' env-derived corpus dir), and — filling the
+#: remaining 4 slots — the oldest round-3-verified contracts in their
+#: CORRECTNESS_r03 order.
 _PRIORITY = [
     # r2-only stragglers — oldest external confirmation (32)
     "agg_approx_distinct",
@@ -94,7 +95,7 @@ _PRIORITY = [
     "udf_grouped_map_zscore",
     "udf_readability",
     "udf_sql_surface",
-    # modified or new in r5 (13)
+    # modified or new in r5 (14)
     "join_outer_full",
     "sim_knn_join",
     "sim_range_search",
@@ -108,12 +109,12 @@ _PRIORITY = [
     "mm_image_decode",
     "mm_audio_decode",
     "stream_session_windows",
-    # oldest-r3-verified rotation fill, CORRECTNESS_r03 order (5)
+    "join_bucketed_colocated",
+    # oldest-r3-verified rotation fill, CORRECTNESS_r03 order (4)
     "v1_footer_only_agg",
     "v1_flagship",
     "v1_ladder_real",
     "v1_ladder_worst",
-    "v1_grammar_boolean",
 ]
 
 

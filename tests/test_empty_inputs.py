@@ -101,3 +101,57 @@ def test_propagate_min_labels_empty_edges(spark):
 
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     assert propagate_min_labels(edges).count() == 0
+
+
+def test_dedup_segments_degenerate_docs(spark, tmp_path):
+    """Single-word, exactly-10-word, 11-word, and duplicated docs: segment
+    counts and cross-doc sharing must come out exactly (round-5 kernel)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_near_storage_compute_spark.operators.textops import (
+        dedup_segments,
+    )
+
+    ten = " ".join(f"w{i}" for i in range(10))
+    eleven = ten + " extra"
+    rows = {
+        1: "solo",            # 1 segment, unshared
+        2: ten,               # 1 segment, shared with doc 3
+        3: ten,               # duplicate of doc 2
+        4: eleven,            # 2 segments: ten (shared) + "extra"
+    }
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "text": pa.array(list(rows.values())),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+            "n_chars": pa.array([len(v) for v in rows.values()], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["n_segments"], r["n_shared_segments"])
+        for r in dedup_segments(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (2, 1)}
+
+
+def test_range_search_empty_embeddings(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_near_storage_compute_spark.operators.similarity import (
+        range_search,
+    )
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    assert range_search(spark, str(tmp_path)).count() == 0

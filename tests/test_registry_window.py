@@ -79,6 +79,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "mm_image_decode",
     "mm_audio_decode",
     "stream_session_windows",
+    "join_bucketed_colocated",
 }
 
 
