@@ -21,12 +21,16 @@ Usage::
 Prints one line per contract: ``OK`` (bit-stable + exact vs oracle),
 ``DRIFT r=<rel>`` (bit-stable but last-ulp drift vs DuckDB), or
 ``UNSTABLE`` (partition-order dependent — fix before it lands in a driver
-window).  Exits nonzero if any contract is UNSTABLE.
+window).  Exits nonzero if any contract is UNSTABLE.  A full run (no name
+filter) also records the per-contract verdicts into ``EXACTNESS.json`` at
+the repo root — the per-round evidence artifact.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -72,6 +76,7 @@ def main() -> int:
     queries = registry.all_queries()
     oracles = registry.all_oracles()
     unstable, drifted = [], []
+    record: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and not any(s in name for s in only):
             continue
@@ -114,16 +119,36 @@ def main() -> int:
                 print(f"{name:40s} ORACLE-ERROR {type(e).__name__}: {e}")
         if not bitstable:
             unstable.append(name)
+            record[name] = {"status": "UNSTABLE"}
             print(f"{name:40s} UNSTABLE")
         elif worst > 0:
             drifted.append((name, worst))
+            record[name] = {
+                "status": "DRIFT",
+                "worst_rel_drift": float(f"{worst:.3e}"),
+            }
             print(f"{name:40s} DRIFT r={worst:.3e}")
         else:
+            record[name] = {"status": "EXACT"}
             print(f"{name:40s} OK")
     print(
         f"\n{len(unstable)} unstable, {len(drifted)} drifted, "
         f"{len(queries) - len(unstable) - len(drifted)} exact"
     )
+    if not only:
+        out = {
+            "sf_dir": sf,
+            "n_contracts": len(record),
+            "n_unstable": len(unstable),
+            "n_drifted": len(drifted),
+            "n_exact": len(record) - len(unstable) - len(drifted),
+            "contracts": dict(sorted(record.items())),
+        }
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "EXACTNESS.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"wrote {path}")
     spark.stop()
     return 1 if unstable else 0
 
