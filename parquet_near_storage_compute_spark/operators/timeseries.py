@@ -331,8 +331,45 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values —
+    the smoothing primitive behind rate limiting, anomaly scoring, and
+    engagement decay. EWMA is inherently sequential (s_i depends on
+    s_{i-1}), which SQL engines cannot window-ize; the Spark form is a
+    per-user left fold: ``collect_list(struct(event_id, value))`` →
+    ``sort_array`` → ``F.aggregate`` with ``s + α·(x − s)``, all inside
+    whole-stage codegen — one shuffle on user_id, no UDF.
+
+    Engine-exactness discipline (NOTES_r5): the fold runs in event_id
+    order on BOTH engines (oracle: ``list_reduce`` over an ordered
+    ``list()``), α = 0.5 is an exact binary scale, and every step is a
+    single IEEE op — the cross-engine result is bit-identical, no
+    rounding needed. Scale: the per-user list is bounded by events-per-
+    user (≤ thousands in telemetry); a user too hot for one task would
+    chunk the fold by time range and stitch with
+    s' = s·(1−α)^k + partial — same algebra, still associative-free."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("event_id", "value")))
+    vals = F.transform(arr, lambda s: s["value"])
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        F.element_at(vals, 1),
+        lambda acc, x: acc + F.lit(0.5) * (x - acc),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ewma.alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_tumbling_hourly": tumbling_hourly,
+    "time_ewma": ewma_per_user,
     "time_sliding_window": sliding_window,
     "time_sessionize": sessionize,
     "time_session_window_native": session_window_native,
@@ -346,6 +383,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "time_ewma": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(list_reduce(list(value ORDER BY event_id),
+                                (a, b) -> a + 0.5 * (b - a)) AS DOUBLE)
+                 AS ewma_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     "events_cumulative_users": """
         WITH first AS (
           SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d

@@ -420,8 +420,51 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shuffle seed baked into the shard hash — changing it is a full reshuffle.
+SHUFFLE_SEED = 42
+
+
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — how a training pipeline
+    randomizes 100 TB of documents without ever sorting them globally:
+    ``shard = first hex char of md5(doc_id:seed)`` (16 shards here) is a
+    pure hash partition, and reading shards in (shard, md5) order yields a
+    reproducible pseudorandom permutation of the corpus. No global
+    row_number, no sort of the full data — the only exchange is the
+    hash partition the shard write needs anyway.
+
+    The contract emits the per-shard manifest (doc count, total chars,
+    id range) plus the shard's FIRST document under the md5 ordering
+    (``min_by`` — proves the within-shard permutation itself is
+    deterministic, not just the membership). Cross-engine: md5 of
+    identical bytes is identical lowercase hex in both engines, so every
+    column is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sort_key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))
+    )
+    shards = docs.select(
+        "doc_id",
+        "n_chars",
+        sort_key.alias("sort_key"),
+        F.substring(sort_key, 1, 1).alias("shard"),
+    )
+    return (
+        shards.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.min_by("doc_id", F.col("sort_key")).alias("first_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_pack_sequences": pack_sequences,
+    "train_global_shuffle": global_shuffle,
     "train_test_split": train_test_split,
     "train_stratified_sample": stratified_sample,
     "train_profile_columns": profile_columns,
@@ -433,6 +476,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "train_global_shuffle": f"""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS sort_key
+          FROM documents
+        )
+        SELECT substr(sort_key, 1, 1) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+               CAST(min_by(doc_id, sort_key) AS BIGINT) AS first_doc_id
+        FROM s GROUP BY shard ORDER BY shard
+    """,
     "train_bpe_pair_counts": f"""
         WITH w AS (
           SELECT unnest(string_split(text, ' ')) AS word FROM documents

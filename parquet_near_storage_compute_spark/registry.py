@@ -42,6 +42,7 @@ _MODULES = [
     "parquet_near_storage_compute_spark.operators.training",
     "parquet_near_storage_compute_spark.functions.udfs",
     "parquet_near_storage_compute_spark.sources.io",
+    "parquet_near_storage_compute_spark.sources.pyds",
     "parquet_near_storage_compute_spark.streaming.stream_ops",
 ]
 
@@ -57,10 +58,11 @@ _MODULES = [
 #: in the straggler set already — plus the salted sim_knn_join, the new
 #: sim_range_search / text_dedup_segments / mm_audio_decode /
 #: stream_session_windows / join_bucketed_colocated, the single-scan
-#: pipeline_curation_report, the bounds-checked mm_image_decode, and
-#: meta_stat_prefixes' env-derived corpus dir), and — filling the
-#: remaining 4 slots — the oldest round-3-verified contracts in their
-#: CORRECTNESS_r03 order.
+#: pipeline_curation_report, the bounds-checked mm_image_decode,
+#: meta_stat_prefixes' env-derived corpus dir, the Python-datasource
+#: selective scan + manifest sink, the EWMA fold, and the hash global
+#: shuffle). 32 + 18 fill the 50 slots exactly; the one r5 contract that
+#: doesn't fit leads DEFERRED_TO_R6.
 _PRIORITY = [
     # r2-only stragglers — oldest external confirmation (32)
     "agg_approx_distinct",
@@ -95,7 +97,8 @@ _PRIORITY = [
     "udf_grouped_map_zscore",
     "udf_readability",
     "udf_sql_surface",
-    # modified or new in r5 (14)
+    # modified or new in r5 (18; a 19th, stream_python_datasource, is
+    # deferred — see DEFERRED_TO_R6)
     "join_outer_full",
     "sim_knn_join",
     "sim_range_search",
@@ -110,11 +113,18 @@ _PRIORITY = [
     "mm_audio_decode",
     "stream_session_windows",
     "join_bucketed_colocated",
-    # oldest-r3-verified rotation fill, CORRECTNESS_r03 order (4)
-    "v1_footer_only_agg",
-    "v1_flagship",
-    "v1_ladder_real",
-    "v1_ladder_worst",
+    "source_python_datasource",
+    "sink_python_datasource",
+    "time_ewma",
+    "train_global_shuffle",
+]
+
+#: New in round 5 but deliberately NOT in the 50-slot round-5 window: the
+#: must-cover set (32 r2-only stragglers + 18 r5-modified/new) fills all 50
+#: slots exactly. These are locally oracle-verified every test run
+#: (tests/test_registry_oracle.py) and lead the round-6 window.
+DEFERRED_TO_R6 = [
+    "stream_python_datasource",
 ]
 
 

@@ -1,0 +1,502 @@
+"""Near-storage selective scan as a PySpark Python Data Source.
+
+The reference's v2 engine plans a byte-selective read from footer statistics
+(``v2/src/main.rs:338-398``: fetch footer, keep only the row groups whose
+min/max admit the predicate, stream just those byte ranges). Spark's parquet
+reader does the same natively — ``tests/test_rowgroup_pruning.py`` pins
+that — but the *extension point* a 100 TB deployment actually uses for a
+custom format is the DataSourceV2 API. This module re-expresses the v2 scan
+through PySpark 4's Python Data Source API (``pyspark.sql.datasource``,
+4.0+; filter pushdown 4.1+):
+
+- ``pushFilters``     — receives Catalyst's ANDed predicates, keeps the
+  stats-prunable ones, and returns ALL of them so Spark re-applies each
+  post-scan (pruning is an I/O optimization, never a correctness step —
+  the same conservative contract parquet row-group pruning has).
+- ``partitions``      — one ``InputPartition`` per *surviving* row group:
+  pruning happens at PLANNING time, so skipped row groups never even get a
+  task, and the scan parallelism is exactly the surviving-group count.
+- ``read``            — opens one row group and yields Arrow RecordBatches
+  (zero-copy into Spark's vectorized pipeline; never row-at-a-time).
+
+At 100 TB the identical class serves a multi-file table: ``partitions()``
+walks the file listing (footers only — no data pages) and emits one
+partition per surviving (file, row_group) pair; executors stream just those
+byte ranges. That is the reference's near-storage architecture, hosted
+inside Spark's planner.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+#: Columns served by the source (a projection is part of the layout job:
+#: the sized copy carries only what the scan needs — late projection is
+#: then free because the file itself is narrow).
+_COLUMNS = ["event_id", "event_type", "value"]
+_SCHEMA_DDL = "event_id bigint, event_type string, value double"
+
+#: Rows per row group in the sized layout. Small on purpose: the driver
+#: corpora are tiny, and the contract exists to make group-level pruning
+#: observable (sf0.001 → 4 groups, sf0.01 → 40, sf0.1 → 400).
+ROW_GROUP_ROWS = 250
+
+_TMP_DIR = "/tmp/pnsc_sources"
+
+
+def _stats_admit(filt, stats) -> bool:
+    """Conservative row-group test: may this group contain a passing row?
+
+    ``stats`` is a ``(min, max)`` tuple from the parquet footer. Unknown
+    filter shapes and missing stats always admit (pruning must never drop
+    a group it cannot prove empty — the reference applies the same rule,
+    ``v2/src/main.rs:378-392``).
+    """
+    if stats is None:
+        return True
+    lo, hi = stats
+    if lo is None or hi is None:
+        return True
+    v = filt.value
+    if isinstance(filt, GreaterThan):
+        return hi > v
+    if isinstance(filt, GreaterThanOrEqual):
+        return hi >= v
+    if isinstance(filt, LessThan):
+        return lo < v
+    if isinstance(filt, LessThanOrEqual):
+        return lo <= v
+    if isinstance(filt, EqualTo):
+        return lo <= v <= hi
+    return True
+
+
+def list_part_files(path: str) -> list[str]:
+    """A source path is one parquet file or a directory of parts. For a
+    directory, the ``_SUCCESS`` manifest (written by ``RowGroupWriter``'s
+    two-phase commit) is authoritative — uncommitted/orphaned parts are
+    invisible, which is what makes the sink's failure story clean; a
+    manifest-less directory falls back to a sorted glob."""
+    import glob
+    import json
+
+    if not os.path.isdir(path):
+        return [path]
+    manifest = os.path.join(path, "_SUCCESS")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            parts = json.load(fh)["parts"]
+        return [os.path.join(path, p["path"]) for p in parts]
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def plan_row_groups(path: str, filters) -> list[int]:
+    """Footer-only planning: the row-group indices whose statistics admit
+    every pushed filter. Reads ZERO data pages — exactly the byte budget
+    of the reference's metadata pass (S3/S5)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    kept = []
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        admit = True
+        for f in filters:
+            attr = f.attribute[0] if len(f.attribute) == 1 else None
+            if attr is None or attr not in names:
+                continue
+            col = group.column(names[attr])
+            st = col.statistics
+            stats = (st.min, st.max) if st and st.has_min_max else None
+            if not _stats_admit(f, stats):
+                admit = False
+                break
+        if admit:
+            kept.append(rg)
+    return kept
+
+
+class _RowGroupPartition(InputPartition):
+    def __init__(self, path: str, row_group: int):
+        self.path = path
+        self.row_group = row_group
+
+
+class RowGroupReader(DataSourceReader):
+    _PUSHABLE = (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+        EqualTo,
+    )
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rowgroup_parquet requires a 'path' option")
+        self.pushed = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if (
+                isinstance(f, self._PUSHABLE)
+                and len(f.attribute) == 1
+                and isinstance(f.value, (int, float, str))
+            ):
+                # Keep for planning-time pruning — and still hand it back:
+                # stats pruning is group-granular, so Spark must re-apply
+                # the exact predicate to the surviving rows.
+                self.pushed.append(f)
+            yield f
+
+    def partitions(self):
+        return [
+            _RowGroupPartition(f, rg)
+            for f in list_part_files(self.path)
+            for rg in plan_row_groups(f, self.pushed)
+        ]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        table = pq.ParquetFile(partition.path).read_row_group(
+            partition.row_group, columns=_COLUMNS
+        )
+        yield from table.to_batches()
+
+
+class RowGroupStreamReader(DataSourceStreamReader):
+    """Streaming half of the source: the file's row groups ARE the offset
+    space. ``latestOffset`` is a footer-only driver call (row-group count),
+    ``partitions(start, end)`` emits one partition per unconsumed group, and
+    executors read exactly those byte ranges — a parquet "tailer" with
+    replayable offsets (``{"rg": n}`` is the checkpoint token; re-planning
+    [start, end) after a failure re-reads the identical groups, so the
+    source is exactly-once). At 100 TB the offset is a (file, row_group)
+    watermark over an append-only directory listing — same three methods,
+    same footer-only planning cost."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rowgroup_parquet requires a 'path' option")
+
+    def _num_groups(self) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.path).metadata.num_row_groups
+
+    def initialOffset(self):
+        return {"rg": 0}
+
+    def latestOffset(self):
+        return {"rg": self._num_groups()}
+
+    def partitions(self, start, end):
+        return [
+            _RowGroupPartition(self.path, rg)
+            for rg in range(start["rg"], end["rg"])
+        ]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        table = pq.ParquetFile(partition.path).read_row_group(
+            partition.row_group, columns=_COLUMNS
+        )
+        yield from table.to_batches()
+
+    def commit(self, end):
+        pass
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class RowGroupWriter(DataSourceWriter):
+    """Write half: each task writes one sized-row-group parquet part via
+    Arrow (rows arrive as Spark ``Row``s; the task batches them into
+    ``ROW_GROUP_ROWS`` groups), and ``commit`` publishes a ``_SUCCESS``
+    manifest listing the parts — the standard two-phase commit: parts are
+    invisible until the single driver-side rename/manifest step, so a
+    failed job leaves no partial table. ``abort`` removes orphans."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rowgroup_parquet requires a 'path' option")
+        self.overwrite = overwrite
+        # driver-side, before any task runs: overwrite clears the previous
+        # committed generation (manifest first, so a crash mid-clean leaves
+        # an invisible-not-half-visible table)
+        if overwrite and os.path.isdir(self.path):
+            import glob
+
+            manifest = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(manifest):
+                os.remove(manifest)
+            for f in glob.glob(os.path.join(self.path, "*.parquet")):
+                os.remove(f)
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        rows = [tuple(r) for r in iterator]
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+            ]
+        )
+        table = pa.Table.from_arrays(
+            [
+                pa.array([r[i] for r in rows], type=f.type)
+                for i, f in enumerate(schema)
+            ],
+            schema=schema,
+        )
+        pq.write_table(table, part, row_group_size=ROW_GROUP_ROWS)
+        return _PartFile(part, len(rows))
+
+    def commit(self, messages):
+        import json
+        import os
+
+        parts = [
+            {"path": os.path.basename(m.path), "rows": m.rows}
+            for m in messages
+            if m is not None
+        ]
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"parts": parts}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class RowGroupParquetDataSource(DataSource):
+    """``spark.read.format("rowgroup_parquet").option("path", p)`` — batch
+    read (pruned), stream read (row-group tailer), and write (sized parts
+    with a two-phase manifest commit)."""
+
+    @classmethod
+    def name(cls):
+        return "rowgroup_parquet"
+
+    def schema(self):
+        return _SCHEMA_DDL
+
+    def reader(self, schema):
+        return RowGroupReader(self.options)
+
+    def streamReader(self, schema):
+        return RowGroupStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return RowGroupWriter(self.options, overwrite)
+
+
+def sized_events_path(sf_dir: str) -> str:
+    """Sorted, row-group-sized events copy for the contract (cached; keyed
+    on the source parquet's mtime+size so corpus regeneration invalidates).
+    Sorting by ``event_id`` is the layout half of the design: tight per-group
+    min/max on the sort key is what makes footer pruning selective — the
+    same reason the reference's corpora are written key-ordered."""
+    from parquet_near_storage_compute_spark.tables import table_path
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(_TMP_DIR, f"pyds_rg_{key}.parquet")
+    if not os.path.exists(out):
+        import pyarrow.parquet as pq
+
+        os.makedirs(_TMP_DIR, exist_ok=True)
+        tbl = pq.read_table(src, columns=_COLUMNS).sort_by("event_id")
+        tmp = out + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=ROW_GROUP_ROWS)
+        os.replace(tmp, out)
+    return out
+
+
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract: selective scan through the Python data source. The
+    ``event_id < 500`` predicate reaches ``pushFilters``, prunes every row
+    group but the first two at planning time (pinned by
+    ``tests/test_python_datasource.py``), and is still re-applied by Spark
+    row-exactly; the ``value`` predicate rides along (random column — stats
+    admit everything, exactly as in the reference's worst-case ladder)."""
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(RowGroupParquetDataSource)
+    # Off by default in 4.1; runtime-settable. Without it Spark refuses a
+    # reader that implements pushFilters rather than silently skipping it.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("rowgroup_parquet")
+        .option("path", sized_events_path(sf_dir))
+        .load()
+    )
+    return (
+        df.filter((F.col("event_id") < 500) & (F.col("value") > 100.0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming contract: tail the sized file through the custom source's
+    ``DataSourceStreamReader`` (offsets = row groups) and aggregate in
+    complete mode. Python stream sources don't implement AvailableNow's
+    admission control, so Spark logs a fallback to single-batch execution:
+    ONE microbatch spanning initialOffset → latestOffset (all row groups,
+    read executor-parallel — 40 tasks at sf0.01), then stop. Equally
+    deterministic: the final memory-sink state equals the batch aggregate
+    over the whole file, which is what the oracle pins."""
+    from pyspark.sql import functions as F
+
+    from parquet_near_storage_compute_spark.streaming.stream_ops import (
+        _run_to_memory,
+    )
+
+    spark.dataSource.register(RowGroupParquetDataSource)
+    stream = (
+        spark.readStream.format("rowgroup_parquet")
+        .option("path", sized_events_path(sf_dir))
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
+    )
+    return _run_to_memory(agg, "complete").orderBy("event_type")
+
+
+#: Sink contract subset: every 10th event (deterministic, engine-neutral).
+_SINK_MOD = 10
+
+
+def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path contract: push an events subset through the custom
+    ``DataSourceWriter`` (distributed tasks → sized parts → manifest
+    commit), then read the committed table back through the custom batch
+    reader and aggregate. Equality against the parquet-view oracle proves
+    the full write→manifest→read loop is lossless. The write re-runs every
+    call (overwrite mode) — also exercising the previous-generation
+    cleanup."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from parquet_near_storage_compute_spark.tables import load_table, table_path
+
+    spark.dataSource.register(RowGroupParquetDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(_TMP_DIR, f"pyds_sink_{key}")
+    subset = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % _SINK_MOD == 0)
+        .select("event_id", "event_type", "value")
+    )
+    (
+        subset.write.format("rowgroup_parquet")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    df = spark.read.format("rowgroup_parquet").option("path", out).load()
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "source_python_datasource": python_datasource_scan,
+    "stream_python_datasource": python_datasource_stream,
+    "sink_python_datasource": python_datasource_sink,
+}
+
+ORACLE_SQL = {
+    "source_python_datasource": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents,
+               CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id
+        FROM events
+        WHERE event_id < 500 AND value > 100.0
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "stream_python_datasource": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "sink_python_datasource": f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents,
+               CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_event_id
+        FROM events
+        WHERE event_id % {_SINK_MOD} = 0
+        GROUP BY event_type ORDER BY event_type
+    """,
+}

@@ -33,6 +33,7 @@ PINNED = [
     "agg_reaggregate",
     "source_jsonl_scan",
     "events_retention_cohorts",
+    "time_ewma",
 ]
 
 

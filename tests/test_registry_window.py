@@ -2,8 +2,8 @@
 ``all_queries()`` in iteration order, so the window contents are part of the
 contract. Round 5's window = the 32 contracts whose last driver row is from
 round 2 (the rotation debt VERDICT r4 ranks #1), every contract round 5
-modified or added, padded with the oldest round-3-verified contracts in
-their CORRECTNESS_r03 order."""
+modified or added. The must-set fills all 50 slots exactly; the overflow
+(new-in-r5 only) is pinned in ``DEFERRED_TO_R6``."""
 
 from __future__ import annotations
 
@@ -12,6 +12,7 @@ import os
 
 from parquet_near_storage_compute_spark.registry import (
     _PRIORITY,
+    DEFERRED_TO_R6,
     all_oracles,
     all_queries,
 )
@@ -80,6 +81,11 @@ MODIFIED_OR_NEW_IN_R5 = {
     "mm_audio_decode",
     "stream_session_windows",
     "join_bucketed_colocated",
+    "source_python_datasource",
+    "sink_python_datasource",
+    "stream_python_datasource",
+    "time_ewma",
+    "train_global_shuffle",
 }
 
 
@@ -91,32 +97,37 @@ def test_window_is_exactly_priority():
 
 def test_window_covers_every_unconfirmed_contract():
     """Every straggler and everything modified since its last driver row
-    must be in the round-5 window."""
-    must = R2_ONLY_STRAGGLERS | MODIFIED_OR_NEW_IN_R5
+    must be in the round-5 window — except the explicitly deferred new
+    contracts (the must-set outgrew the 50 slots by exactly that many)."""
+    must = (R2_ONLY_STRAGGLERS | MODIFIED_OR_NEW_IN_R5) - set(DEFERRED_TO_R6)
     missing = must - set(_PRIORITY)
     assert not missing, f"unconfirmed contracts outside the window: {missing}"
 
 
-def test_fill_slots_are_oldest_r3_verified_contracts():
-    """The non-mandatory slots must be drawn from the CORRECTNESS_r03 window
-    (the oldest still-unrotated rows) in its original order."""
-    must = R2_ONLY_STRAGGLERS | MODIFIED_OR_NEW_IN_R5
-    fill = [n for n in _PRIORITY if n not in must]
-    r4 = set(_round_keys("CORRECTNESS_r04.json"))
-    r3 = [
-        n
-        for n in _round_keys("CORRECTNESS_r03.json")
-        if n not in must and n not in r4
-    ]
-    assert fill == r3[: len(fill)]
+def test_deferred_contracts_are_new_in_r5_and_oracle_backed():
+    """Deferral is only legitimate for contracts that never had a driver
+    row to go stale (new this round) and that the local differential
+    harness fully covers (oracle-backed)."""
+    oracles = all_oracles()
+    prior = set(_round_keys("CORRECTNESS_r03.json")) | set(
+        _round_keys("CORRECTNESS_r04.json")
+    )
+    for name in DEFERRED_TO_R6:
+        assert name in MODIFIED_OR_NEW_IN_R5
+        assert name not in prior, f"{name} has a stale driver row — defer invalid"
+        assert name in oracles
+        assert name not in _PRIORITY
 
 
 def test_every_registered_contract_has_a_recent_or_scheduled_row():
     """No contract may fall through the rotation: each is either in the r5
-    window, or carries an r3/r4 driver row and is unmodified since."""
+    window, explicitly deferred to r6, or carries an r3/r4 driver row and
+    is unmodified since."""
     r3 = set(_round_keys("CORRECTNESS_r03.json"))
     r4 = set(_round_keys("CORRECTNESS_r04.json"))
-    holes = set(all_queries()) - set(_PRIORITY) - r3 - r4
+    holes = (
+        set(all_queries()) - set(_PRIORITY) - set(DEFERRED_TO_R6) - r3 - r4
+    )
     assert not holes, f"contracts with no recent driver row and no window slot: {holes}"
 
 
