@@ -70,8 +70,49 @@ def unsigned_decimal_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: ``parse_json``
+    once into the binary variant encoding, then typed path extraction with
+    ``try_variant_get`` (invalid/missing paths → NULL, never a task
+    failure). The OTHER semi-structured path from ``time_json_extract``'s
+    schema-declared ``from_json``: VARIANT needs no schema up front, keeps
+    the full document queryable, and its binary encoding is the
+    open-format answer to JSON strings at 100 TB (parse once at ingest,
+    extract many times without re-tokenizing; shreddable into parquet).
+    ``schema_of_variant`` feeds a distinct-count sanity column — 1 ⇔
+    every props payload in the corpus has the same shape."""
+    ensure_engine_confs(spark)
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.schema_of_variant(F.col("v")).alias("vschema"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("absent").alias("n_absent_nonnull"),
+            # rendering differs across engines ("OBJECT<k: BIGINT>" vs
+            # json_structure's {"k":...}), but the distinct COUNT is
+            # rendering-invariant: 1 ⇔ the corpus payloads are uniform
+            F.count_distinct("vschema").alias("n_schemas"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "types_unsigned_decimal": unsigned_decimal_scan,
+    "types_variant_json": variant_json_scan,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -93,5 +134,19 @@ ORACLE_SQL: dict[str, str] = {
         WHERE u32 > 1000000 AND u8 >= 8
         GROUP BY grp
         ORDER BY grp
+    """,
+    "types_variant_json": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS max_k,
+               CAST(COUNT(json_extract(props, '$.missing')) AS BIGINT)
+                 AS n_absent_nonnull,
+               CAST(COUNT(DISTINCT json_structure(props)) AS BIGINT)
+                 AS n_schemas
+        FROM events
+        GROUP BY event_type ORDER BY event_type
     """,
 }

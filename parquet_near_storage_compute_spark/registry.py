@@ -125,6 +125,7 @@ _PRIORITY = [
 #: (tests/test_registry_oracle.py) and lead the round-6 window.
 DEFERRED_TO_R6 = [
     "stream_python_datasource",
+    "types_variant_json",
 ]
 
 

@@ -86,6 +86,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "stream_python_datasource",
     "time_ewma",
     "train_global_shuffle",
+    "types_variant_json",
 }
 
 

@@ -102,3 +102,28 @@ def test_global_shuffle_is_reproducible(spark, seed):
     a = sorted(map(tuple, global_shuffle(spark, SF).collect()))
     b = sorted(map(tuple, global_shuffle(spark, SF).collect()))
     assert a == b
+
+
+def test_variant_scan_semantics(spark):
+    from parquet_near_storage_compute_spark.operators.typed_scan import (
+        variant_json_scan,
+    )
+
+    rows = variant_json_scan(spark, SF).collect()
+    assert rows, "variant scan returned nothing"
+    for r in rows:
+        # $.missing never exists → try_variant_get yields NULL, COUNT = 0
+        assert r["n_absent_nonnull"] == 0
+        # the corpus props are uniform {"k": int} objects
+        assert r["n_schemas"] == 1
+        assert r["max_k"] is not None
+
+
+def test_variant_get_is_typed_and_null_safe(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([('{"k": 7}',), ('{"other": 1}',)], "props string")
+    out = df.select(
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k")
+    ).collect()
+    assert sorted([r["k"] for r in out], key=lambda x: (x is None, x)) == [7, None]
