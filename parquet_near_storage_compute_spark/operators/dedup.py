@@ -573,6 +573,43 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: new batch vs existing corpus.
+
+    The daily-pipeline form of exact dedup — `dedup_exact` dedups a corpus
+    against itself; this dedups an incoming BATCH (odd doc_ids) against an
+    already-ingested CORPUS (even doc_ids) and then within itself:
+    survivors are batch docs whose md5(text) is absent from the corpus,
+    min-doc_id per signature within the batch.
+
+    100 TB shape: the corpus contributes only its 16-byte signature column
+    (column-pruned scan, or a signature side-table maintained at ingest),
+    the anti-join shuffles on the signature hash, and the within-batch
+    dedup reuses the same partitioning (one effective shuffle of the small
+    batch side). `sketch_bloom_membership` is the constant-space pre-filter
+    for this exact join: at scale only Bloom-positive batch rows (a few %)
+    need to touch the corpus signatures at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_sigs = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("sig"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", F.md5("text").alias("sig")
+    )
+    fresh = batch.join(corpus_sigs, "sig", "left_anti")
+    return (
+        fresh.groupBy("sig")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+        )
+        .select("doc_id", "source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": exact_dedup,
     "dedup_embedding_lsh": embedding_neardup_lsh,
@@ -583,6 +620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
     "dedup_connected_components": connected_components,
+    "dedup_incremental": incremental_dedup,
     "minhash_dedup_decisions": lambda spark, sf_dir: (
         minhash_dedup_decisions(load_table(spark, sf_dir, "documents"))
         .orderBy("doc_id")
@@ -637,6 +675,22 @@ _SHINGLE_CTE = f"""
 """
 
 ORACLE_SQL: dict[str, str] = {
+    "dedup_incremental": """
+        WITH corpus AS (
+          SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 2 = 0
+        ),
+        batch AS (
+          SELECT doc_id, source, md5(text) AS sig
+          FROM documents WHERE doc_id % 2 = 1
+        ),
+        fresh AS (
+          SELECT b.* FROM batch b
+          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.sig = b.sig)
+        )
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               min_by(source, doc_id) AS source
+        FROM fresh GROUP BY sig
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
                CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,

@@ -351,6 +351,56 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Salt width for the explicit skew-salted join. At 100 TB size this to
+#: (rows of the hottest key) / (rows a reducer should hold).
+SKEW_SALT = 8
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salt-replicate join on a pathologically skewed key.
+
+    ``events``→``event_type`` is the textbook skew shape: a fact table
+    joined on a key with a handful of distinct values, so a plain shuffle
+    join lands the whole table on ≤ #keys reducers no matter how many
+    executors exist. The salt-replicate fix: the fact side gets a free
+    ``salt = pmod(event_id, S)`` column (no extra rows), the dimension side
+    is replicated S× (tiny — dims are small by definition here), and the
+    join key becomes (event_type, salt) — each hot key now spreads over S
+    tasks. Exact: every fact row still meets exactly one dim copy.
+
+    AQE's skew-join handles the same problem adaptively for sort-merge
+    joins (splits oversized partitions at runtime, enabled in session.py);
+    the explicit salt is the portable, deterministic form that also works
+    where AQE cannot intervene — broadcast-ineligible dims under
+    shuffled-hash join, skewed groupBy keys (see window_topk_per_group's
+    salted top-k), and pre-Spark-3 engines. hint("merge") pins SMJ so the
+    salted shuffle shape is what the plan test pins, as with the bucketed
+    join above. Output sums integer cents (floor(value·100)) — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("long"))
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1)))
+        )
+    )
+    fact = ev.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(SKEW_SALT)).cast("int")
+    )
+    return (
+        fact.join(dim.hint("merge"), ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.max("type_weight").alias("type_weight"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_theta": theta_join,
     "join_self": self_join,
@@ -364,6 +414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_range": range_join,
     "join_outer_full": full_outer_rollup,
     "join_bucketed_colocated": bucketed_colocated_join,
+    "join_skew_salted": skew_salted_join,
 }
 
 _PCT_ORACLE = """
@@ -375,6 +426,14 @@ _PCT_ORACLE = """
 """
 
 ORACLE_SQL: dict[str, str] = {
+    "join_skew_salted": """
+        SELECT event_type,
+               CAST(length(event_type) AS BIGINT) AS type_weight,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "join_bucketed_colocated": """
         SELECT c.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,

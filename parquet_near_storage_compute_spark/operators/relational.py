@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_near_storage_compute_spark.tables import load_table
@@ -172,7 +172,46 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.distinct()
 
 
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins MERGE/upsert over plain parquet (SCD type 1).
+
+    The CDC-apply pattern for engines without a transactional table format:
+    current state (even event_ids) and an update batch (odd event_ids) are
+    unioned — a zero-shuffle concatenation — and one window pass per key
+    keeps the newest version by (ts, event_id). At 100 TB the union's
+    window shuffle is the whole cost, and it partitions by the merge key,
+    so writing the result ``partitionBy``/``bucketBy`` that same key makes
+    the NEXT merge's window reuse the layout; updates touch only the
+    partitions they land in (the classic copy-on-write merge). Versions
+    per key ride along from the same window (no second aggregate).
+
+    Outputs are integral (ids, cents, counts) — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "event_id", "event_type", "value", "ts"]
+    base = ev.filter(F.col("event_id") % 2 == 0).select(*cols)
+    updates = ev.filter(F.col("event_id") % 2 == 1).select(*cols)
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.floor(F.col("value") * 100).alias("last_value_cents"),
+            "n_versions",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "relational_merge_upsert": merge_upsert,
     "relational_correlated_subquery": correlated_subquery,
     "relational_lateral_topn": lateral_topn,
     "relational_pivot": pivot_counts,
@@ -187,6 +226,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "relational_merge_upsert": """
+        SELECT user_id,
+               event_id AS last_event_id,
+               event_type AS last_event_type,
+               CAST(floor(value * 100) AS BIGINT) AS last_value_cents,
+               n_versions
+        FROM (
+          SELECT user_id, event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_versions
+          FROM events
+        ) WHERE rn = 1
+    """,
     "relational_lateral_topn": """
         SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
         FROM orders o,

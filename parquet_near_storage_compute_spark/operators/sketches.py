@@ -1,0 +1,245 @@
+"""Mergeable sketches: fixed-size summaries for 100 TB-scale questions.
+
+Extension family (the reference has no sketch support; its closest analogue
+is the stats-compaction metadata path, ``v2/src/main.rs:338-398``, which also
+answers queries from a tiny summary instead of the data). Two classics:
+
+- **Count-min sketch** (`sketch_countmin`): frequency estimation over an
+  unbounded key domain in O(D·W) space. The sketch is a (depth, bucket) →
+  count table built with ONE map-side-combinable groupBy — every partial
+  aggregate is itself a valid sketch and merging is `+`, so at 100 TB the
+  sketch costs one narrow pass and shuffles only D·W rows regardless of key
+  cardinality (vs a full groupBy whose shuffle is proportional to distinct
+  keys). Estimates are biased up (collisions only ever add), never down:
+  `est ≥ exact` for every key, which the contract exposes by emitting both.
+
+- **Bloom filter** (`sketch_bloom_membership`): set membership in m bits.
+  Build = bit_or of per-row masks — again map-side combinable, again a
+  fixed-size result (64 × 32-bit words here). The 100 TB use is incremental
+  ingestion: "which of today's documents already exist in the corpus?"
+  becomes broadcast-the-filter + narrow probe, and ONLY the Bloom-positive
+  rows (a few % of the batch) pay the exact anti-join against the corpus.
+  Bloom filters have no false negatives, so exact-checking only the
+  positives yields exactly the true-member set — the contract computes it
+  that way on purpose and reports false positives alongside.
+
+Cross-engine determinism: all hashing is md5-derived 32-bit integers
+(``conv(substr(md5(..),1,8),16,10)`` ↔ ``('0x'||substr(md5(..),1,8))::BIGINT``),
+bit masks stay within 32-bit words so BIGINT shifts never overflow in either
+engine, and every output column is integral.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.tables import load_table
+
+# ---- count-min parameters ------------------------------------------------
+CM_DEPTH = 4  #: independent hash rows; P(over-estimate by t) ≤ (e/W·n/t)^D
+CM_WIDTH = 256  #: buckets per row — sketch size D·W = 1024 counters total
+CM_PROBE_MAX = 20  #: probe keys: user_id < 20 (exact counts emitted too)
+
+# ---- bloom parameters ----------------------------------------------------
+BLOOM_WORDS = 64  #: 32-bit words → m = 2048 bits
+BLOOM_BITS = BLOOM_WORDS * 32
+BLOOM_K = 3  #: hash functions per element
+
+
+def _hash32(seed: F.Column, key: F.Column) -> F.Column:
+    """Deterministic 32-bit hash: first 8 hex chars of md5('<seed>:<key>').
+
+    Bitwise identical in DuckDB as ('0x'||substr(md5(seed||':'||key),1,8))
+    ::BIGINT — same device as train_mixture_sample's draw
+    (operators/training.py:327)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(seed.cast("string"), F.lit(":"), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates vs exact counts for the probe keys.
+
+    Build: one pass over events, each row exploded into CM_DEPTH (d, bucket)
+    cells, hash-aggregated — partial aggregation collapses each task's rows
+    to ≤ D·W cells before the (tiny, bounded) shuffle. Probe: the sketch is
+    broadcast and each probe key reads its D cells, taking the min.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
+    cells = ev.select(F.col("user_id"), d).select(
+        "d", (_hash32(F.col("d"), F.col("user_id")) % CM_WIDTH).alias("bucket")
+    )
+    sketch = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    probes = (
+        ev.filter(F.col("user_id") < CM_PROBE_MAX)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probe_cells = probes.select("user_id", "exact_count", d).select(
+        "user_id",
+        "exact_count",
+        "d",
+        (_hash32(F.col("d"), F.col("user_id")) % CM_WIDTH).alias("bucket"),
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.min("cnt").alias("est_count"),
+            F.max("exact_count").alias("exact_count"),
+        )
+    )
+
+
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source incremental-ingest membership report via a Bloom filter.
+
+    Corpus = even doc_ids, probe batch = odd doc_ids (same split as
+    `dedup_incremental` — this is its constant-space pre-filter). The filter
+    is ≤ BLOOM_WORDS rows after a map-side-combinable bit_or groupBy; probes
+    broadcast-join it. The exact member check runs ONLY over Bloom-positive
+    probes — sound because a Bloom filter has no false negatives.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("sig"))
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", F.md5("text").alias("sig")
+    )
+
+    j = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    idx = (_hash32(F.col("j"), F.col("sig")) % BLOOM_BITS).alias("idx")
+    bloom = (
+        corpus.select("sig", j)
+        .select(idx)
+        .select(
+            F.expr("idx div 32").alias("word"),
+            F.expr("shiftleft(1L, int(idx % 32))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    probe_bits = (
+        batch.select("doc_id", "source", "sig", j)
+        .select("doc_id", "source", "sig", idx)
+        .select(
+            "doc_id",
+            "source",
+            "sig",
+            F.expr("idx div 32").alias("word"),
+            F.expr("shiftleft(1L, int(idx % 32))").alias("mask"),
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id",
+            "source",
+            "sig",
+            F.expr(
+                "CASE WHEN (coalesce(bits, 0L) & mask) <> 0L THEN 1 ELSE 0 END"
+            ).alias("hit"),
+        )
+    )
+    probed = probe_bits.groupBy("doc_id", "source", "sig").agg(
+        F.min("hit").alias("bloom_positive")
+    )
+
+    # exact check over the positive subset only (no false negatives ⇒ exact)
+    members = (
+        probed.filter(F.col("bloom_positive") == 1)
+        .join(corpus.distinct(), "sig", "left_semi")
+        .select("doc_id")
+        .withColumn("is_member", F.lit(1))
+    )
+    flagged = probed.join(F.broadcast(members), "doc_id", "left").select(
+        "source",
+        "bloom_positive",
+        F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("bloom_positive").alias("n_bloom_positive"),
+        F.sum("is_member").alias("n_true_member"),
+        F.sum(
+            F.when((F.col("bloom_positive") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        ).alias("n_false_positive"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sketch_countmin": countmin,
+    "sketch_bloom_membership": bloom_membership,
+}
+
+_H32 = "('0x' || substr(md5({seed}::VARCHAR || ':' || {key}::VARCHAR), 1, 8))::BIGINT"
+
+ORACLE_SQL: dict[str, str] = {
+    "sketch_countmin": f"""
+        WITH ds AS (SELECT unnest(range({CM_DEPTH})) AS d),
+        cells AS (
+          SELECT ds.d, {_H32.format(seed="ds.d", key="e.user_id")} % {CM_WIDTH} AS bucket
+          FROM events e CROSS JOIN ds
+        ),
+        sketch AS (SELECT d, bucket, COUNT(*) AS cnt FROM cells GROUP BY d, bucket),
+        probes AS (
+          SELECT user_id, COUNT(*) AS exact_count FROM events
+          WHERE user_id < {CM_PROBE_MAX} GROUP BY user_id
+        ),
+        pc AS (
+          SELECT p.user_id, p.exact_count, ds.d,
+                 {_H32.format(seed="ds.d", key="p.user_id")} % {CM_WIDTH} AS bucket
+          FROM probes p CROSS JOIN ds
+        )
+        SELECT pc.user_id,
+               CAST(MIN(s.cnt) AS BIGINT) AS est_count,
+               CAST(MAX(pc.exact_count) AS BIGINT) AS exact_count
+        FROM pc JOIN sketch s ON pc.d = s.d AND pc.bucket = s.bucket
+        GROUP BY pc.user_id
+    """,
+    "sketch_bloom_membership": f"""
+        WITH js AS (SELECT unnest(range({BLOOM_K})) AS j),
+        corpus AS (SELECT md5(text) AS sig FROM documents WHERE doc_id % 2 = 0),
+        batch AS (
+          SELECT doc_id, source, md5(text) AS sig FROM documents WHERE doc_id % 2 = 1
+        ),
+        bloom AS (
+          SELECT idx // 32 AS word, bit_or(1::BIGINT << (idx % 32)::INT) AS bits
+          FROM (
+            SELECT {_H32.format(seed="js.j", key="c.sig")} % {BLOOM_BITS} AS idx
+            FROM corpus c CROSS JOIN js
+          ) GROUP BY 1
+        ),
+        probed AS (
+          SELECT doc_id, source, sig,
+                 MIN(CASE WHEN (bl.bits & (1::BIGINT << (x.idx % 32)::INT)) <> 0
+                          THEN 1 ELSE 0 END) AS bloom_positive
+          FROM (
+            SELECT b.doc_id, b.source, b.sig,
+                   {_H32.format(seed="js.j", key="b.sig")} % {BLOOM_BITS} AS idx
+            FROM batch b CROSS JOIN js
+          ) x
+          LEFT JOIN bloom bl ON bl.word = x.idx // 32
+          GROUP BY doc_id, source, sig
+        ),
+        flagged AS (
+          SELECT p.source, p.bloom_positive,
+                 CASE WHEN p.bloom_positive = 1
+                       AND EXISTS (SELECT 1 FROM corpus c WHERE c.sig = p.sig)
+                      THEN 1 ELSE 0 END AS is_member
+          FROM probed p
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(bloom_positive) AS BIGINT) AS n_bloom_positive,
+               CAST(SUM(is_member) AS BIGINT) AS n_true_member,
+               CAST(SUM(CASE WHEN bloom_positive = 1 AND is_member = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+        FROM flagged GROUP BY source
+    """,
+}

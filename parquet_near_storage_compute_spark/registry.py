@@ -38,6 +38,7 @@ _MODULES = [
     "parquet_near_storage_compute_spark.operators.multimodal",
     "parquet_near_storage_compute_spark.operators.pipeline",
     "parquet_near_storage_compute_spark.operators.scalar_funcs",
+    "parquet_near_storage_compute_spark.operators.sketches",
     "parquet_near_storage_compute_spark.operators.typed_scan",
     "parquet_near_storage_compute_spark.operators.training",
     "parquet_near_storage_compute_spark.functions.udfs",
@@ -126,6 +127,12 @@ _PRIORITY = [
 DEFERRED_TO_R6 = [
     "stream_python_datasource",
     "types_variant_json",
+    "sketch_countmin",
+    "sketch_bloom_membership",
+    "join_skew_salted",
+    "dedup_incremental",
+    "relational_merge_upsert",
+    "sink_compaction",
 ]
 
 

@@ -338,6 +338,79 @@ _META_SQL = " UNION ALL ".join(
 )
 
 
+#: Compaction target: one output file per this many input bytes. 32 MiB at
+#: driver SF keeps the contract to 1-2 output files; production would use
+#: 128 MiB-1 GiB (≈ maxPartitionBytes, so one task reads one file).
+_COMPACT_TARGET_BYTES = 32 * 1024 * 1024
+#: Fragmented write width — simulates a streaming/daily-append producer
+#: leaving many tiny files behind.
+_COMPACT_FRAGMENTS = 24
+
+
+def compaction_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the table-maintenance sink every long-lived
+    100 TB dataset needs. Streaming ingestion and per-partition appends
+    leave thousands of KB-sized files; each costs a footer fetch + task at
+    read time (the reference's per-file overhead is explicit in its file
+    grid, ``v1/src/main.rs:119-156``), so scan cost degrades with file
+    count, not data size.
+
+    The op: write a deterministic events subset fragmented across
+    _COMPACT_FRAGMENTS files (the producer), then compact: size the output
+    file count from the INPUT's actual bytes (Σ file sizes / target — the
+    same bytes-per-file discipline as write_parquet_sized) and rewrite via
+    ``coalesce`` — a shuffle-free narrow rewrite; tasks just concatenate
+    input splits. The contract reads the COMPACTED copy back and
+    aggregates; equality with the parquet-view oracle proves the rewrite
+    was lossless. tests/test_compaction.py pins the file counts
+    (fragments in, ≤2 out) and the shuffle-free plan. Integer-cents sums —
+    engine-exact. Cache keyed on source mtime+size like _roundtrip_scan.
+    """
+    import glob as _glob
+    import hashlib
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_near_storage_compute_spark.tables import load_table, table_path
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    frag = os.path.join(_TMP_DIR, f"compact_frag_{key}")
+    compacted = os.path.join(_TMP_DIR, f"compact_out_{key}")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 5 == 0)
+            .select("event_id", "user_id", "event_type", "value")
+            .repartition(_COMPACT_FRAGMENTS)
+            .write.mode("overwrite")
+            .parquet(frag)
+        )
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        in_bytes = sum(
+            os.path.getsize(p) for p in _glob.glob(os.path.join(frag, "*.parquet"))
+        )
+        n_out = max(1, math.ceil(in_bytes / _COMPACT_TARGET_BYTES))
+        read_parquet(spark, frag).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+    return (
+        read_parquet(spark, compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100)).alias("sum_value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "source_glob_scan": glob_scan,
     "source_partitioned_scan": partitioned_scan,
@@ -345,6 +418,7 @@ QUERIES = {
     "source_jsonl_scan": jsonl_scan,
     "source_orc_scan": orc_scan,
     "meta_stat_prefixes": stat_prefixes,
+    "sink_compaction": compaction_sink,
 }
 
 ORACLE_SQL = {
@@ -370,6 +444,16 @@ ORACLE_SQL = {
     """,
     "source_jsonl_scan": _RT_ORACLE,
     "source_orc_scan": _RT_ORACLE,
+    "sink_compaction": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM events
+        WHERE event_id % 5 = 0
+        GROUP BY event_type ORDER BY event_type
+    """,
     "meta_stat_prefixes": f"""
         SELECT table_name, column_name,
                substr(MIN(stats_min_value), 1, 8) AS min_prefix,

@@ -87,6 +87,12 @@ MODIFIED_OR_NEW_IN_R5 = {
     "time_ewma",
     "train_global_shuffle",
     "types_variant_json",
+    "sketch_countmin",
+    "sketch_bloom_membership",
+    "join_skew_salted",
+    "dedup_incremental",
+    "relational_merge_upsert",
+    "sink_compaction",
 }
 
 

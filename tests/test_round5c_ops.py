@@ -1,0 +1,191 @@
+"""Operator-level tests for the round-5 third-session additions: sketches
+(count-min, Bloom), the explicit skew-salted join, incremental dedup, the
+merge/upsert pattern, and the compaction sink. Oracle equality for all of
+them is covered registry-wide by test_registry_oracle.py; these tests pin
+the properties and plan shapes the oracle comparison can't see."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.operators import sketches
+from parquet_near_storage_compute_spark.operators.dedup import incremental_dedup
+from parquet_near_storage_compute_spark.operators.joins import (
+    SKEW_SALT,
+    skew_salted_join,
+)
+from parquet_near_storage_compute_spark.operators.relational import merge_upsert
+from parquet_near_storage_compute_spark.sources import io as src_io
+from parquet_near_storage_compute_spark.tables import load_table
+
+
+# ---------------------------------------------------------------- count-min
+def test_countmin_never_underestimates(spark, sf_dir):
+    rows = sketches.countmin(spark, sf_dir).collect()
+    assert rows, "no probe keys"
+    for r in rows:
+        assert r.est_count >= r.exact_count, r
+
+
+def test_countmin_sketch_is_fixed_size(spark, sf_dir):
+    """The sketch frame itself never exceeds D×W cells no matter the input
+    size — the property that makes it a 100 TB answer."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.explode(F.sequence(F.lit(0), F.lit(sketches.CM_DEPTH - 1))).alias("d")
+    cells = ev.select(F.col("user_id"), d).select(
+        "d",
+        (sketches._hash32(F.col("d"), F.col("user_id")) % sketches.CM_WIDTH).alias(
+            "bucket"
+        ),
+    )
+    n_cells = cells.groupBy("d", "bucket").count().count()
+    assert n_cells <= sketches.CM_DEPTH * sketches.CM_WIDTH
+
+
+# ------------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """n_true_member (computed via the Bloom-positive subset only) must
+    equal the exact member count computed independently — sound iff the
+    filter admits every true member."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("sig")
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "source", F.md5("text").alias("sig")
+    )
+    exact = {
+        r.source: r.n
+        for r in batch.join(corpus.distinct(), "sig", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    report = sketches.bloom_membership(spark, sf_dir).collect()
+    for r in report:
+        assert r.n_true_member == exact.get(r.source, 0), r
+        assert r.n_bloom_positive >= r.n_true_member, r
+        assert r.n_false_positive == r.n_bloom_positive - r.n_true_member, r
+        assert r.n_probed >= r.n_bloom_positive, r
+
+
+def test_bloom_filter_is_fixed_size(spark, sf_dir):
+    """≤ BLOOM_WORDS rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("sig")
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(sketches.BLOOM_K - 1))).alias("j")
+    words = (
+        corpus.select("sig", j)
+        .select(
+            (
+                sketches._hash32(F.col("j"), F.col("sig")) % sketches.BLOOM_BITS
+            ).alias("idx")
+        )
+        .select(F.expr("idx div 32").alias("word"))
+        .distinct()
+    )
+    assert words.count() <= sketches.BLOOM_WORDS
+
+
+# -------------------------------------------------------------- skew join
+def test_skew_salted_join_plan(spark, sf_dir):
+    """The join must be a SortMergeJoin keyed on (event_type, salt) — the
+    salted shuffle spreads each hot key over SKEW_SALT reducers."""
+    df = skew_salted_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "salt" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_salted_join_dim_replication(spark, sf_dir):
+    """Every (event_type, salt) pair exists on the dim side — no fact row
+    can be dropped by a missing salt copy."""
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    total = skew_salted_join(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
+    assert total == ev.count()
+    assert n_types == skew_salted_join(spark, sf_dir).count()
+    assert SKEW_SALT >= 2
+
+
+# -------------------------------------------------------- incremental dedup
+def test_incremental_dedup_survivors_are_fresh_and_unique(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_sigs = {
+        r.sig
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("sig"))
+        .distinct()
+        .collect()
+    }
+    sig_by_doc = {
+        r.doc_id: r.sig
+        for r in docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.md5("text").alias("sig"))
+        .collect()
+    }
+    survivors = incremental_dedup(spark, sf_dir).collect()
+    seen = set()
+    for r in survivors:
+        sig = sig_by_doc[r.doc_id]
+        assert sig not in corpus_sigs, "survivor already in corpus"
+        assert sig not in seen, "two survivors share a signature"
+        seen.add(sig)
+
+
+# ------------------------------------------------------------ merge upsert
+def test_merge_upsert_one_row_per_key_covering_all_versions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = merge_upsert(spark, sf_dir)
+    assert out.count() == ev.select("user_id").distinct().count()
+    assert out.agg(F.sum("n_versions")).collect()[0][0] == ev.count()
+
+
+# -------------------------------------------------------------- compaction
+def test_compaction_reduces_file_count(spark, sf_dir):
+    src_io.compaction_sink(spark, sf_dir).collect()  # materialize both dirs
+    import hashlib
+
+    from parquet_near_storage_compute_spark.tables import table_path
+
+    st = os.stat(table_path(sf_dir, "events"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    frag = os.path.join(src_io._TMP_DIR, f"compact_frag_{key}")
+    compacted = os.path.join(src_io._TMP_DIR, f"compact_out_{key}")
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_out = len(glob.glob(os.path.join(compacted, "*.parquet")))
+    assert n_frag == src_io._COMPACT_FRAGMENTS
+    in_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(frag, "*.parquet"))
+    )
+    expect = max(1, math.ceil(in_bytes / src_io._COMPACT_TARGET_BYTES))
+    assert n_out == expect
+    assert n_out < n_frag
+
+
+def test_compaction_is_lossless(spark, sf_dir):
+    """Row-level equality between the fragmented and compacted copies."""
+    import hashlib
+
+    from parquet_near_storage_compute_spark.tables import table_path
+
+    src_io.compaction_sink(spark, sf_dir).collect()
+    st = os.stat(table_path(sf_dir, "events"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    frag = spark.read.parquet(os.path.join(src_io._TMP_DIR, f"compact_frag_{key}"))
+    comp = spark.read.parquet(os.path.join(src_io._TMP_DIR, f"compact_out_{key}"))
+    assert frag.count() == comp.count()
+    assert frag.exceptAll(comp).count() == 0
