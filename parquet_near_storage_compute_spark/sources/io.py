@@ -362,7 +362,7 @@ def compaction_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``coalesce`` — a shuffle-free narrow rewrite; tasks just concatenate
     input splits. The contract reads the COMPACTED copy back and
     aggregates; equality with the parquet-view oracle proves the rewrite
-    was lossless. tests/test_compaction.py pins the file counts
+    was lossless. tests/test_round5c_ops.py pins the file counts
     (fragments in, ≤2 out) and the shuffle-free plan. Integer-cents sums —
     engine-exact. Cache keyed on source mtime+size like _roundtrip_scan.
     """
