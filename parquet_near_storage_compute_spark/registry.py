@@ -133,6 +133,7 @@ DEFERRED_TO_R6 = [
     "dedup_incremental",
     "relational_merge_upsert",
     "sink_compaction",
+    "sink_zorder_layout",
 ]
 
 

@@ -411,6 +411,111 @@ def compaction_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Z-order interleave width: 16 bits per dimension → 32-bit z-values.
+_Z_BITS = 16
+#: Coarsen l_orderkey before interleaving so both dimensions contribute
+#: comparable bit ranges at test SFs (division preserves locality, unlike
+#: modulo). 16 bits × 16 covers orderkeys to ~1M (sf ≈ 0.17 and below).
+_Z_ORDERKEY_DIV = 16
+#: Row-group size for the clustered copies — small so even test-SF files
+#: have many groups for the pruning measurement to discriminate (at real
+#: scale this is the write_parquet_sized tradeoff: finer groups = finer
+#: pruning rectangles, coarser = better scan throughput).
+_Z_ROW_GROUP_BYTES = 16 * 1024
+#: The contract's probe predicate: a partkey range — the NON-leading
+#: dimension of the linear layout, where only z-order can skip groups.
+_Z_PARTKEY_LIT = 200
+
+
+def zorder_expr(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """SQL for the bit-interleaved z-value of two integral columns.
+
+    Bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1 — the
+    standard Morton code. Pure integer shifts/masks, so the expression
+    stays inside whole-stage codegen and the same value is computable in
+    any engine."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(shiftleft(({a} div {1 << i}) % 2, {2 * i}))")
+        terms.append(f"(shiftleft(({b} div {1 << i}) % 2, {2 * i + 1}))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout: multi-dimensional data skipping.
+
+    A sort layout serves range predicates on its LEADING column only —
+    row-group min/max on every other column spans the whole domain, so the
+    reference-style stats pruning (``v1/src/main.rs:626-685``) skips
+    nothing. Z-ordering sorts by the bit-interleaved Morton code of two
+    dimensions instead: each row group then covers a small rectangle of
+    the (orderkey, partkey) plane, and min/max statistics prune on EITHER
+    dimension. This is the standard layout answer (Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``) re-expressed as a plain sorted parquet write —
+    at 100 TB it turns per-partition full scans for the second access
+    pattern into a handful of row groups, with zero read-side machinery:
+    the skipping is done by the same footer statistics every scan already
+    uses.
+
+    The contract writes lineitem twice — linearly sorted by l_orderkey and
+    z-ordered on (l_orderkey, l_partkey) — reads the Z-ORDERED copy back
+    through a partkey range filter (the non-leading dimension), and
+    aggregates. tests/test_round5c_ops.py measures planned bytes on both
+    copies with the reference's stats-pruning model and asserts the
+    z-layout prunes row groups for BOTH dimensions while the linear layout
+    prunes only its leading one. Cache keyed on source mtime+size;
+    integer-cents sums — engine-exact.
+    """
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_near_storage_compute_spark.tables import load_table, table_path
+
+    src = table_path(sf_dir, "lineitem")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:{_Z_ROW_GROUP_BYTES}".encode()
+    ).hexdigest()[:12]
+    zpath = os.path.join(_TMP_DIR, f"zorder_{key}")
+    lpath = os.path.join(_TMP_DIR, f"linear_{key}")
+    cols = ["l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice"]
+    if not os.path.exists(os.path.join(zpath, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(*cols)
+        z = li.withColumn(
+            "zval",
+            F.expr(zorder_expr(f"(l_orderkey div {_Z_ORDERKEY_DIV})", "l_partkey")),
+        )
+        (
+            z.coalesce(1)
+            .sortWithinPartitions("zval", "l_orderkey", "l_linenumber")
+            .drop("zval")
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(_Z_ROW_GROUP_BYTES))
+            .parquet(zpath)
+        )
+    if not os.path.exists(os.path.join(lpath, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(*cols)
+        (
+            li.coalesce(1)
+            .sortWithinPartitions("l_orderkey", "l_linenumber")
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(_Z_ROW_GROUP_BYTES))
+            .parquet(lpath)
+        )
+    return (
+        read_parquet(spark, zpath)
+        .filter(F.col("l_partkey") < _Z_PARTKEY_LIT)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("sum_price_cents"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
 QUERIES = {
     "source_glob_scan": glob_scan,
     "source_partitioned_scan": partitioned_scan,
@@ -419,6 +524,7 @@ QUERIES = {
     "source_orc_scan": orc_scan,
     "meta_stat_prefixes": stat_prefixes,
     "sink_compaction": compaction_sink,
+    "sink_zorder_layout": zorder_scan,
 }
 
 ORACLE_SQL = {
@@ -444,6 +550,15 @@ ORACLE_SQL = {
     """,
     "source_jsonl_scan": _RT_ORACLE,
     "source_orc_scan": _RT_ORACLE,
+    "sink_zorder_layout": f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents,
+               CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+               CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+        FROM lineitem
+        WHERE l_partkey < {_Z_PARTKEY_LIT}
+    """,
     "sink_compaction": """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,

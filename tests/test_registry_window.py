@@ -93,6 +93,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "dedup_incremental",
     "relational_merge_upsert",
     "sink_compaction",
+    "sink_zorder_layout",
 }
 
 

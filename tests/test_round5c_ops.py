@@ -174,6 +174,74 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     assert n_out < n_frag
 
 
+def _clustered_files(spark, sf_dir):
+    import hashlib
+
+    from parquet_near_storage_compute_spark.tables import table_path
+
+    src_io.zorder_scan(spark, sf_dir).collect()  # materialize both layouts
+    st = os.stat(table_path(sf_dir, "lineitem"))
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:{src_io._Z_ROW_GROUP_BYTES}".encode()
+    ).hexdigest()[:12]
+    zfile = glob.glob(os.path.join(src_io._TMP_DIR, f"zorder_{key}", "*.parquet"))
+    lfile = glob.glob(os.path.join(src_io._TMP_DIR, f"linear_{key}", "*.parquet"))
+    assert len(zfile) == 1 and len(lfile) == 1
+    return zfile[0], lfile[0]
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    """The point of the layout: stats pruning works on BOTH interleaved
+    dimensions of the z-ordered file, while the linear file prunes only
+    its leading sort column."""
+    import pyarrow.parquet as pq
+
+    from parquet_near_storage_compute_spark.plans import metrics as M
+
+    zfile, lfile = _clustered_files(spark, sf_dir)
+    assert pq.ParquetFile(zfile).metadata.num_row_groups >= 4, (
+        "too few row groups for the pruning measurement to discriminate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    maxes = li.agg(
+        F.max("l_partkey").alias("pk"), F.max("l_orderkey").alias("ok")
+    ).collect()[0]
+    # selective probes scaled to THIS corpus (the contract's fixed literal
+    # is tuned for the driver SF and non-selective at smoke SF)
+    cols = ["l_orderkey", "l_partkey", "l_extendedprice"]
+    pk_pred = [("l_partkey", "<", maxes.pk // 8)]
+    ok_pred = [("l_orderkey", "<", maxes.ok // 8)]
+    z_full = M.planned_scan_bytes(zfile, cols, None)
+    l_full = M.planned_scan_bytes(lfile, cols, None)
+    # z-order: both dimensions prune
+    assert M.planned_scan_bytes(zfile, cols, pk_pred) < z_full
+    assert M.planned_scan_bytes(zfile, cols, ok_pred) < z_full
+    # linear: leading column prunes, the second dimension cannot
+    assert M.planned_scan_bytes(lfile, cols, ok_pred) < l_full
+    assert M.planned_scan_bytes(lfile, cols, pk_pred) == l_full
+
+
+def test_zorder_expr_is_morton_code(spark):
+    """The generated SQL, evaluated by Spark, must equal the reference
+    Morton bit-interleave."""
+    from parquet_near_storage_compute_spark.sources.io import zorder_expr
+
+    def morton(a: int, b: int, bits: int = src_io._Z_BITS) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (1234, 567), (65535, 65535)]
+    selects = ", ".join(
+        f"{zorder_expr(str(a), str(b))} AS z{i}" for i, (a, b) in enumerate(cases)
+    )
+    row = spark.sql(f"SELECT {selects}").collect()[0]
+    for i, (a, b) in enumerate(cases):
+        assert row[f"z{i}"] == morton(a, b), (a, b)
+
+
 def test_compaction_is_lossless(spark, sf_dir):
     """Row-level equality between the fragmented and compacted copies."""
     import hashlib
