@@ -134,6 +134,7 @@ DEFERRED_TO_R6 = [
     "relational_merge_upsert",
     "sink_compaction",
     "sink_zorder_layout",
+    "stream_upsert_foreachbatch",
 ]
 
 

@@ -287,6 +287,101 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply via ``foreachBatch``: latest-wins upsert of each
+    micro-batch into a parquet state table — the incremental form of
+    `relational_merge_upsert` and the standard way to run MERGE logic from
+    Structured Streaming when the sink is a plain file format (foreachBatch
+    hands every micro-batch to arbitrary BATCH DataFrame code on the
+    driver, so the union+window merge runs per batch instead of per day).
+
+    Mechanics mirrored from production: the source is the events table
+    split across 4 files, streamed with ``maxFilesPerTrigger=1`` so the
+    merge genuinely executes 4 times incrementally; each merge writes a
+    NEW generation directory and only then moves the current-state pointer
+    (the same publish-after-write discipline as the Python-datasource
+    manifest sink — a crashed batch leaves the previous generation
+    intact). Version counts accumulate through the merges, so the final
+    state must be identical to the one-shot batch merge over all events —
+    which is exactly what the DuckDB oracle computes. At 100 TB each merge
+    is one window shuffle of (state ∪ batch) on the merge key; partition
+    the state by that key and only touched partitions rewrite.
+    """
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    src_path = table_path(sf_dir, "events")
+    st = os.stat(src_path)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    split_dir = os.path.join(_SCRATCH, f"upsert_src_{key}")
+    cols = ["user_id", "event_id", "event_type", "value", "ts"]
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .select(*cols)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(split_dir)
+        )
+
+    run_dir = os.path.join(_SCRATCH, "upsert_state", uuid.uuid4().hex[:12])
+    state = {"path": None}
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.select(*cols).withColumn(
+            "n_versions", F.lit(1).cast("long")
+        )
+        if state["path"] is not None:
+            prev = batch.sparkSession.read.parquet(state["path"])
+            merged = prev.unionByName(batch)
+        else:
+            merged = batch
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        wc = Window.partitionBy("user_id")
+        new_state = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .withColumn("nv", F.sum("n_versions").over(wc))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", "event_id", "event_type", "value", "ts",
+                F.col("nv").alias("n_versions"),
+            )
+        )
+        gen = os.path.join(run_dir, f"gen_{batch_id}")
+        new_state.write.mode("overwrite").parquet(gen)  # write, THEN publish
+        state["path"] = gen
+
+    schema = spark.read.parquet(split_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+    )
+    ckpt = os.path.join(_SCRATCH, "checkpoints", os.path.basename(run_dir))
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None
+    return spark.read.parquet(state["path"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.floor(F.col("value") * 100).alias("last_value_cents"),
+        "n_versions",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": windowed_counts,
     "stream_stateful_user_stats": stateful_user_stats,
@@ -295,9 +390,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding_counts": sliding_counts,
     "stream_append_closed_windows": append_closed_windows,
     "stream_session_windows": session_windows,
+    "stream_upsert_foreachbatch": upsert_foreachbatch,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    # the incremental foreachBatch merge must converge to the one-shot
+    # batch merge — same SQL as relational_merge_upsert's oracle
+    "stream_upsert_foreachbatch": """
+        SELECT user_id,
+               event_id AS last_event_id,
+               event_type AS last_event_type,
+               CAST(floor(value * 100) AS BIGINT) AS last_value_cents,
+               n_versions
+        FROM (
+          SELECT user_id, event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_versions
+          FROM events
+        ) WHERE rn = 1
+    """,
     # identical islands logic to the time_session_window_native oracle
     # (new session when ts >= prev + gap), reduced to integer counts
     "stream_session_windows": """

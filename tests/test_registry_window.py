@@ -94,6 +94,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "relational_merge_upsert",
     "sink_compaction",
     "sink_zorder_layout",
+    "stream_upsert_foreachbatch",
 }
 
 

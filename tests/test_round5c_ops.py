@@ -150,6 +150,27 @@ def test_merge_upsert_one_row_per_key_covering_all_versions(spark, sf_dir):
     assert out.agg(F.sum("n_versions")).collect()[0][0] == ev.count()
 
 
+# -------------------------------------------------- streaming CDC upsert
+def test_stream_upsert_runs_incrementally_and_matches_batch(spark, sf_dir):
+    """The foreachBatch merge must (a) actually execute once per source
+    file (4 generation dirs — not one big batch) and (b) converge to the
+    one-shot batch merge (relational_merge_upsert)."""
+    from parquet_near_storage_compute_spark.streaming import stream_ops
+
+    out = stream_ops.upsert_foreachbatch(spark, sf_dir)
+    batch = merge_upsert(spark, sf_dir)
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+    state_root = os.path.join(stream_ops._SCRATCH, "upsert_state")
+    newest = max(
+        (os.path.join(state_root, d) for d in os.listdir(state_root)),
+        key=os.path.getmtime,
+    )
+    gens = sorted(d for d in os.listdir(newest) if d.startswith("gen_"))
+    assert gens == ["gen_0", "gen_1", "gen_2", "gen_3"], gens
+
+
 # -------------------------------------------------------------- compaction
 def test_compaction_reduces_file_count(spark, sf_dir):
     src_io.compaction_sink(spark, sf_dir).collect()  # materialize both dirs

@@ -31,7 +31,12 @@ import pyspark.sql.functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "10"))
-HIGH_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH_REPS", "30"))
+#: Comma-separated list of higher rungs (e.g. "30,100").
+HIGH_REPS = [
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SCALE_HIGH_REPS", "30").split(",")
+    if x.strip()
+]
 ID_STRIDE = 20_000_000  # multiple of EVAL_MOD: doc_id % 20 classes survive
 
 
@@ -220,12 +225,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out = run(spark, sf_dir, REPS)
-    if HIGH_REPS > REPS:
-        # second rung: the two heaviest families only, to show the bounds
+    high = [r for r in HIGH_REPS if r > REPS]
+    if high:
+        # further rungs: the two heaviest families only, to show the bounds
         # are flat in replication factor (contamination's fan-out bound is
         # structural — rare means df ≤ cap — so one rung suffices there)
         out["higher_rungs"] = [
-            run(spark, sf_dir, HIGH_REPS, skip_contamination=True)
+            run(spark, sf_dir, r, skip_contamination=True) for r in high
         ]
     path = os.path.join(REPO, "SCALE_EVIDENCE.json")
     with open(path, "w") as fh:
