@@ -172,14 +172,95 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Relative error bound asserted for the HLL estimates. lgConfigK=12 gives
+#: ~1.6% standard error; 5% is ≳3σ, so the deterministic sketch passes with
+#: wide margin at every tested SF.
+HLL_REL_TOL = 0.05
+HLL_LG_K = 12
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches via Spark's built-in Apache
+    DataSketches HLL functions — the production cardinality answer at
+    100 TB, where exact COUNT(DISTINCT) shuffles every distinct key and a
+    sketch shuffles ~4 KB per group.
+
+    Shape: one `hll_sketch_agg` pass builds a per-group sketch (map-side
+    combinable like every sketch in this module); `hll_union_agg` then
+    merges the per-group sketches into the global cardinality WITHOUT
+    re-touching the data — the property that lets daily sketches roll up
+    into monthly counts for free. HLL registers are max-based, so the
+    result is insensitive to partition order and duplicates —
+    deterministic across runs and layouts.
+
+    Cross-engine contract: DuckDB cannot reproduce DataSketches register
+    values, so the oracle pins the EXACT distinct counts and expects the
+    within-tolerance flags to be 1 — a bounded-error contract (estimates
+    off by >5% fail the hash). The exact counts double as the baseline the
+    estimates are judged against.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk"),
+    )
+    typed = per_type.select(
+        "event_type",
+        "n_exact",
+        F.when(
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                / F.col("n_exact")
+            )
+            <= HLL_REL_TOL,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("est_within_tol"),
+    )
+    global_exact = ev.agg(F.countDistinct("user_id").alias("g_exact"))
+    global_est = (
+        per_type.agg(F.hll_union_agg("sk").alias("u"))
+        .select(F.hll_sketch_estimate("u").alias("g_est"))
+        .crossJoin(global_exact)
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.col("g_exact").alias("n_exact"),
+            F.when(
+                (F.abs(F.col("g_est") - F.col("g_exact")) / F.col("g_exact"))
+                <= HLL_REL_TOL,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("est_within_tol"),
+        )
+    )
+    return typed.unionByName(global_est)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_countmin": countmin,
     "sketch_bloom_membership": bloom_membership,
+    "sketch_hll_distinct": hll_distinct,
 }
 
 _H32 = "('0x' || substr(md5({seed}::VARCHAR || ':' || {key}::VARCHAR), 1, 8))::BIGINT"
 
 ORACLE_SQL: dict[str, str] = {
+    # bounded-error contract: the oracle pins the exact counts and expects
+    # every within-tolerance flag to be 1 (DuckDB cannot reproduce
+    # DataSketches registers; an estimate off by >5% fails the hash)
+    "sketch_hll_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               1 AS est_within_tol
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL' AS event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               1 AS est_within_tol
+        FROM events
+    """,
     "sketch_countmin": f"""
         WITH ds AS (SELECT unnest(range({CM_DEPTH})) AS d),
         cells AS (

@@ -135,6 +135,7 @@ DEFERRED_TO_R6 = [
     "sink_compaction",
     "sink_zorder_layout",
     "stream_upsert_foreachbatch",
+    "sketch_hll_distinct",
 ]
 
 

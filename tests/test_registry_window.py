@@ -95,6 +95,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "sink_compaction",
     "sink_zorder_layout",
     "stream_upsert_foreachbatch",
+    "sketch_hll_distinct",
 }
 
 

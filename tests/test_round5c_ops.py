@@ -150,6 +150,42 @@ def test_merge_upsert_one_row_per_key_covering_all_versions(spark, sf_dir):
     assert out.agg(F.sum("n_versions")).collect()[0][0] == ev.count()
 
 
+def test_hll_estimate_is_partition_order_invariant(spark, sf_dir):
+    """HLL registers are max-based, so the raw ESTIMATE (not just the
+    within-tolerance flag) must be bit-identical across shuffle layouts —
+    the same discipline the float-exactness audit enforces elsewhere."""
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    vals = []
+    try:
+        for parts in ("7", "32"):
+            spark.conf.set(key, parts)
+            ev = load_table(spark, sf_dir, "events")
+            est = (
+                ev.groupBy("event_type")
+                .agg(
+                    F.hll_sketch_agg("user_id", F.lit(sketches.HLL_LG_K)).alias(
+                        "sk"
+                    )
+                )
+                .select("event_type", F.hll_sketch_estimate("sk").alias("est"))
+                .collect()
+            )
+            vals.append(sorted((r.event_type, r.est) for r in est))
+    finally:
+        spark.conf.set(key, prev)
+    assert vals[0] == vals[1]
+
+
+def test_hll_flags_all_pass(spark, sf_dir):
+    rows = sketches.hll_distinct(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.est_within_tol == 1, r
+
+
 # -------------------------------------------------- streaming CDC upsert
 def test_stream_upsert_runs_incrementally_and_matches_batch(spark, sf_dir):
     """The foreachBatch merge must (a) actually execute once per source
