@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_near_storage_compute_spark.tables import load_table
@@ -238,10 +238,98 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(global_est)
 
 
+#: KMV sketch size. Estimator standard error ≈ 1/√(k-2) ≈ 13% at k=64 —
+#: coarse, but the contract's point is exact cross-engine reproducibility
+#: of the estimator, not tightness; raise k for precision at scale.
+KMV_K = 64
+_TWO32 = 1 << 32
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch — the hand-rolled, engine-exact
+    counterpart of `sketch_hll_distinct`.
+
+    A KMV sketch of a set is the k smallest values of a uniform hash over
+    its members; the cardinality estimate is (k−1)·2³²/h_k with h_k the
+    k-th smallest 32-bit hash. Two properties make it the teaching sketch
+    for 100 TB pipelines: (a) it merges — the k smallest of the union of
+    per-partition (here per-group) sketches IS the union's sketch, so
+    group sketches roll up without re-touching data, exactly like
+    hll_union_agg; (b) with an md5 hash and integer division the WHOLE
+    estimator is deterministic and cross-engine reproducible, so unlike
+    HLL the oracle checks the estimates themselves, not a tolerance flag.
+
+    Shape: distinct (group, user) pairs → one shuffle; per-group k-min via
+    a bounded window (top-k-per-group, the windows.py pattern — at scale
+    salt it like window_topk_per_group); the ALL row is computed from the
+    per-group SKETCH ROWS ONLY (≤ groups·k rows), demonstrating the merge.
+    When a group holds fewer than k distinct members its sketch is the
+    whole set and the estimate is the exact count (emitted as such).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            _hash32(F.lit("kmv"), F.col("user_id")).alias("h"),
+        )
+        .distinct()  # hash collisions count once (KMV is over hash values)
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+    )
+
+    def _estimate(df: DataFrame, scope_col: F.Column) -> DataFrame:
+        # est = (k-1)*2^32 div h_k when the sketch is full, else exact size
+        return df.groupBy(scope_col.alias("scope")).agg(
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk"),
+        ).select(
+            "scope",
+            F.when(
+                F.col("n_sketch") < KMV_K, F.col("n_sketch")
+            )
+            .otherwise(
+                F.expr(f"CAST(({KMV_K - 1} * {_TWO32}L) div hk AS BIGINT)")
+            )
+            .alias("est_distinct"),
+        )
+
+    per_type = _estimate(sketch, F.col("event_type"))
+    # merge: k smallest across the per-type sketches = the union's sketch
+    wu = Window.orderBy("h")
+    merged = (
+        sketch.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    union_row = _estimate(merged, F.lit("ALL"))
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .unionByName(
+            ev.agg(
+                F.lit("ALL").alias("event_type"),
+                F.countDistinct("user_id").alias("n_exact"),
+            ).select("event_type", "n_exact")
+        )
+    )
+    return (
+        per_type.unionByName(union_row)
+        .join(exact, F.col("scope") == F.col("event_type"))
+        .select("scope", "est_distinct", "n_exact")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_countmin": countmin,
     "sketch_bloom_membership": bloom_membership,
     "sketch_hll_distinct": hll_distinct,
+    "sketch_kmv_distinct": kmv_distinct,
 }
 
 _H32 = "('0x' || substr(md5({seed}::VARCHAR || ':' || {key}::VARCHAR), 1, 8))::BIGINT"
@@ -260,6 +348,54 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
                1 AS est_within_tol
         FROM events
+    """,
+    # engine-exact KMV: md5 hashes + integer-division estimator reproduce
+    # bit-for-bit, so the estimates themselves are hash-compared
+    "sketch_kmv_distinct": f"""
+        WITH hashed AS (
+          SELECT DISTINCT event_type,
+                 ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 8))::BIGINT AS h
+          FROM (SELECT DISTINCT event_type, user_id FROM events)
+        ),
+        sketch AS (
+          SELECT * FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed
+          ) WHERE rn <= {KMV_K}
+        ),
+        per AS (
+          SELECT event_type AS scope, COUNT(*) AS n_sketch,
+                 MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+          FROM sketch GROUP BY event_type
+        ),
+        merged AS (
+          SELECT * FROM (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM sketch)
+          ) WHERE rn <= {KMV_K}
+        ),
+        uni AS (
+          SELECT 'ALL' AS scope, COUNT(*) AS n_sketch,
+                 MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+          FROM merged
+        ),
+        est AS (
+          SELECT scope,
+                 CASE WHEN n_sketch < {KMV_K} THEN n_sketch
+                      ELSE ({KMV_K - 1} * {_TWO32}) // hk END AS est_distinct
+          FROM (SELECT * FROM per UNION ALL SELECT * FROM uni)
+        ),
+        exact AS (
+          SELECT event_type AS scope, COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type
+          UNION ALL
+          SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+        )
+        SELECT e.scope,
+               CAST(est_distinct AS BIGINT) AS est_distinct,
+               CAST(n_exact AS BIGINT) AS n_exact
+        FROM est e JOIN exact x ON e.scope = x.scope
     """,
     "sketch_countmin": f"""
         WITH ds AS (SELECT unnest(range({CM_DEPTH})) AS d),

@@ -136,6 +136,7 @@ DEFERRED_TO_R6 = [
     "sink_zorder_layout",
     "stream_upsert_foreachbatch",
     "sketch_hll_distinct",
+    "sketch_kmv_distinct",
 ]
 
 

@@ -15,6 +15,9 @@ from parquet_near_storage_compute_spark.registry import all_queries
 #: baseline, SimHash's vocab × 16-bit grid, the verbatim Snowset comma-join).
 BNLJ_WHITELIST = {
     "join_cross_pct",
+    # global HLL estimate row: 1-row union-sketch frame × 1-row exact-count
+    # frame (the J2 pct-of-total shape; the corpus sees only aggregates)
+    "sketch_hll_distinct",
     "sim_topk_bruteforce",
     "snowset_selectivity_distribution_sql",
     # IVF / k-means cell assignment: deliberate cross join vs the ~k-row

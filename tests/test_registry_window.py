@@ -96,6 +96,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "sink_zorder_layout",
     "stream_upsert_foreachbatch",
     "sketch_hll_distinct",
+    "sketch_kmv_distinct",
 }
 
 

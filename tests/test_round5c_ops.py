@@ -179,6 +179,46 @@ def test_hll_estimate_is_partition_order_invariant(spark, sf_dir):
     assert vals[0] == vals[1]
 
 
+def test_kmv_union_of_sketches_equals_direct_sketch(spark, sf_dir):
+    """The KMV merge property: the k smallest hashes across the per-group
+    sketches must equal the k smallest hashes of the whole population —
+    i.e. merging sketches loses nothing vs sketching the union directly."""
+    from pyspark.sql import Window
+
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type", sketches._hash32(F.lit("kmv"), F.col("user_id")).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= sketches.KMV_K
+    )
+    merged = sorted(
+        r.h for r in sketch.select("h").distinct().orderBy("h")
+        .limit(sketches.KMV_K).collect()
+    )
+    direct = sorted(
+        r.h for r in hashed.select("h").distinct().orderBy("h")
+        .limit(sketches.KMV_K).collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_estimate_is_reasonable(spark, sf_dir):
+    """est within ~4 standard errors of exact for the full sketch rows."""
+    rows = sketches.kmv_distinct(spark, sf_dir).collect()
+    se = 1.0 / math.sqrt(sketches.KMV_K - 2)
+    for r in rows:
+        assert abs(r.est_distinct - r.n_exact) <= max(4 * se * r.n_exact, 2), r
+
+
 def test_hll_flags_all_pass(spark, sf_dir):
     rows = sketches.hll_distinct(spark, sf_dir).collect()
     assert len(rows) >= 2
