@@ -168,9 +168,129 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Quality floor for the incremental-ingest pipeline (chars).
+INGEST_MIN_CHARS = 100
+
+
+def incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest composite: what actually runs when a new batch of
+    documents arrives against a 100 TB corpus, chaining the round-5
+    maintenance operators end to end:
+
+      Bloom pre-filter (constant-space, built from corpus signatures)
+        → exact anti-join, but ONLY for Bloom-POSITIVE batch rows
+          (sound: Bloom has no false negatives, so negatives are
+          certainly-new and skip the corpus join entirely)
+        → within-batch exact dedup (min doc_id per signature)
+        → quality gate (narrow map)
+        → per-source ingest accounting.
+
+    The per-doc outcome is a single category — exact_dup / batch_dup /
+    low_quality / ingested — so the counts partition the batch exactly
+    (n_batch = Σ categories, asserted in tests). Single-scan discipline:
+    one persisted (doc_id, source, sig, n_chars) projection feeds the
+    corpus side, the Bloom build, and every batch stage
+    (tests/test_pipeline_single_scan.py walks the plan). At 100 TB the
+    corpus contributes one column-pruned signature scan; the only joins
+    that touch it are the ≤64-row broadcast Bloom table and the
+    signature semi-join over the few-percent Bloom-positive slice.
+    """
+    from parquet_near_storage_compute_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        _hash32,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("sig"),
+        F.length("text").alias("len_chars"),
+    ).persist()
+    corpus = base.filter(F.col("doc_id") % 2 == 0).select("sig")
+    batch = base.filter(F.col("doc_id") % 2 == 1)
+
+    j = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    idx = (_hash32(F.col("j"), F.col("sig")) % BLOOM_BITS).alias("idx")
+    bloom = (
+        corpus.select("sig", j)
+        .select(idx)
+        .select(
+            F.expr("idx div 32").alias("word"),
+            F.expr("shiftleft(1L, int(idx % 32))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probed = (
+        batch.select("doc_id", "sig", j)
+        .select("doc_id", "sig", idx)
+        .select(
+            "doc_id",
+            "sig",
+            F.expr("idx div 32").alias("word"),
+            F.expr("shiftleft(1L, int(idx % 32))").alias("mask"),
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN (coalesce(bits, 0L) & mask) <> 0L THEN 1 ELSE 0 END"
+            ).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("hit").alias("bloom_positive"))
+    )
+    flagged = batch.join(probed, "doc_id")
+    members = (
+        flagged.filter(F.col("bloom_positive") == 1)
+        .join(corpus.distinct(), "sig", "left_semi")
+        .select("doc_id")
+        .withColumn("is_member", F.lit(1))
+    )
+    flagged = flagged.join(F.broadcast(members), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "sig",
+        "len_chars",
+        "bloom_positive",
+        F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member"),
+    )
+    keeps = (
+        flagged.filter(F.col("is_member") == 0)
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    cat = flagged.join(keeps, "sig", "left").select(
+        "source",
+        "bloom_positive",
+        F.when(F.col("is_member") == 1, F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("keep_id"), F.lit("batch_dup"))
+        .when(F.col("len_chars") < INGEST_MIN_CHARS, F.lit("low_quality"))
+        .otherwise(F.lit("ingested"))
+        .alias("cat"),
+    )
+    return (
+        cat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum("bloom_positive").alias("n_bloom_positive"),
+            F.sum((F.col("cat") == "exact_dup").cast("long")).alias("n_exact_dup"),
+            F.sum((F.col("cat") == "batch_dup").cast("long")).alias("n_batch_dup"),
+            F.sum((F.col("cat") == "low_quality").cast("long")).alias(
+                "n_low_quality"
+            ),
+            F.sum((F.col("cat") == "ingested").cast("long")).alias("n_ingested"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_training_data": training_data_pipeline,
     "pipeline_curation_report": curation_report,
+    "pipeline_incremental_ingest": incremental_ingest_pipeline,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -282,3 +402,69 @@ ORACLE_SQL: dict[str, str] = {
         FROM kept GROUP BY lang, source
     """,
 }
+
+
+# Oracle for the incremental-ingest composite: the Bloom CTE mirrors
+# sketch_bloom_membership's (same constants imported, so a parameter change
+# cannot desynchronize the two sides).
+from parquet_near_storage_compute_spark.operators import sketches as _sk  # noqa: E402
+
+ORACLE_SQL["pipeline_incremental_ingest"] = f"""
+    WITH js AS (SELECT unnest(range({_sk.BLOOM_K})) AS j),
+    base AS (
+      SELECT doc_id, source, md5(text) AS sig, length(text) AS len_chars
+      FROM documents
+    ),
+    corpus AS (SELECT sig FROM base WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+    bloom AS (
+      SELECT idx // 32 AS word, bit_or(1::BIGINT << (idx % 32)::INT) AS bits
+      FROM (
+        SELECT {_sk._H32.format(seed="js.j", key="c.sig")} % {_sk.BLOOM_BITS} AS idx
+        FROM corpus c CROSS JOIN js
+      ) GROUP BY 1
+    ),
+    probed AS (
+      SELECT doc_id,
+             MIN(CASE WHEN (bl.bits & (1::BIGINT << (x.idx % 32)::INT)) <> 0
+                      THEN 1 ELSE 0 END) AS bloom_positive
+      FROM (
+        SELECT b.doc_id,
+               {_sk._H32.format(seed="js.j", key="b.sig")} % {_sk.BLOOM_BITS} AS idx
+        FROM batch b CROSS JOIN js
+      ) x
+      LEFT JOIN bloom bl ON bl.word = x.idx // 32
+      GROUP BY doc_id
+    ),
+    flagged AS (
+      SELECT b.*, p.bloom_positive,
+             CASE WHEN p.bloom_positive = 1
+                   AND EXISTS (SELECT 1 FROM corpus c WHERE c.sig = b.sig)
+                  THEN 1 ELSE 0 END AS is_member
+      FROM batch b JOIN probed p USING (doc_id)
+    ),
+    keeps AS (
+      SELECT sig, MIN(doc_id) AS keep_id
+      FROM flagged WHERE is_member = 0 GROUP BY sig
+    ),
+    cat AS (
+      SELECT f.source, f.bloom_positive,
+             CASE WHEN f.is_member = 1 THEN 'exact_dup'
+                  WHEN f.doc_id <> k.keep_id THEN 'batch_dup'
+                  WHEN f.len_chars < {INGEST_MIN_CHARS} THEN 'low_quality'
+                  ELSE 'ingested' END AS cat
+      FROM flagged f LEFT JOIN keeps k ON f.sig = k.sig
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(bloom_positive) AS BIGINT) AS n_bloom_positive,
+           CAST(SUM(CASE WHEN cat = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup,
+           CAST(SUM(CASE WHEN cat = 'batch_dup' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_batch_dup,
+           CAST(SUM(CASE WHEN cat = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_quality,
+           CAST(SUM(CASE WHEN cat = 'ingested' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ingested
+    FROM cat GROUP BY source ORDER BY source
+"""

@@ -137,6 +137,7 @@ DEFERRED_TO_R6 = [
     "stream_upsert_foreachbatch",
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
+    "pipeline_incremental_ingest",
 ]
 
 

@@ -97,6 +97,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "stream_upsert_foreachbatch",
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
+    "pipeline_incremental_ingest",
 }
 
 

@@ -226,6 +226,27 @@ def test_hll_flags_all_pass(spark, sf_dir):
         assert r.est_within_tol == 1, r
 
 
+# ------------------------------------------------ incremental ingest pipe
+def test_incremental_ingest_categories_partition_the_batch(spark, sf_dir):
+    """Every batch doc lands in exactly one outcome category, and the
+    exact-dup count agrees with an independent membership computation."""
+    from parquet_near_storage_compute_spark.operators.pipeline import (
+        incremental_ingest_pipeline,
+    )
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    rows = incremental_ingest_pipeline(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_batch_total = docs.filter(F.col("doc_id") % 2 == 1).count()
+    assert sum(r.n_batch for r in rows) == n_batch_total
+    for r in rows:
+        assert (
+            r.n_exact_dup + r.n_batch_dup + r.n_low_quality + r.n_ingested
+            == r.n_batch
+        ), r
+        assert r.n_exact_dup <= r.n_bloom_positive, r  # no false negatives
+
+
 # -------------------------------------------------- streaming CDC upsert
 def test_stream_upsert_runs_incrementally_and_matches_batch(spark, sf_dir):
     """The foreachBatch merge must (a) actually execute once per source
