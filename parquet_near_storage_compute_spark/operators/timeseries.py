@@ -367,8 +367,47 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (candlestick bars): per (hour, event_type), the
+    opening value, high, low, closing value, and volume — the standard
+    time-series compaction that turns a raw event stream into a bounded
+    per-window summary (finance bars, metrics rollups, dashboard
+    downsampling all share this shape).
+
+    Open/close need a deterministic FIRST/LAST within the bar: one window
+    pass per (hour, type) ranks by (ts, event_id) ascending and
+    descending; high/low/volume come from the same hash aggregate. One
+    shuffle on the bar key; output volume is bounded by bars×types no
+    matter the event rate. Values as integer cents (floor(value·100)) —
+    engine-exact; rank ties broken by the unique event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), _FMT).alias("bar_start")
+    base = ev.select(
+        hour, "event_type", "ts", "event_id", F.floor(F.col("value") * 100).alias("cents")
+    )
+    w_asc = Window.partitionBy("bar_start", "event_type").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("bar_start", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    return (
+        ranked.groupBy("bar_start", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("bar_start", "event_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_tumbling_hourly": tumbling_hourly,
+    "time_ohlc_bars": ohlc_bars,
     "time_ewma": ewma_per_user,
     "time_sliding_window": sliding_window,
     "time_sessionize": sessionize,
@@ -383,6 +422,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "time_ohlc_bars": """
+        WITH base AS (
+          SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS bar_start,
+                 event_type, ts, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY bar_start, event_type
+                                    ORDER BY ts, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY bar_start, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM base
+        )
+        SELECT bar_start, event_type,
+               CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+                 AS open_cents,
+               CAST(MAX(cents) AS BIGINT) AS high_cents,
+               CAST(MIN(cents) AS BIGINT) AS low_cents,
+               CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+                 AS close_cents,
+               CAST(COUNT(*) AS BIGINT) AS volume
+        FROM ranked GROUP BY bar_start, event_type
+        ORDER BY bar_start, event_type
+    """,
     "time_ewma": """
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -138,6 +138,7 @@ DEFERRED_TO_R6 = [
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "pipeline_incremental_ingest",
+    "time_ohlc_bars",
 ]
 
 

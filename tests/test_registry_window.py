@@ -98,6 +98,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
     "pipeline_incremental_ingest",
+    "time_ohlc_bars",
 }
 
 

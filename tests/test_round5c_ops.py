@@ -226,6 +226,23 @@ def test_hll_flags_all_pass(spark, sf_dir):
         assert r.est_within_tol == 1, r
 
 
+# -------------------------------------------------------------- OHLC bars
+def test_ohlc_invariants(spark, sf_dir):
+    """low ≤ open, close ≤ high; volume ≥ 1; and volumes sum to the full
+    event count (bars partition the stream)."""
+    from parquet_near_storage_compute_spark.operators.timeseries import ohlc_bars
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    rows = ohlc_bars(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low_cents <= r.open_cents <= r.high_cents, r
+        assert r.low_cents <= r.close_cents <= r.high_cents, r
+        assert r.volume >= 1, r
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.volume for r in rows) == total
+
+
 # ------------------------------------------------ incremental ingest pipe
 def test_incremental_ingest_categories_partition_the_batch(spark, sf_dir):
     """Every batch doc lands in exactly one outcome category, and the
