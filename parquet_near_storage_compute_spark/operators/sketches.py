@@ -325,11 +325,102 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from KMV sketches — sketch SET OPERATIONS.
+
+    The question "how many users do segments A and B share?" normally
+    costs a distinct-pair join per segment pair; with KMV sketches it
+    costs array math over two k-value summaries: the k smallest hashes of
+    A ∪ B are the k smallest of (sketch_A ∪ sketch_B), and the fraction
+    of them present in BOTH sketches estimates the Jaccard similarity
+    (numerator emitted as the integer ``kmv_overlap_k`` out of the
+    ``n_merged`` merged values). Exact intersection/union counts ride
+    along as the baseline the estimate is judged against.
+
+    Shape: the per-group sketches collapse to ONE ≤k-element sorted array
+    per group (groups × k values total); every pair computation is
+    array built-ins over a broadcastable frame — the corpus is touched
+    once to hash and once for the exact baseline, never per pair. All
+    outputs integral; md5 + integer ops reproduce bit-for-bit in DuckDB,
+    so the estimates are hash-compared like `sketch_kmv_distinct`'s.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            "user_id",
+            _hash32(F.lit("kmv"), F.col("user_id")).alias("h"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.select("event_type", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("h")).alias("arr"))
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("arr").alias("arr_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("arr").alias("arr_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union("arr_a", "arr_b")), 1, KMV_K
+    ).alias("merged")
+    est = pairs.select("type_a", "type_b", "arr_a", "arr_b", merged).select(
+        "type_a",
+        "type_b",
+        F.size("merged").alias("n_merged"),
+        F.size(
+            F.filter(
+                "merged",
+                lambda h: F.array_contains("arr_a", h)
+                & F.array_contains("arr_b", h),
+            )
+        ).alias("kmv_overlap_k"),
+    )
+    users = hashed.select("event_type", "user_id")
+    ua = users.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = users.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        ua.join(ub, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    counts = users.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.join(inter, ["type_a", "type_b"], "left")
+        .join(
+            counts.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            counts.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_merged",
+            "kmv_overlap_k",
+            F.coalesce(F.col("exact_inter"), F.lit(0)).alias("exact_inter"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("exact_inter"), F.lit(0))).alias(
+                "exact_union"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_countmin": countmin,
     "sketch_bloom_membership": bloom_membership,
     "sketch_hll_distinct": hll_distinct,
     "sketch_kmv_distinct": kmv_distinct,
+    "sketch_kmv_overlap": kmv_overlap,
 }
 
 _H32 = "('0x' || substr(md5({seed}::VARCHAR || ':' || {key}::VARCHAR), 1, 8))::BIGINT"
@@ -396,6 +487,53 @@ ORACLE_SQL: dict[str, str] = {
                CAST(est_distinct AS BIGINT) AS est_distinct,
                CAST(n_exact AS BIGINT) AS n_exact
         FROM est e JOIN exact x ON e.scope = x.scope
+    """,
+    "sketch_kmv_overlap": f"""
+        WITH hashed AS (
+          SELECT DISTINCT event_type, user_id,
+                 ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 8))::BIGINT AS h
+          FROM (SELECT DISTINCT event_type, user_id FROM events)
+        ),
+        sk AS (
+          SELECT event_type, list_sort(list(h)) AS arr FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM (SELECT DISTINCT event_type, h FROM hashed)
+          ) WHERE rn <= {KMV_K} GROUP BY event_type
+        ),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.arr AS arr_a, b.arr AS arr_b,
+                 list_slice(list_sort(list_distinct(list_concat(a.arr, b.arr))),
+                            1, {KMV_K}) AS merged
+          FROM sk a JOIN sk b ON a.event_type < b.event_type
+        ),
+        est AS (
+          SELECT type_a, type_b,
+                 CAST(len(merged) AS BIGINT) AS n_merged,
+                 CAST(len(list_filter(merged,
+                      x -> list_contains(arr_a, x) AND list_contains(arr_b, x)))
+                      AS BIGINT) AS kmv_overlap_k
+          FROM pairs
+        ),
+        users AS (SELECT DISTINCT event_type, user_id FROM events),
+        inter AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS exact_inter
+          FROM users a
+          JOIN users b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        ),
+        counts AS (SELECT event_type, COUNT(*) AS n FROM users GROUP BY event_type)
+        SELECT e.type_a, e.type_b, e.n_merged, e.kmv_overlap_k,
+               CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+               CAST(ca.n + cb.n - COALESCE(i.exact_inter, 0) AS BIGINT)
+                 AS exact_union
+        FROM est e
+        LEFT JOIN inter i ON e.type_a = i.type_a AND e.type_b = i.type_b
+        JOIN counts ca ON ca.event_type = e.type_a
+        JOIN counts cb ON cb.event_type = e.type_b
+        ORDER BY e.type_a, e.type_b
     """,
     "sketch_countmin": f"""
         WITH ds AS (SELECT unnest(range({CM_DEPTH})) AS d),

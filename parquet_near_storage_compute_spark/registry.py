@@ -139,6 +139,7 @@ DEFERRED_TO_R6 = [
     "sketch_kmv_distinct",
     "pipeline_incremental_ingest",
     "time_ohlc_bars",
+    "sketch_kmv_overlap",
 ]
 
 

@@ -18,6 +18,11 @@ BNLJ_WHITELIST = {
     # global HLL estimate row: 1-row union-sketch frame × 1-row exact-count
     # frame (the J2 pct-of-total shape; the corpus sees only aggregates)
     "sketch_hll_distinct",
+    # sketch-pair theta join: one ≤k-element array row per GROUP on each
+    # side (groups × groups pairs, both dimension-sized by construction —
+    # that reduction is the sketch's whole point; the corpus sees only
+    # the hash projection and an equi-join for the exact baseline)
+    "sketch_kmv_overlap",
     "sim_topk_bruteforce",
     "snowset_selectivity_distribution_sql",
     # IVF / k-means cell assignment: deliberate cross join vs the ~k-row

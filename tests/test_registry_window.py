@@ -99,6 +99,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "sketch_kmv_distinct",
     "pipeline_incremental_ingest",
     "time_ohlc_bars",
+    "sketch_kmv_overlap",
 }
 
 

@@ -219,6 +219,19 @@ def test_kmv_estimate_is_reasonable(spark, sf_dir):
         assert abs(r.est_distinct - r.n_exact) <= max(4 * se * r.n_exact, 2), r
 
 
+def test_kmv_overlap_bounds(spark, sf_dir):
+    """Overlap numerator bounded by the merged sketch size; exact counts
+    satisfy set algebra (inter ≤ min side ≤ union)."""
+    rows = sketches.kmv_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.kmv_overlap_k <= r.n_merged <= sketches.KMV_K, r
+        assert r.exact_inter <= r.exact_union, r
+        # full-overlap pairs must estimate full overlap
+        if r.exact_inter == r.exact_union:
+            assert r.kmv_overlap_k == r.n_merged, r
+
+
 def test_hll_flags_all_pass(spark, sf_dir):
     rows = sketches.hll_distinct(spark, sf_dir).collect()
     assert len(rows) >= 2
