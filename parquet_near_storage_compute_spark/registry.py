@@ -140,6 +140,7 @@ DEFERRED_TO_R6 = [
     "pipeline_incremental_ingest",
     "time_ohlc_bars",
     "sketch_kmv_overlap",
+    "source_dpp_star_join",
 ]
 
 

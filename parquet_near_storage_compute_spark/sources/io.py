@@ -516,6 +516,72 @@ def zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Dim attribute values whose cust_mod partitions the DPP join selects.
+_DPP_ATTRS = (4, 10)  # attr = 2*mod → partitions {2, 5}
+
+
+def dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the join-time counterpart of static
+    partition pruning, and the reason a dim-filtered star join touches
+    1/N of a 100 TB partitioned fact table instead of scanning it.
+
+    The fact (orders) is written hive-partitioned by ``cust_mod =
+    o_custkey % 10``; the dimension is a derived 10-row frame filtered on
+    an attribute the optimizer cannot fold into a static partition list.
+    At run time Spark injects the dim's surviving join keys as a
+    ``dynamicpruning`` subquery INTO the fact scan's PartitionFilters —
+    only the matching partition directories are listed and read
+    (tests/test_round5c_ops.py pins the subquery in the executed plan;
+    tests/test_dynamic_partition_pruning.py covers the mechanism in
+    isolation). Static pruning (`source_partitioned_scan`) handles
+    literal predicates; DPP extends the same I/O elimination to
+    predicates that only exist after a join. Integer-cents sums.
+    """
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_near_storage_compute_spark.tables import load_table, table_path
+
+    src = table_path(sf_dir, "orders")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    fact_dir = os.path.join(_TMP_DIR, f"dpp_orders_{key}")
+    if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("cust_mod", F.col("o_custkey") % 10)
+            .write.mode("overwrite")
+            .partitionBy("cust_mod")
+            .parquet(fact_dir)
+        )
+    fact = read_parquet(spark, fact_dir)
+    dim = (
+        spark.range(10)
+        .select(F.col("id").alias("cust_mod"), (F.col("id") * 2).alias("attr"))
+        .filter(F.col("attr").isin(*_DPP_ATTRS))
+    )
+    return (
+        fact.join(dim, "cust_mod")
+        .groupBy("cust_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).alias("sum_price_cents"),
+        )
+        # partition-column inference reads cust_mod as INT; the oracle's
+        # o_custkey % 10 is BIGINT — align the schema
+        .select(
+            F.col("cust_mod").cast("long").alias("cust_mod"),
+            "n_orders",
+            "sum_price_cents",
+        )
+        .orderBy("cust_mod")
+    )
+
+
 QUERIES = {
     "source_glob_scan": glob_scan,
     "source_partitioned_scan": partitioned_scan,
@@ -525,6 +591,7 @@ QUERIES = {
     "meta_stat_prefixes": stat_prefixes,
     "sink_compaction": compaction_sink,
     "sink_zorder_layout": zorder_scan,
+    "source_dpp_star_join": dpp_star_join,
 }
 
 ORACLE_SQL = {
@@ -550,6 +617,15 @@ ORACLE_SQL = {
     """,
     "source_jsonl_scan": _RT_ORACLE,
     "source_orc_scan": _RT_ORACLE,
+    "source_dpp_star_join": f"""
+        SELECT o_custkey % 10 AS cust_mod,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents
+        FROM orders
+        WHERE (o_custkey % 10) IN ({", ".join(str(a // 2) for a in _DPP_ATTRS)})
+        GROUP BY 1 ORDER BY 1
+    """,
     "sink_zorder_layout": f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))

@@ -100,6 +100,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "pipeline_incremental_ingest",
     "time_ohlc_bars",
     "sketch_kmv_overlap",
+    "source_dpp_star_join",
 }
 
 

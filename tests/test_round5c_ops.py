@@ -239,6 +239,17 @@ def test_hll_flags_all_pass(spark, sf_dir):
         assert r.est_within_tol == 1, r
 
 
+# ---------------------------------------------------------------- DPP join
+def test_dpp_contract_injects_pruning_subquery(spark, sf_dir):
+    """The fact scan must carry the runtime dynamicpruning subquery — the
+    property that makes the dim-filtered join partition-restricted."""
+    df = src_io.dpp_star_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    mods = sorted(r.cust_mod for r in df.collect())
+    assert mods == sorted(a // 2 for a in src_io._DPP_ATTRS)
+
+
 # -------------------------------------------------------------- OHLC bars
 def test_ohlc_invariants(spark, sf_dir):
     """low ≤ open, close ≤ high; volume ≥ 1; and volumes sum to the full
