@@ -248,8 +248,43 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via mergeable bitmaps (Spark 3.5+
+    ``bitmap_construct_agg`` family) — the third leg of the distinct-count
+    triangle: exact groupBy-distinct shuffles every key,
+    `sketch_hll_distinct`/`sketch_kmv_distinct` trade exactness for
+    constant size, and bitmaps keep EXACTNESS while staying mergeable —
+    each (group, 32k-id bucket) collapses to one bitmap blob, partial
+    aggregation ORs bitmaps map-side, and rollups across groups are
+    `bitmap_or_agg` over the blobs with no re-scan (the ClickHouse/Doris
+    exact-distinct design). State is O(id-range/8) bytes per group —
+    dense-id domains only; arbitrary strings go to the sketches.
+
+    The ALL row is computed by OR-merging the per-type bucket bitmaps,
+    so the contract proves merge-correctness against the plain
+    COUNT(DISTINCT) oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("b")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    per_type = buckets.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_distinct")
+    )
+    merged = (
+        buckets.groupBy("b")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("n"))
+        .agg(F.sum("n").alias("n_distinct"))
+        .select(F.lit("ALL").alias("event_type"), "n_distinct")
+    )
+    return per_type.unionByName(merged).orderBy("event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing_summary": pricing_summary,
+    "agg_bitmap_distinct": bitmap_distinct,
     "agg_over_expression": agg_over_expression,
     "agg_reaggregate": reaggregate,
     "agg_distinct": distinct_agg,
@@ -265,6 +300,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "agg_bitmap_distinct": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        FROM events
+        ORDER BY event_type
+    """,
     "agg_histogram": f"""
         SELECT CAST(LEAST(FLOOR(l_extendedprice / {HIST_BIN_WIDTH}),
                           {HIST_MAX_BIN}) AS INT) AS bucket,

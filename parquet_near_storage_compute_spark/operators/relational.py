@@ -210,8 +210,41 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history: turn a change stream into validity intervals.
+
+    `relational_merge_upsert` keeps only the CURRENT state (type 1); type
+    2 keeps every version with [valid_from, valid_to) bounds — the
+    warehouse pattern for "what did this row look like on date X". One
+    window pass per key: valid_to = the NEXT version's timestamp (lead),
+    NULL for the open current version. At 100 TB this is the same single
+    merge-key shuffle as the upsert; the history table appends versions
+    and only the previously-open row per key gets its valid_to closed
+    (partition by key → touched partitions only). Timestamps travel as
+    formatted strings (module convention); is_current is an integer flag.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.select("user_id", "event_id", "event_type", "ts")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.date_format("next_ts", fmt).alias("valid_to"),
+            F.when(F.col("next_ts").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "is_current"
+            ),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "relational_merge_upsert": merge_upsert,
+    "relational_scd2_history": scd2_history,
     "relational_correlated_subquery": correlated_subquery,
     "relational_lateral_topn": lateral_topn,
     "relational_pivot": pivot_counts,
@@ -226,6 +259,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "relational_scd2_history": """
+        SELECT user_id, event_id,
+               event_type AS state,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                 AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "relational_merge_upsert": """
         SELECT user_id,
                event_id AS last_event_id,

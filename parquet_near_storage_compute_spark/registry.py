@@ -141,6 +141,8 @@ DEFERRED_TO_R6 = [
     "time_ohlc_bars",
     "sketch_kmv_overlap",
     "source_dpp_star_join",
+    "agg_bitmap_distinct",
+    "relational_scd2_history",
 ]
 
 

@@ -101,6 +101,8 @@ MODIFIED_OR_NEW_IN_R5 = {
     "time_ohlc_bars",
     "sketch_kmv_overlap",
     "source_dpp_star_join",
+    "agg_bitmap_distinct",
+    "relational_scd2_history",
 }
 
 

@@ -239,6 +239,49 @@ def test_hll_flags_all_pass(spark, sf_dir):
         assert r.est_within_tol == 1, r
 
 
+# ------------------------------------------------------- bitmap + SCD2
+def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
+    from parquet_near_storage_compute_spark.operators.aggregates import (
+        bitmap_distinct,
+    )
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    for r in bitmap_distinct(spark, sf_dir).collect():
+        assert r.n_distinct == exact[r.event_type], r
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark, sf_dir):
+    """Per user: exactly one open (current) interval; every closed
+    interval's valid_to equals some other version's valid_from."""
+    from collections import defaultdict
+
+    from parquet_near_storage_compute_spark.operators.relational import (
+        scd2_history,
+    )
+
+    rows = scd2_history(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, vs in by_user.items():
+        assert sum(v.is_current for v in vs) == 1, user
+        froms = {v.valid_from for v in vs}
+        for v in vs:
+            assert v.valid_from is not None
+            if v.is_current:
+                assert v.valid_to is None
+            else:
+                assert v.valid_to in froms, (user, v)
+
+
 # ---------------------------------------------------------------- DPP join
 def test_dpp_contract_injects_pruning_subquery(spark, sf_dir):
     """The fact scan must carry the runtime dynamicpruning subquery — the
