@@ -405,9 +405,45 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (path analysis): for every consecutive
+    pair of events per user, count (from_type → to_type) — the full
+    Markov-chain view that funnels (fixed sequences) are a slice of.
+    One lag window per user partition + one #types²-row aggregate; the
+    transition share is emitted as integer basis points of the from-type's
+    outgoing total (bp = 10000·n/total via integer division — engine-exact,
+    no float ratio). At 100 TB: the window shuffle on user_id is the whole
+    cost; the matrix is bounded by types² regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wout = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("out_total", F.sum("n_transitions").over(wout))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("CAST((10000 * n_transitions) div out_total AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_tumbling_hourly": tumbling_hourly,
     "time_ohlc_bars": ohlc_bars,
+    "events_markov_transitions": markov_transitions,
     "time_ewma": ewma_per_user,
     "time_sliding_window": sliding_window,
     "time_sessionize": sessionize,
@@ -422,6 +458,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "events_markov_transitions": """
+        WITH pairs AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type,
+                 event_type AS to_type
+          FROM events
+        ),
+        counts AS (
+          SELECT from_type, to_type, COUNT(*) AS n_transitions
+          FROM pairs WHERE from_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type,
+               CAST(n_transitions AS BIGINT) AS n_transitions,
+               CAST((10000 * n_transitions)
+                    // SUM(n_transitions) OVER (PARTITION BY from_type)
+                    AS BIGINT) AS share_bp
+        FROM counts ORDER BY from_type, to_type
+    """,
     "time_ohlc_bars": """
         WITH base AS (
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

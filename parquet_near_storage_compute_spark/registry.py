@@ -143,6 +143,7 @@ DEFERRED_TO_R6 = [
     "source_dpp_star_join",
     "agg_bitmap_distinct",
     "relational_scd2_history",
+    "events_markov_transitions",
 ]
 
 

@@ -103,6 +103,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "source_dpp_star_join",
     "agg_bitmap_distinct",
     "relational_scd2_history",
+    "events_markov_transitions",
 }
 
 

@@ -239,6 +239,31 @@ def test_hll_flags_all_pass(spark, sf_dir):
         assert r.est_within_tol == 1, r
 
 
+# ------------------------------------------------------ markov transitions
+def test_markov_transitions_conserve_mass(spark, sf_dir):
+    """Total transitions = total events − distinct users (each user's
+    chain has length-1 transitions); per-from shares sum to ≤10000 bp
+    (integer division loses ≤ types-1 bp)."""
+    from collections import defaultdict
+
+    from parquet_near_storage_compute_spark.operators.timeseries import (
+        markov_transitions,
+    )
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    rows = markov_transitions(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+    by_from = defaultdict(int)
+    for r in rows:
+        by_from[r.from_type] += r.share_bp
+    n_types = len({r.to_type for r in rows})
+    for f, total_bp in by_from.items():
+        assert 10000 - n_types < total_bp <= 10000, (f, total_bp)
+
+
 # ------------------------------------------------------- bitmap + SCD2
 def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
     from parquet_near_storage_compute_spark.operators.aggregates import (
