@@ -282,9 +282,66 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(merged).orderBy("event_type")
 
 
+#: approx_percentile accuracy: guaranteed rank error ≤ N/accuracy.
+APPROX_PCT_ACCURACY = 100
+#: The flag allows 2× the guaranteed rank error (slack for interpolation
+#: at the exact-rank boundary).
+APPROX_PCT_SLACK = 2
+
+
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH with a bounded-rank-error contract — the quantile
+    leg of the mergeable-summary family (count-min for frequencies,
+    HLL/KMV/bitmap for distincts, this for percentiles).
+
+    ``approx_percentile`` runs the Greenwald–Khanna summary: bounded size,
+    partials merge, one pass — at 100 TB the difference between a summary
+    shuffle and `agg_percentile`'s exact sort-based form. GK guarantees
+    |rank(estimate) − target·N| ≤ N/accuracy REGARDLESS of merge order,
+    so while the estimate's exact value may vary with partitioning, the
+    contract's flags cannot: each flag re-ranks the estimate against the
+    data (one conditional count) and asserts the guarantee ×SLACK. The
+    oracle pins exact interpolated percentiles + expects every flag = 1.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    appr = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", 0.5, APPROX_PCT_ACCURACY
+        ).alias("a50"),
+        F.percentile_approx(
+            "l_extendedprice", 0.9, APPROX_PCT_ACCURACY
+        ).alias("a90"),
+    )
+    tol = F.col("n_rows") * APPROX_PCT_SLACK / APPROX_PCT_ACCURACY
+    joined = li.crossJoin(F.broadcast(appr))
+    ranked = joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_extendedprice") <= F.col("a50")).cast("long")).alias(
+            "rank50"
+        ),
+        F.sum((F.col("l_extendedprice") <= F.col("a90")).cast("long")).alias(
+            "rank90"
+        ),
+        F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_exact"),
+    )
+    return ranked.select(
+        "n_rows",
+        "p50_exact",
+        "p90_exact",
+        F.when(F.abs(F.col("rank50") - 0.5 * F.col("n_rows")) <= tol, 1)
+        .otherwise(0)
+        .alias("rank_p50_ok"),
+        F.when(F.abs(F.col("rank90") - 0.9 * F.col("n_rows")) <= tol, 1)
+        .otherwise(0)
+        .alias("rank_p90_ok"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing_summary": pricing_summary,
     "agg_bitmap_distinct": bitmap_distinct,
+    "agg_approx_percentile_sketch": approx_percentile_sketch,
     "agg_over_expression": agg_over_expression,
     "agg_reaggregate": reaggregate,
     "agg_distinct": distinct_agg,
@@ -300,6 +357,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    # bounded-rank-error contract: exact percentiles pinned, flags must be
+    # 1 (the GK guarantee holds regardless of Spark's merge order)
+    "agg_approx_percentile_sketch": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50_exact,
+               CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90_exact,
+               1 AS rank_p50_ok,
+               1 AS rank_p90_ok
+        FROM lineitem
+    """,
     "agg_bitmap_distinct": """
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
         FROM events GROUP BY event_type

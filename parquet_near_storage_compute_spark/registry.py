@@ -144,6 +144,7 @@ DEFERRED_TO_R6 = [
     "agg_bitmap_distinct",
     "relational_scd2_history",
     "events_markov_transitions",
+    "agg_approx_percentile_sketch",
 ]
 
 

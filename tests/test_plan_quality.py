@@ -18,6 +18,9 @@ BNLJ_WHITELIST = {
     # global HLL estimate row: 1-row union-sketch frame × 1-row exact-count
     # frame (the J2 pct-of-total shape; the corpus sees only aggregates)
     "sketch_hll_distinct",
+    # 1-row approx-percentile frame × the fact for the re-ranking count
+    # (the J2 pct-of-total shape; the sketch side is a single row)
+    "agg_approx_percentile_sketch",
     # sketch-pair theta join: one ≤k-element array row per GROUP on each
     # side (groups × groups pairs, both dimension-sized by construction —
     # that reduction is the sketch's whole point; the corpus sees only

@@ -104,6 +104,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "agg_bitmap_distinct",
     "relational_scd2_history",
     "events_markov_transitions",
+    "agg_approx_percentile_sketch",
 }
 
 

@@ -239,6 +239,26 @@ def test_hll_flags_all_pass(spark, sf_dir):
         assert r.est_within_tol == 1, r
 
 
+# ------------------------------------------------------ approx percentile
+def test_approx_percentile_flags_stable_across_partitioning(spark, sf_dir):
+    """The GK rank guarantee holds regardless of merge order, so the flags
+    must be 1 under different shuffle layouts even though the raw
+    estimate may drift."""
+    from parquet_near_storage_compute_spark.operators.aggregates import (
+        approx_percentile_sketch,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        for parts in ("7", "32"):
+            spark.conf.set(key, parts)
+            row = approx_percentile_sketch(spark, sf_dir).collect()[0]
+            assert row.rank_p50_ok == 1 and row.rank_p90_ok == 1, row
+    finally:
+        spark.conf.set(key, prev)
+
+
 # ------------------------------------------------------ markov transitions
 def test_markov_transitions_conserve_mass(spark, sf_dir):
     """Total transitions = total events − distinct users (each user's
