@@ -401,6 +401,61 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def runtime_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join (Spark's InjectRuntimeFilter): the
+    ROW-level counterpart of `source_dpp_star_join`'s partition-level
+    pruning. When a shuffle join's small side carries a selective filter,
+    Spark builds a Bloom filter of its join keys (``bloom_filter_agg``)
+    and injects ``might_contain`` into the BIG side's scan — fact rows
+    whose key cannot match are dropped BEFORE the shuffle, which at
+    100 TB means shuffling the ~selectivity fraction of the fact table
+    instead of all of it. Complements the explicit `sketch_bloom_*`
+    operators: same filter, maintained by the optimizer per query.
+
+    The injection rule skips joins it predicts will broadcast (a
+    broadcast join needs no runtime filter) and gates on an
+    application-side scan threshold sized for clusters, so the contract
+    pins both knobs for the test-scale corpus, plans EAGERLY under them,
+    and restores the session confs — the returned frame keeps its
+    memoized bloom-filtered plan (asserted in tests). Integer-cents
+    output; the oracle is the plain filtered join.
+    """
+    pins = {
+        # thresholds are cluster-sized; test corpora never reach them
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # the rule skips probably-broadcast joins; force the shuffle-join
+        # regime the filter exists for (at 100 TB both sides exceed any
+        # broadcast threshold naturally)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        urgent = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.floor(F.col("l_extendedprice") * 100)).alias(
+                    "sum_price_cents"
+                ),
+            )
+            .orderBy("l_returnflag")
+        )
+        # force analysis/optimization NOW so the memoized plan carries the
+        # injected bloom filter even after the confs are restored
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_theta": theta_join,
     "join_self": self_join,
@@ -415,6 +470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_outer_full": full_outer_rollup,
     "join_bucketed_colocated": bucketed_colocated_join,
     "join_skew_salted": skew_salted_join,
+    "join_runtime_bloom_filtered": runtime_bloom_filtered_join,
 }
 
 _PCT_ORACLE = """
@@ -426,6 +482,16 @@ _PCT_ORACLE = """
 """
 
 ORACLE_SQL: dict[str, str] = {
+    "join_runtime_bloom_filtered": """
+        SELECT l.l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
     "join_skew_salted": """
         SELECT event_type,
                CAST(length(event_type) AS BIGINT) AS type_weight,

@@ -145,6 +145,7 @@ DEFERRED_TO_R6 = [
     "relational_scd2_history",
     "events_markov_transitions",
     "agg_approx_percentile_sketch",
+    "join_runtime_bloom_filtered",
 ]
 
 

@@ -105,6 +105,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "relational_scd2_history",
     "events_markov_transitions",
     "agg_approx_percentile_sketch",
+    "join_runtime_bloom_filtered",
 }
 
 

@@ -327,6 +327,27 @@ def test_scd2_intervals_tile_each_user_timeline(spark, sf_dir):
                 assert v.valid_to in froms, (user, v)
 
 
+# --------------------------------------------------- runtime bloom join
+def test_runtime_bloom_join_injects_filter_and_restores_confs(spark, sf_dir):
+    from parquet_near_storage_compute_spark.operators.joins import (
+        runtime_bloom_filtered_join,
+    )
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = runtime_bloom_filtered_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        != "0"
+    )
+
+
 # ---------------------------------------------------------------- DPP join
 def test_dpp_contract_injects_pruning_subquery(spark, sf_dir):
     """The fact scan must carry the runtime dynamicpruning subquery — the
