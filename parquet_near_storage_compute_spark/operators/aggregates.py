@@ -276,7 +276,9 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         buckets.groupBy("b")
         .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("n"))
-        .agg(F.sum("n").alias("n_distinct"))
+        # coalesce: a fully-empty corpus still yields one well-formed
+        # ('ALL', 0) row instead of a NULL sum
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_distinct"))
         .select(F.lit("ALL").alias("event_type"), "n_distinct")
     )
     return per_type.unionByName(merged).orderBy("event_type")
