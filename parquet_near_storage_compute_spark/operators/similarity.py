@@ -411,8 +411,47 @@ def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector keep/drop decisions from the ≥τ cosine pair set — the
+    actionable step for embedding-space dedup, mirroring
+    `minhash_dedup_decisions` for the text modality: `sim_range_search`
+    finds the similar PAIRS; this reduces them to a decision per vector
+    (drop the higher vec_id of every pair — min-id-wins, the same
+    deterministic rule the text path uses) plus each vector's partner
+    count as the dedup-pressure observable.
+
+    Shape: the pair frame (sparse by construction of τ) explodes into
+    per-endpoint rows, one groupBy on vec_id, one left join back to the
+    full vector list — no additional pairwise work beyond what
+    range_search already bounded with its salted bucket join. Integer
+    outputs only.
+    """
+    pairs = range_search(spark, sf_dir).select("vec_a", "vec_b")
+    partners = (
+        pairs.select(F.col("vec_a").alias("vec_id"))
+        .unionByName(pairs.select(F.col("vec_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_partners"))
+    )
+    losers = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
+        "dropped", F.lit(1)
+    )
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        v.join(partners, "vec_id", "left")
+        .join(losers, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.coalesce(F.col("n_partners"), F.lit(0)).alias("n_partners"),
+            (1 - F.coalesce(F.col("dropped"), F.lit(0))).alias("keep"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
+    "sim_dedup_decisions": embedding_dedup_decisions,
     "sim_topk_numpy": topk_numpy,
     "sim_topk_lsh": topk_lsh,
     "sim_topk_ivf": topk_ivf,
@@ -436,6 +475,33 @@ def _bucket_expr(vec_sql: str) -> str:
     )
 
 ORACLE_SQL: dict[str, str] = {
+    "sim_dedup_decisions": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {_bucket_expr("embedding::DOUBLE[]")} AS bucket
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM v a JOIN v b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE {_COS} >= {COS_RANGE_THRESHOLD}
+        ),
+        partners AS (
+          SELECT vec_id, COUNT(*) AS n_partners FROM (
+            SELECT vec_a AS vec_id FROM pairs
+            UNION ALL SELECT vec_b FROM pairs
+          ) GROUP BY vec_id
+        ),
+        losers AS (SELECT DISTINCT vec_b AS vec_id FROM pairs)
+        SELECT e.vec_id,
+               CAST(e.label AS INT) AS label,
+               CAST(COALESCE(p.n_partners, 0) AS BIGINT) AS n_partners,
+               CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        FROM embeddings e
+        LEFT JOIN partners p ON e.vec_id = p.vec_id
+        LEFT JOIN losers l ON e.vec_id = l.vec_id
+    """,
     "sim_range_search": f"""
         WITH v AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,

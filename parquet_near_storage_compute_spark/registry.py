@@ -146,6 +146,7 @@ DEFERRED_TO_R6 = [
     "events_markov_transitions",
     "agg_approx_percentile_sketch",
     "join_runtime_bloom_filtered",
+    "sim_dedup_decisions",
 ]
 
 

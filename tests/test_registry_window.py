@@ -106,6 +106,7 @@ MODIFIED_OR_NEW_IN_R5 = {
     "events_markov_transitions",
     "agg_approx_percentile_sketch",
     "join_runtime_bloom_filtered",
+    "sim_dedup_decisions",
 }
 
 

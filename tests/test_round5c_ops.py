@@ -284,6 +284,29 @@ def test_markov_transitions_conserve_mass(spark, sf_dir):
         assert 10000 - n_types < total_bp <= 10000, (f, total_bp)
 
 
+# -------------------------------------------------- embedding decisions
+def test_embedding_dedup_decisions_consistent_with_pairs(spark, sf_dir):
+    """Min-id-wins: a vector is dropped iff it is the HIGHER id of some
+    ≥τ pair; partner counts come from the same pair set."""
+    from collections import Counter
+
+    from parquet_near_storage_compute_spark.operators.similarity import (
+        embedding_dedup_decisions,
+        range_search,
+    )
+
+    pairs = [(r.vec_a, r.vec_b) for r in range_search(spark, sf_dir).collect()]
+    losers = {b for _, b in pairs}
+    partners = Counter()
+    for a, b in pairs:
+        partners[a] += 1
+        partners[b] += 1
+    rows = embedding_dedup_decisions(spark, sf_dir).collect()
+    for r in rows:
+        assert r.keep == (0 if r.vec_id in losers else 1), r
+        assert r.n_partners == partners.get(r.vec_id, 0), r
+
+
 # ------------------------------------------------------- bitmap + SCD2
 def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
     from parquet_near_storage_compute_spark.operators.aggregates import (
