@@ -10,9 +10,16 @@ iteration order. Round 1 verified the core v1/snowset/join/agg/window surface
 (CORRECTNESS_r01, 47/50); round 2 verified the 50 extension operators
 (CORRECTNESS_r02, 50/50); round 3 rotated back to the r1-era core plus the
 never-checked train_/stream_/kmeans contracts (CORRECTNESS_r03, 50/50);
-round 4 rotates to the 18 new-in-r3 contracts, the r3/r4-modified dedup/mm
-contracts, the 10 new-in-r4 contracts, and the oldest-verified r2 window as
-fill. ``_PRIORITY`` pins the window explicitly; everything else follows in
+round 4 rotated to the new-in-r3/r4 contracts plus the oldest r2 fill;
+round 5 cleared the r2-only stragglers plus everything r5 modified
+(CORRECTNESS_r05, 50/50). Round 6's window (VERDICT r5 #1): the 22
+contracts that have NEVER had a driver row (round 5's third-session
+additions — sketches, table maintenance, variant, OHLC, markov,
+incremental pipeline), the 2 contracts round 6 modifies that already
+carry rows (``sim_knn_join`` occupancy cap, ``time_ewma`` chunked fold),
+and the 26 oldest r3-row contracts as fill. After this window lands
+green, every registered contract has at least one external driver row.
+``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
 """
@@ -48,83 +55,11 @@ _MODULES = [
 ]
 
 
-#: The round-5 driver correctness window: the 32 contracts whose last
-#: external confirmation is round 2 (the straggler list from the end of
-#: NOTES_r4.md — after this window lands green, every registered contract
-#: has a round-3-or-later driver row), the 14 contracts round 5 modified
-#: or added (the engine-exactness rewrites from the float audit —
-#: join_outer_full decimal sums, snowset_retrieval_rate cents-sum +
-#: sorted-fold, snowset_selectivity_distribution_sql double literal, the
-#: two round-trip sources' integer cents sum, udaf_geomean / zscore are
-#: in the straggler set already — plus the salted sim_knn_join, the new
-#: sim_range_search / text_dedup_segments / mm_audio_decode /
-#: stream_session_windows / join_bucketed_colocated, the single-scan
-#: pipeline_curation_report, the bounds-checked mm_image_decode,
-#: meta_stat_prefixes' env-derived corpus dir, the Python-datasource
-#: selective scan + manifest sink, the EWMA fold, and the hash global
-#: shuffle). 32 + 18 fill the 50 slots exactly; the one r5 contract that
-#: doesn't fit leads DEFERRED_TO_R6.
-_PRIORITY = [
-    # r2-only stragglers — oldest external confirmation (32)
-    "agg_approx_distinct",
-    "agg_collect",
-    "agg_reaggregate",
-    "mm_binary_metadata",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "pipeline_training_data",
-    "relational_correlated_subquery",
-    "relational_distinct_rows",
-    "relational_pivot",
-    "relational_unpivot",
-    "scalar_arithmetic_chain",
-    "scalar_array_ops",
-    "scalar_case_bucket",
-    "scalar_string_ops",
-    "setop_except",
-    "setop_intersect",
-    "text_fingerprint",
-    "setop_union_all",
-    "sort_limit_topk",
-    "source_glob_scan",
-    "time_datetime_parts",
-    "time_json_extract",
-    "time_session_window_native",
-    "time_sessionize",
-    "time_sliding_window",
-    "time_tumbling_hourly",
-    "types_unsigned_decimal",
-    "udaf_geomean",
-    "udf_grouped_map_zscore",
-    "udf_readability",
-    "udf_sql_surface",
-    # modified or new in r5 (18; a 19th, stream_python_datasource, is
-    # deferred — see DEFERRED_TO_R6)
-    "join_outer_full",
-    "sim_knn_join",
-    "sim_range_search",
-    "text_dedup_segments",
-    "pipeline_curation_report",
-    "source_jsonl_scan",
-    "source_orc_scan",
-    "meta_stat_prefixes",
-    "snowset_retrieval_rate",
-    "snowset_selectivity_distribution_sql",
-    "mm_image_decode",
-    "mm_audio_decode",
-    "stream_session_windows",
-    "join_bucketed_colocated",
-    "source_python_datasource",
-    "sink_python_datasource",
-    "time_ewma",
-    "train_global_shuffle",
-]
-
-#: New in round 5 but deliberately NOT in the 50-slot round-5 window: the
-#: must-cover set (32 r2-only stragglers + 18 r5-modified/new) fills all 50
-#: slots exactly. These are locally oracle-verified every test run
-#: (tests/test_registry_oracle.py) and lead the round-6 window.
-DEFERRED_TO_R6 = [
+#: The 22 contracts that entered the registry in round 5's third session
+#: and have never been driver-checked (VERDICT r5 "What's missing" #1).
+#: They lead the round-6 window so the external oracle signal finally
+#: covers the whole registry.
+NEVER_DRIVER_CHECKED = [
     "stream_python_datasource",
     "types_variant_json",
     "sketch_countmin",
@@ -147,6 +82,51 @@ DEFERRED_TO_R6 = [
     "agg_approx_percentile_sketch",
     "join_runtime_bloom_filtered",
     "sim_dedup_decisions",
+]
+
+#: Contracts round 6 modifies that already carry a driver row — any code
+#: change invalidates the old row, so they re-enter the window:
+#: sim_knn_join gains the over-cap pilot-set bound (VERDICT r5 #2),
+#: time_ewma gains the chunked bounded-state fold (VERDICT r5 #5).
+MODIFIED_IN_R6 = [
+    "sim_knn_join",
+    "time_ewma",
+]
+
+#: The round-6 driver correctness window: 22 never-checked + 2 modified
+#: + the 26 contracts whose latest driver row is oldest (round 3), in
+#: CORRECTNESS_r03 key order. The 20 remaining r3-row contracts
+#: (window_*, iter_kmeans_lite, train_pack/test/stratified/profile,
+#: stream_windowed/stateful/dedup/join, agg_stats, agg_percentile)
+#: stay on their r3 rows and lead the round-7 fill.
+_PRIORITY = NEVER_DRIVER_CHECKED + MODIFIED_IN_R6 + [
+    # oldest r3-row contracts, CORRECTNESS_r03 order (26)
+    "v1_footer_only_agg",
+    "v1_flagship",
+    "v1_ladder_real",
+    "v1_ladder_worst",
+    "v1_grammar_boolean",
+    "v1_grammar_extended",
+    "v1_count_semantics",
+    "v1_projection_rows",
+    "snowset_selectivity_distribution",
+    "join_theta",
+    "join_self",
+    "join_broadcast_inner",
+    "join_multiway",
+    "join_semi",
+    "join_anti",
+    "join_cross_pct",
+    "join_window_pct",
+    "join_asof",
+    "join_range",
+    "agg_pricing_summary",
+    "agg_over_expression",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_min_max_by",
 ]
 
 

@@ -1,9 +1,10 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
-contract. Round 5's window = the 32 contracts whose last driver row is from
-round 2 (the rotation debt VERDICT r4 ranks #1), every contract round 5
-modified or added. The must-set fills all 50 slots exactly; the overflow
-(new-in-r5 only) is pinned in ``DEFERRED_TO_R6``."""
+contract. Round 6's window (VERDICT r5 #1) = the 22 contracts that have
+never had a driver row (round 5's third-session additions), the 2 contracts
+round 6 modifies that already carry rows, and the 26 oldest-r3-row contracts
+as fill. After this window lands green every registered contract has at
+least one external driver row."""
 
 from __future__ import annotations
 
@@ -12,7 +13,8 @@ import os
 
 from parquet_near_storage_compute_spark.registry import (
     _PRIORITY,
-    DEFERRED_TO_R6,
+    MODIFIED_IN_R6,
+    NEVER_DRIVER_CHECKED,
     all_oracles,
     all_queries,
 )
@@ -25,91 +27,6 @@ def _round_keys(name: str) -> list[str]:
         return list(json.load(fh))
 
 
-#: Last externally confirmed in round 2 — the NOTES_r4 straggler list.
-R2_ONLY_STRAGGLERS = {
-    "agg_approx_distinct",
-    "agg_collect",
-    "agg_reaggregate",
-    "mm_binary_metadata",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "pipeline_training_data",
-    "relational_correlated_subquery",
-    "relational_distinct_rows",
-    "relational_pivot",
-    "relational_unpivot",
-    "scalar_arithmetic_chain",
-    "scalar_array_ops",
-    "scalar_case_bucket",
-    "scalar_string_ops",
-    "setop_except",
-    "setop_intersect",
-    "text_fingerprint",
-    "setop_union_all",
-    "sort_limit_topk",
-    "source_glob_scan",
-    "time_datetime_parts",
-    "time_json_extract",
-    "time_session_window_native",
-    "time_sessionize",
-    "time_sliding_window",
-    "time_tumbling_hourly",
-    "types_unsigned_decimal",
-    "udaf_geomean",
-    "udf_grouped_map_zscore",
-    "udf_readability",
-    "udf_sql_surface",
-}
-
-#: Modified in round 5 (engine-exactness rewrites from the float audit,
-#: the salted kNN join, single-scan composites, source cents sums, the
-#: bounds-checked PPM decoder) or first registered in round 5 (WAV audio
-#: decode). udaf_geomean / udf_grouped_map_zscore / pipeline_training_data
-#: also changed but already sit in R2_ONLY_STRAGGLERS.
-MODIFIED_OR_NEW_IN_R5 = {
-    "join_outer_full",
-    "sim_knn_join",
-    "sim_range_search",
-    "text_dedup_segments",
-    "pipeline_curation_report",
-    "source_jsonl_scan",
-    "source_orc_scan",
-    "meta_stat_prefixes",
-    "snowset_retrieval_rate",
-    "snowset_selectivity_distribution_sql",
-    "mm_image_decode",
-    "mm_audio_decode",
-    "stream_session_windows",
-    "join_bucketed_colocated",
-    "source_python_datasource",
-    "sink_python_datasource",
-    "stream_python_datasource",
-    "time_ewma",
-    "train_global_shuffle",
-    "types_variant_json",
-    "sketch_countmin",
-    "sketch_bloom_membership",
-    "join_skew_salted",
-    "dedup_incremental",
-    "relational_merge_upsert",
-    "sink_compaction",
-    "sink_zorder_layout",
-    "stream_upsert_foreachbatch",
-    "sketch_hll_distinct",
-    "sketch_kmv_distinct",
-    "pipeline_incremental_ingest",
-    "time_ohlc_bars",
-    "sketch_kmv_overlap",
-    "source_dpp_star_join",
-    "agg_bitmap_distinct",
-    "relational_scd2_history",
-    "events_markov_transitions",
-    "agg_approx_percentile_sketch",
-    "join_runtime_bloom_filtered",
-    "sim_dedup_decisions",
-}
-
-
 def test_window_is_exactly_priority():
     assert len(_PRIORITY) == 50
     assert len(set(_PRIORITY)) == 50
@@ -117,39 +34,48 @@ def test_window_is_exactly_priority():
 
 
 def test_window_covers_every_unconfirmed_contract():
-    """Every straggler and everything modified since its last driver row
-    must be in the round-5 window — except the explicitly deferred new
-    contracts (the must-set outgrew the 50 slots by exactly that many)."""
-    must = (R2_ONLY_STRAGGLERS | MODIFIED_OR_NEW_IN_R5) - set(DEFERRED_TO_R6)
-    missing = must - set(_PRIORITY)
+    """Every contract with no driver row in any round, and everything
+    modified since its last driver row, must be in the round-6 window."""
+    prior = (
+        set(_round_keys("CORRECTNESS_r03.json"))
+        | set(_round_keys("CORRECTNESS_r04.json"))
+        | set(_round_keys("CORRECTNESS_r05.json"))
+    )
+    never = set(all_queries()) - prior
+    missing = (never | set(MODIFIED_IN_R6)) - set(_PRIORITY)
     assert not missing, f"unconfirmed contracts outside the window: {missing}"
-
-
-def test_deferred_contracts_are_new_in_r5_and_oracle_backed():
-    """Deferral is only legitimate for contracts that never had a driver
-    row to go stale (new this round) and that the local differential
-    harness fully covers (oracle-backed)."""
-    oracles = all_oracles()
-    prior = set(_round_keys("CORRECTNESS_r03.json")) | set(
-        _round_keys("CORRECTNESS_r04.json")
+    # the pinned never-checked list must BE the never-checked set — if a
+    # contract gains or loses a row the pin must be updated consciously
+    assert never == set(NEVER_DRIVER_CHECKED), (
+        sorted(never ^ set(NEVER_DRIVER_CHECKED))
     )
-    for name in DEFERRED_TO_R6:
-        assert name in MODIFIED_OR_NEW_IN_R5
-        assert name not in prior, f"{name} has a stale driver row — defer invalid"
-        assert name in oracles
-        assert name not in _PRIORITY
 
 
-def test_every_registered_contract_has_a_recent_or_scheduled_row():
-    """No contract may fall through the rotation: each is either in the r5
-    window, explicitly deferred to r6, or carries an r3/r4 driver row and
-    is unmodified since."""
-    r3 = set(_round_keys("CORRECTNESS_r03.json"))
+def test_fill_slots_are_the_oldest_r3_rows():
+    """The non-priority window slots must rotate the STALEST driver rows:
+    contracts whose latest row is round 3, in CORRECTNESS_r03 key order."""
+    r3 = _round_keys("CORRECTNESS_r03.json")
     r4 = set(_round_keys("CORRECTNESS_r04.json"))
-    holes = (
-        set(all_queries()) - set(_PRIORITY) - set(DEFERRED_TO_R6) - r3 - r4
+    r5 = set(_round_keys("CORRECTNESS_r05.json"))
+    stale = [k for k in r3 if k not in r4 and k not in r5]
+    fill = [
+        k
+        for k in _PRIORITY
+        if k not in NEVER_DRIVER_CHECKED and k not in MODIFIED_IN_R6
+    ]
+    assert fill == stale[: len(fill)]
+
+
+def test_every_registered_contract_has_a_row_or_a_slot():
+    """No contract may fall through the rotation: each is either in the r6
+    window or carries an r3/r4/r5 driver row and is unmodified since."""
+    prior = (
+        set(_round_keys("CORRECTNESS_r03.json"))
+        | set(_round_keys("CORRECTNESS_r04.json"))
+        | set(_round_keys("CORRECTNESS_r05.json"))
     )
-    assert not holes, f"contracts with no recent driver row and no window slot: {holes}"
+    holes = set(all_queries()) - set(_PRIORITY) - prior
+    assert not holes, f"contracts with no driver row and no window slot: {holes}"
 
 
 def test_window_queries_are_oracle_backed():
