@@ -290,6 +290,57 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the unsalted result (same device as window_topk_per_group).
 KNN_SALT = 8
 
+#: Occupancy bound for the kNN candidate enumeration (VERDICT r5 #2): a
+#: bucket with more members than this enumerates only a bounded pilot set
+#: as neighbour candidates, so its candidate volume is b·KNN_PILOT (linear
+#: in bucket size) instead of b².  Chosen above the sf0.1 1× maximum
+#: (162), so the bound never binds at contract/bench scale and binds at
+#: the ≥10× adversarial rungs (max bucket ~1620 at 10×).
+KNN_BUCKET_CAP = 512
+#: Pilot-set size for over-cap buckets: the KNN_PILOT smallest vec_ids of
+#: the bucket.  Deterministic (so the DuckDB oracle re-derives the exact
+#: same set) and ≫ TOP_K, so every member still receives a full top-k.
+KNN_PILOT = 64
+
+
+def _nbr_candidates(v: DataFrame) -> DataFrame:
+    """Neighbour candidate set with bounded per-bucket enumeration.
+
+    In-cap buckets (≤ KNN_BUCKET_CAP members) contribute every member;
+    over-cap buckets contribute only the bucket's KNN_PILOT smallest
+    vec_ids.  This is the dedup-style hard cap applied to ANN: on
+    duplicate-heavy corpora over-cap buckets are driven by exact-duplicate
+    vectors, which sign-LSH refinement provably cannot split (identical
+    vectors have identical signs on EVERY hyperplane), so extra planes
+    would not bound occupancy — a bounded pilot enumeration does, and for
+    duplicate-driven buckets the pilots are near-perfect representatives
+    (every member finds its cos≈1 neighbours among them).
+
+    Shape: bucket sizes are a ≤2^N_PLANES-row aggregate, probed eagerly
+    (one narrow pass, AQE-style statistics) — when no bucket exceeds the
+    cap the function returns ``v`` unchanged and the plan is identical to
+    the uncapped one.  When the cap binds, pilots are selected with the
+    salted two-phase k-min (local k-min per (bucket, salt) → global k-min
+    per bucket over ≤ KNN_SALT·KNN_PILOT rows), never a single-task
+    whole-bucket sort."""
+    sizes = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    max_bucket = sizes.agg(F.max("n_in_bucket")).collect()[0][0] or 0
+    if max_bucket <= KNN_BUCKET_CAP:
+        return v
+    vs = v.join(F.broadcast(sizes), "bucket")
+    wl = Window.partitionBy(
+        "bucket", F.pmod(F.col("vec_id"), F.lit(KNN_SALT))
+    ).orderBy("vec_id")
+    wg = Window.partitionBy("bucket").orderBy("vec_id")
+    incap = F.col("n_in_bucket") <= KNN_BUCKET_CAP
+    return (
+        vs.withColumn("_pl", F.row_number().over(wl))
+        .filter(incap | (F.col("_pl") <= KNN_PILOT))
+        .withColumn("_pg", F.row_number().over(wg))
+        .filter(incap | (F.col("_pg") <= KNN_PILOT))
+        .drop("_pl", "_pg", "n_in_bucket")
+    )
+
 
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph construction: top-k neighbours for EVERY vector among its
@@ -305,12 +356,17 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted).  A local top-k per (src_id, salt) shrinks the frame to
     ≤ KNN_SALT·k rows per vector before the global top-k per src_id —
     exact, because every global top-k element is in its salt's local
-    top-k.  Candidate volume is still O(Σ bucket²); at 100 TB raise
-    N_PLANES so buckets stay small and watch `sim_lsh_bucket_histogram`.
-    Recall trades exactly as in `sim_topk_lsh`."""
+    top-k.  Candidate volume is O(Σ min(b, KNN_PILOT)·b) —
+    ``_nbr_candidates`` bounds over-cap buckets to a KNN_PILOT-member
+    pilot set (VERDICT r5 #2), so volume grows LINEARLY in bucket size
+    past KNN_BUCKET_CAP instead of quadratically; the cap never binds at
+    contract/bench scale (plan unchanged there), and the oracle mirrors
+    the identical pilot selection so semantics stay checkable at any
+    scale.  Recall trades exactly as in `sim_topk_lsh`."""
     v = _vectors(spark, sf_dir).withColumn(
         "bucket", lsh_bucket(F.col("v"), _PLANES)
     )
+    nbrs = _nbr_candidates(v)
     a = v.select(
         F.col("vec_id").alias("src_id"),
         F.col("v").alias("sv"),
@@ -319,7 +375,7 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(KNN_SALT - 1)))
     )
-    b = v.select(
+    b = nbrs.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("v").alias("nv"),
         F.col("nrm").alias("nn"),
@@ -519,13 +575,25 @@ ORACLE_SQL: dict[str, str] = {
           SELECT vec_id, embedding::DOUBLE[] AS v,
                  {_bucket_expr("embedding::DOUBLE[]")} AS bucket
           FROM embeddings
+        ),
+        bsz AS (SELECT bucket, COUNT(*) AS n_in_bucket FROM v GROUP BY bucket),
+        -- bounded enumeration: over-cap buckets expose only their
+        -- KNN_PILOT smallest vec_ids as neighbour candidates (mirrors
+        -- _nbr_candidates exactly; never binds at sf0.01)
+        nbr AS (
+          SELECT vec_id, v, bucket FROM (
+            SELECT v.vec_id, v.v, v.bucket, s.n_in_bucket,
+                   ROW_NUMBER() OVER (PARTITION BY v.bucket
+                                      ORDER BY v.vec_id) AS pr
+            FROM v JOIN bsz s USING (bucket)
+          ) WHERE n_in_bucket <= {KNN_BUCKET_CAP} OR pr <= {KNN_PILOT}
         )
         SELECT src_id, nbr_id, cos_sim, CAST(rk AS INT) AS rk FROM (
           SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
                  {_COS} AS cos_sim,
                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                     ORDER BY {_COS} DESC, b.vec_id) AS rk
-          FROM v a JOIN v b
+          FROM v a JOIN nbr b
             ON a.bucket = b.bucket AND a.vec_id != b.vec_id
         ) WHERE rk <= {TOP_K}
     """,

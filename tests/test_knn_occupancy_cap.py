@@ -1,0 +1,111 @@
+"""Occupancy bound for `sim_knn_join` (VERDICT r5 #2): a bucket with more
+than KNN_BUCKET_CAP members must enumerate only its KNN_PILOT smallest
+vec_ids as neighbour candidates — candidate volume linear in bucket size,
+not quadratic — while the DuckDB oracle mirrors the identical selection so
+the capped semantics stay externally checkable.  The adversarial regime is
+exact-duplicate vectors (the scale-evidence replication law), which sign-LSH
+refinement provably cannot split; the cap is what binds there."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_near_storage_compute_spark.operators import similarity as S
+from parquet_near_storage_compute_spark.tables import load_table
+from tests.oracle import compare
+
+#: Enough exact copies of one vector to push its bucket well past the cap.
+N_HOT = S.KNN_BUCKET_CAP + 200
+
+
+@pytest.fixture(scope="module")
+def hot_dir(spark, sf_dir, tmp_path_factory):
+    """sf0.001 embeddings + N_HOT exact duplicates of vec 0's embedding
+    under fresh vec_ids — one mega-bucket, every other bucket untouched."""
+    out = str(tmp_path_factory.mktemp("knn_cap"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    hot = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(N_HOT))).alias("i"),
+            "embedding",
+            "label",
+        )
+        .select((F.lit(1_000_000) + F.col("i")).alias("vec_id"), "embedding", "label")
+    )
+    emb.unionByName(hot).coalesce(1).write.parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def test_nbr_candidates_bounded(spark, hot_dir):
+    v = S._vectors(spark, hot_dir).withColumn(
+        "bucket", S.lsh_bucket(F.col("v"), S._PLANES)
+    )
+    sizes = {r.bucket: r.n for r in v.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert max(sizes.values()) > S.KNN_BUCKET_CAP  # the fixture is adversarial
+    nbrs = {
+        r.bucket: r.n
+        for r in S._nbr_candidates(v)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for bucket, n in sizes.items():
+        if n <= S.KNN_BUCKET_CAP:
+            assert nbrs[bucket] == n  # in-cap buckets: untouched
+        else:
+            assert nbrs[bucket] == S.KNN_PILOT  # over-cap: exactly the pilots
+
+
+def test_pilots_are_the_k_smallest_vec_ids(spark, hot_dir):
+    """The two-phase salted k-min must select EXACTLY the KNN_PILOT smallest
+    vec_ids of the over-cap bucket (determinism is what makes the oracle
+    able to mirror the selection)."""
+    v = S._vectors(spark, hot_dir).withColumn(
+        "bucket", S.lsh_bucket(F.col("v"), S._PLANES)
+    )
+    over = [
+        r.bucket
+        for r in v.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > S.KNN_BUCKET_CAP)
+        .collect()
+    ]
+    assert over
+    members = sorted(
+        r.vec_id for r in v.filter(F.col("bucket") == over[0]).select("vec_id").collect()
+    )
+    pilots = sorted(
+        r.vec_id
+        for r in S._nbr_candidates(v)
+        .filter(F.col("bucket") == over[0])
+        .select("vec_id")
+        .collect()
+    )
+    assert pilots == members[: S.KNN_PILOT]
+
+
+def test_capped_knn_matches_oracle(spark, hot_dir):
+    """Full contract parity on the adversarial corpus: Spark's capped kNN
+    graph must equal the oracle SQL run over the same parquet."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(hot_dir, 'embeddings.parquet')}/*.parquet'"
+    )
+    compare(S.knn_join(spark, hot_dir), con, S.ORACLE_SQL["sim_knn_join"])
+
+
+def test_uncapped_path_planless(spark, sf_dir):
+    """At contract scale no bucket exceeds the cap, so _nbr_candidates must
+    return its input unchanged — the r5 plan, byte for byte."""
+    v = S._vectors(spark, sf_dir).withColumn(
+        "bucket", S.lsh_bucket(F.col("v"), S._PLANES)
+    )
+    assert S._nbr_candidates(v) is v

@@ -174,38 +174,49 @@ def run(
 
 
 def _knn_section(spark, S, big: str, out: dict) -> dict:
-    # sim_knn_join: candidate volume is O(Σ bucket²) by design — record the
-    # bucket histogram max, the per-task rows of the bucketed stage, and
-    # (round 5) the post-salt per-join-key candidate volume: the salt must
-    # cut the largest single task's pair work by ~KNN_SALT.
+    # sim_knn_join: since round 6 the neighbour side of an over-cap bucket
+    # is the bounded KNN_PILOT pilot set (VERDICT r5 #2), so candidate
+    # volume is O(Σ min(b, pilot)·b) — LINEAR in bucket size past the cap.
+    # Record the bucket histogram max, total + per-join-key candidate
+    # volume under the cap (vs the uncapped b² counterfactual), and the
+    # per-task rows of the bucketed stage.
     v = S._vectors(spark, big).withColumn(
         "bucket", S.lsh_bucket(F.col("v"), S._PLANES)
     )
     hist = v.groupBy("bucket").count()
     max_bucket = hist.agg(F.max("count")).collect()[0][0]
+    uncapped_total = (
+        hist.select((F.col("count") * F.col("count")).alias("v2"))
+        .agg(F.sum("v2"))
+        .collect()[0][0]
+    )
     nbr_cnt = (
-        v.select(
+        S._nbr_candidates(v)
+        .select(
             "bucket", F.pmod(F.col("vec_id"), F.lit(S.KNN_SALT)).alias("nsalt")
         )
         .groupBy("bucket", "nsalt")
         .count()
         .withColumnRenamed("count", "n_nbr")
     )
-    salted_vol = (
+    vols = (
         hist.withColumnRenamed("count", "n_src")
         .join(nbr_cnt, "bucket")
         .select((F.col("n_src") * F.col("n_nbr")).alias("vol"))
-        .agg(F.max("vol"))
-        .collect()[0][0]
+        .agg(F.max("vol").alias("mx"), F.sum("vol").alias("tot"))
+        .collect()[0]
     )
     sec, n_rows = _timed(S.knn_join(spark, big))
     out["sim_knn_join"] = {
         "sec": sec,
         "rows": n_rows,
         "max_lsh_bucket": int(max_bucket or 0),
-        "unsalted_max_joinkey_pairs": int(max_bucket or 0) ** 2,
-        "salted_max_joinkey_pairs": int(salted_vol or 0),
+        "uncapped_total_pairs": int(uncapped_total or 0),
+        "capped_total_pairs": int(vols.tot or 0),
+        "salted_max_joinkey_pairs": int(vols.mx or 0),
         "knn_salt": S.KNN_SALT,
+        "knn_bucket_cap": S.KNN_BUCKET_CAP,
+        "knn_pilot": S.KNN_PILOT,
         "max_task_rows_bucketed_vectors": _max_partition_rows(
             v.repartition("bucket")
         ),
