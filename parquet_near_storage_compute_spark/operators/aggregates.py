@@ -302,8 +302,12 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     |rank(estimate) − target·N| ≤ N/accuracy REGARDLESS of merge order,
     so while the estimate's exact value may vary with partitioning, the
     contract's flags cannot: each flag re-ranks the estimate against the
-    data (one conditional count) and asserts the guarantee ×SLACK. The
-    oracle pins exact interpolated percentiles + expects every flag = 1.
+    data and asserts the guarantee ×SLACK against the RANK INTERVAL the
+    estimate value spans — [count(< est)+1, count(<= est)] — not the max
+    rank alone (r6, ADVICE: a value with multiplicity > εN would push the
+    max rank past the tolerance even though one of its ranks satisfies
+    the guarantee). The oracle pins exact interpolated percentiles +
+    expects every flag = 1.
     """
     li = load_table(spark, sf_dir, "lineitem")
     appr = li.agg(
@@ -318,23 +322,39 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.crossJoin(F.broadcast(appr))
     ranked = joined.agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_extendedprice") < F.col("a50")).cast("long")).alias(
+            "lo50"
+        ),
         F.sum((F.col("l_extendedprice") <= F.col("a50")).cast("long")).alias(
-            "rank50"
+            "hi50"
+        ),
+        F.sum((F.col("l_extendedprice") < F.col("a90")).cast("long")).alias(
+            "lo90"
         ),
         F.sum((F.col("l_extendedprice") <= F.col("a90")).cast("long")).alias(
-            "rank90"
+            "hi90"
         ),
         F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
         F.percentile("l_extendedprice", 0.9).alias("p90_exact"),
     )
+
+    def _dist(lo: str, hi: str, q: float):
+        # distance from the target rank to the estimate's rank interval
+        target = F.lit(q) * F.col("n_rows")
+        return F.greatest(
+            F.lit(0.0),
+            (F.col(lo) + 1) - target,
+            target - F.col(hi),
+        )
+
     return ranked.select(
         "n_rows",
         "p50_exact",
         "p90_exact",
-        F.when(F.abs(F.col("rank50") - 0.5 * F.col("n_rows")) <= tol, 1)
+        F.when(_dist("lo50", "hi50", 0.5) <= tol, 1)
         .otherwise(0)
         .alias("rank_p50_ok"),
-        F.when(F.abs(F.col("rank90") - 0.9 * F.col("n_rows")) <= tol, 1)
+        F.when(_dist("lo90", "hi90", 0.9) <= tol, 1)
         .otherwise(0)
         .alias("rank_p90_ok"),
     )

@@ -428,6 +428,10 @@ def runtime_bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast threshold naturally)
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
+    # session-wide confs are mutated during PLANNING only and restored in
+    # finally; a CONCURRENTLY planned query in the same session would see
+    # them (ADVICE r5) — callers planning in parallel must construct this
+    # query on a SparkSession.newSession() of their own
     prev = {k: spark.conf.get(k) for k in pins}
     for k, v in pins.items():
         spark.conf.set(k, v)

@@ -249,7 +249,10 @@ def incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("is_member", F.lit(1))
     )
-    flagged = flagged.join(F.broadcast(members), "doc_id", "left").select(
+    # not a forced broadcast (r6, ADVICE): the member set scales with the
+    # batch's duplicate count, unlike the fixed-size bloom frame above —
+    # let AQE pick broadcast vs shuffle from the measured size
+    flagged = flagged.join(members, "doc_id", "left").select(
         "doc_id",
         "source",
         "sig",

@@ -104,8 +104,12 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus = even doc_ids, probe batch = odd doc_ids (same split as
     `dedup_incremental` — this is its constant-space pre-filter). The filter
     is ≤ BLOOM_WORDS rows after a map-side-combinable bit_or groupBy; probes
-    broadcast-join it. The exact member check runs ONLY over Bloom-positive
-    probes — sound because a Bloom filter has no false negatives.
+    broadcast-join it (the FILTER is fixed-size — always broadcastable).
+    The exact member check runs ONLY over Bloom-positive probes — sound
+    because a Bloom filter has no false negatives. The member-flag rejoin
+    is deliberately NOT a forced broadcast (r6, ADVICE): the member set
+    scales with the batch's duplicate count, not with the sketch, so the
+    planner (AQE) decides — broadcast when small, shuffle when not.
     """
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("sig"))
@@ -157,7 +161,7 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("is_member", F.lit(1))
     )
-    flagged = probed.join(F.broadcast(members), "doc_id", "left").select(
+    flagged = probed.join(members, "doc_id", "left").select(
         "source",
         "bloom_positive",
         F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member"),
@@ -226,7 +230,11 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("ALL").alias("event_type"),
             F.col("g_exact").alias("n_exact"),
-            F.when(
+            # empty-corpus guard (r6, ADVICE): 0/0 would yield NULL → flag 0
+            # while the oracle pins 1; an empty input trivially satisfies
+            # the tolerance (estimate 0, exact 0)
+            F.when(F.col("g_exact") == 0, F.lit(1))
+            .when(
                 (F.abs(F.col("g_est") - F.col("g_exact")) / F.col("g_exact"))
                 <= HLL_REL_TOL,
                 F.lit(1),
@@ -244,6 +252,30 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 64
 _TWO32 = 1 << 32
 
+#: Salt factor for the two-phase k-min selection (VERDICT r5 #3): the
+#: local phase computes a k-min per (group, pmod(h, KMV_SALT)) slice, the
+#: global phase ranks only ≤ KMV_SALT·k rows per group.  k-min merges
+#: associatively — every global k-min element is in its slice's local
+#: k-min — so results are identical to the single-window form while no
+#: task ever sorts a whole hot group (the window_topk_per_group device).
+KMV_SALT = 16
+
+
+def _kmin_per_group(hashed: DataFrame, group: str) -> DataFrame:
+    """Salted two-phase k-min of ``h`` per ``group``: returns the KMV_K
+    smallest hashes per group with their global rank ``rn`` (1-based)."""
+    wl = Window.partitionBy(
+        group, F.pmod(F.col("h"), F.lit(KMV_SALT))
+    ).orderBy("h")
+    wg = Window.partitionBy(group).orderBy("h")
+    return (
+        hashed.withColumn("_lrn", F.row_number().over(wl))
+        .filter(F.col("_lrn") <= KMV_K)
+        .drop("_lrn")
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= KMV_K)
+    )
+
 
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch — the hand-rolled, engine-exact
@@ -260,11 +292,12 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL the oracle checks the estimates themselves, not a tolerance flag.
 
     Shape: distinct (group, user) pairs → one shuffle; per-group k-min via
-    a bounded window (top-k-per-group, the windows.py pattern — at scale
-    salt it like window_topk_per_group); the ALL row is computed from the
-    per-group SKETCH ROWS ONLY (≤ groups·k rows), demonstrating the merge.
-    When a group holds fewer than k distinct members its sketch is the
-    whole set and the estimate is the exact count (emitted as such).
+    the SALTED two-phase selection (`_kmin_per_group`, VERDICT r5 #3) so a
+    hot group never serializes into one task's sort; the ALL row is
+    computed from the per-group SKETCH ROWS ONLY (≤ groups·k rows),
+    demonstrating the merge.  When a group holds fewer than k distinct
+    members its sketch is the whole set and the estimate is the exact
+    count (emitted as such).
     """
     ev = load_table(spark, sf_dir, "events")
     hashed = (
@@ -276,11 +309,7 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # hash collisions count once (KMV is over hash values)
     )
-    w = Window.partitionBy("event_type").orderBy("h")
-    sketch = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KMV_K)
-    )
+    sketch = _kmin_per_group(hashed, "event_type")
 
     def _estimate(df: DataFrame, scope_col: F.Column) -> DataFrame:
         # est = (k-1)*2^32 div h_k when the sketch is full, else exact size
@@ -299,7 +328,9 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     per_type = _estimate(sketch, F.col("event_type"))
-    # merge: k smallest across the per-type sketches = the union's sketch
+    # merge: k smallest across the per-type sketches = the union's sketch.
+    # Input here is SKETCH ROWS ONLY (≤ groups·k), so the single global
+    # window ranks a bounded frame — no hot-group exposure.
     wu = Window.orderBy("h")
     merged = (
         sketch.select("h")
@@ -337,8 +368,9 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_merged`` merged values). Exact intersection/union counts ride
     along as the baseline the estimate is judged against.
 
-    Shape: the per-group sketches collapse to ONE ≤k-element sorted array
-    per group (groups × k values total); every pair computation is
+    Shape: the salted two-phase k-min (`_kmin_per_group`, VERDICT r5 #3)
+    collapses each group to ONE ≤k-element sorted array
+    (groups × k values total); every pair computation is
     array built-ins over a broadcastable frame — the corpus is touched
     once to hash and once for the exact baseline, never per pair. All
     outputs integral; md5 + integer ops reproduce bit-for-bit in DuckDB,
@@ -354,12 +386,8 @@ def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             _hash32(F.lit("kmv"), F.col("user_id")).alias("h"),
         )
     )
-    w = Window.partitionBy("event_type").orderBy("h")
     sk = (
-        hashed.select("event_type", "h")
-        .distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KMV_K)
+        _kmin_per_group(hashed.select("event_type", "h").distinct(), "event_type")
         .groupBy("event_type")
         .agg(F.array_sort(F.collect_list("h")).alias("arr"))
     )

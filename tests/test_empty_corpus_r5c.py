@@ -37,9 +37,12 @@ def test_sketches_on_empty_corpus(spark, empty_sf_dir):
     assert sketches.bloom_membership(spark, empty_sf_dir).count() == 0
     assert sketches.kmv_distinct(spark, empty_sf_dir).count() == 0
     assert sketches.kmv_overlap(spark, empty_sf_dir).count() == 0
-    # hll emits its ALL row even on empty input; it must be well-formed
+    # hll emits its ALL row even on empty input; the oracle pins the flag
+    # to 1, so the 0/0 case must yield 1, not NULL→0 (r6, ADVICE)
     rows = sketches.hll_distinct(spark, empty_sf_dir).collect()
-    assert all(r.event_type == "ALL" for r in rows)
+    assert [(r.event_type, r.n_exact, r.est_within_tol) for r in rows] == [
+        ("ALL", 0, 1)
+    ]
 
 
 def test_maintenance_ops_on_empty_corpus(spark, empty_sf_dir):
