@@ -331,6 +331,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Chunk size for the EWMA fold: no aggregation buffer ever holds more
+#: than this many events of one user (VERDICT r5 #5). At contract corpora
+#: (≤99 events/user) every user is single-chunk, so the output is
+#: bit-identical to the unchunked r5 form.
+EWMA_CHUNK = 1024
+EWMA_ALPHA = 0.5
+
+
 def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of each user's event values —
     the smoothing primitive behind rate limiting, anomaly scoring, and
@@ -338,33 +346,73 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_{i-1}), which SQL engines cannot window-ize; the Spark form is a
     per-user left fold: ``collect_list(struct(event_id, value))`` →
     ``sort_array`` → ``F.aggregate`` with ``s + α·(x − s)``, all inside
-    whole-stage codegen — one shuffle on user_id, no UDF.
+    whole-stage codegen — no UDF.
 
-    Engine-exactness discipline (NOTES_r5): the fold runs in event_id
-    order on BOTH engines (oracle: ``list_reduce`` over an ordered
-    ``list()``), α = 0.5 is an exact binary scale, and every step is a
-    single IEEE op — the cross-engine result is bit-identical, no
-    rounding needed. Scale: the per-user list is bounded by events-per-
-    user (≤ thousands in telemetry); a user too hot for one task would
-    chunk the fold by time range and stitch with
-    s' = s·(1−α)^k + partial — same algebra, still associative-free."""
+    Bounded state (r6, VERDICT r5 #5): the fold is CHUNKED so a hot user
+    never lands in one aggregation buffer. Events are split into
+    EWMA_CHUNK-sized runs by per-user ordinal; each chunk folds
+    independently (the first chunk seeded with its first value — the
+    original semantics — later chunks seeded with 0, giving the partial
+    P_c = Σ α(1−α)^{c_k−j} x_j); the linearity of the recurrence
+    s' = (1−α)^k·s + P then collapses the stitch into a suffix-decay sum:
+    s = Σ_c contrib_c·(1−α)^{n_after_c}, folded per user over n/CHUNK
+    summary rows. Per-task memory is therefore ≤ EWMA_CHUNK structs plus
+    n/EWMA_CHUNK summaries, at any per-user event count.
+
+    Engine-exactness discipline (NOTES_r5): both engines run the
+    IDENTICAL op sequence — per-chunk ``list_reduce`` folds in event_id
+    order, α = 0.5 an exact binary scale, decay (1−α)^n an exact power
+    of two, and the stitch a sequential sum in chunk order — so the
+    result stays bit-identical cross-engine; in the single-chunk regime
+    it is also bit-identical to the unchunked form (0.0 + s·1.0 is
+    exact)."""
     ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    chunked = ev.select("user_id", "event_id", "value").withColumn(
+        "chunk",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(EWMA_CHUNK)).cast("long"),
+    )
     arr = F.sort_array(F.collect_list(F.struct("event_id", "value")))
     vals = F.transform(arr, lambda s: s["value"])
     rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
-    ewma = F.aggregate(
-        rest,
-        F.element_at(vals, 1),
-        lambda acc, x: acc + F.lit(0.5) * (x - acc),
+    step = lambda acc, x: acc + F.lit(EWMA_ALPHA) * (x - acc)
+    per_chunk = chunked.groupBy("user_id", "chunk").agg(
+        F.count(F.lit(1)).alias("k"),
+        # first-chunk form: seeded with the chunk's first value
+        F.aggregate(rest, F.element_at(vals, 1), step).alias("seeded"),
+        # later-chunk form: the seed-0 partial of the same recurrence
+        F.aggregate(vals, F.lit(0.0), step).alias("partial"),
     )
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            ewma.alias("ewma_value"),
-        )
-        .orderBy("user_id")
+    wc = Window.partitionBy("user_id").orderBy("chunk")
+    wu = Window.partitionBy("user_id")
+    summaries = per_chunk.select(
+        "user_id",
+        "chunk",
+        "k",
+        (F.sum("k").over(wu) - F.sum("k").over(wc)).alias("n_after"),
+        F.when(F.col("chunk") == 0, F.col("seeded"))
+        .otherwise(F.col("partial"))
+        .alias("contrib"),
     )
+    stitched = summaries.groupBy("user_id").agg(
+        F.sum("k").alias("n_events"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "chunk",
+                            (F.col("contrib") * F.pow(F.lit(0.5), F.col("n_after"))).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("ewma_value"),
+    )
+    return stitched.select("user_id", "n_events", "ewma_value").orderBy("user_id")
 
 
 def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,13 +552,41 @@ ORACLE_SQL: dict[str, str] = {
         FROM ranked GROUP BY bar_start, event_type
         ORDER BY bar_start, event_type
     """,
-    "time_ewma": """
+    # chunked fold, mirrored op-for-op (see ewma_per_user): per-chunk
+    # list_reduce folds in event_id order, exact power-of-two suffix
+    # decay, sequential stitch sum in chunk order
+    "time_ewma": f"""
+        WITH ord AS (
+          SELECT user_id, event_id, value,
+                 (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                  - 1) // {EWMA_CHUNK} AS chunk
+          FROM events
+        ),
+        per_chunk AS (
+          SELECT user_id, chunk,
+                 COUNT(*) AS k,
+                 list_reduce(list(value ORDER BY event_id),
+                             (a, b) -> a + {EWMA_ALPHA} * (b - a)) AS seeded,
+                 list_reduce(
+                   list_prepend(0.0::DOUBLE, list(value ORDER BY event_id)),
+                   (a, b) -> a + {EWMA_ALPHA} * (b - a)) AS partial
+          FROM ord GROUP BY user_id, chunk
+        ),
+        summaries AS (
+          SELECT user_id, chunk, k,
+                 SUM(k) OVER (PARTITION BY user_id)
+                   - SUM(k) OVER (PARTITION BY user_id ORDER BY chunk
+                                  ROWS UNBOUNDED PRECEDING) AS n_after,
+                 CASE WHEN chunk = 0 THEN seeded ELSE partial END AS contrib
+          FROM per_chunk
+        )
         SELECT user_id,
-               CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(list_reduce(list(value ORDER BY event_id),
-                                (a, b) -> a + 0.5 * (b - a)) AS DOUBLE)
-                 AS ewma_value
-        FROM events GROUP BY user_id ORDER BY user_id
+               CAST(SUM(k) AS BIGINT) AS n_events,
+               CAST(list_reduce(
+                 list_prepend(0.0::DOUBLE,
+                   list(contrib * pow(0.5, n_after) ORDER BY chunk)),
+                 (a, b) -> a + b) AS DOUBLE) AS ewma_value
+        FROM summaries GROUP BY user_id ORDER BY user_id
     """,
     "events_cumulative_users": """
         WITH first AS (
