@@ -192,25 +192,58 @@ class RowGroupStreamReader(DataSourceStreamReader):
     [start, end) after a failure re-reads the identical groups, so the
     source is exactly-once). At 100 TB the offset is a (file, row_group)
     watermark over an append-only directory listing — same three methods,
-    same footer-only planning cost."""
+    same footer-only planning cost.
+
+    Bounded batch admission (r6, VERDICT r5 #6): with the
+    ``maxGroupsPerBatch`` option set, ``latestOffset`` advances at most
+    that many row groups past the admission floor, so a growing backlog
+    replays as ⌈backlog/max⌉ deterministic batches instead of one
+    unbounded batch.  The floor tracks the PLANNED high-water — every
+    offset this reader has put into a batch range (``partitions`` end,
+    ``commit`` end, ``initialOffset``) — because an admitted offset below
+    an already-WAL'd one regresses the write-ahead log and replays
+    committed groups (measured, not hypothetical: next-batch planning
+    races the previous batch's commit, and on a fresh query
+    ``latestOffset`` fires before ``initialOffset``).  While the floor is
+    unknown — the first ``latestOffset`` of a (re)started query — the
+    FULL backlog is admitted: the Python streaming API gives that call no
+    view of the restored checkpoint, and the full backlog is the only
+    reply guaranteed ≥ it.  So the bound governs steady-state growth
+    (the ``maxFilesPerTrigger`` discipline), never the recovery batch.
+    Admission is an upper bound on progress, never a change to
+    [start, end) batch contents, so exactly-once replay is untouched."""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("rowgroup_parquet requires a 'path' option")
+        self.max_groups = int(options.get("maxGroupsPerBatch", "0"))
+        self._floor: int | None = None  # planned-offset high-water
 
     def _num_groups(self) -> int:
         import pyarrow.parquet as pq
 
         return pq.ParquetFile(self.path).metadata.num_row_groups
 
+    def _sync_floor(self, *offsets: int) -> None:
+        known = [self._floor] if self._floor is not None else []
+        self._floor = max(known + list(offsets))
+
     def initialOffset(self):
+        self._sync_floor(0)
         return {"rg": 0}
 
     def latestOffset(self):
-        return {"rg": self._num_groups()}
+        n = self._num_groups()
+        if self.max_groups <= 0 or self._floor is None:
+            self._sync_floor(n)
+            return {"rg": n}
+        return {"rg": min(n, self._floor + self.max_groups)}
 
     def partitions(self, start, end):
+        # both ends are authoritative (WAL-backed) — the next admitted
+        # offset must never fall below them
+        self._sync_floor(start["rg"], end["rg"])
         return [
             _RowGroupPartition(self.path, rg)
             for rg in range(start["rg"], end["rg"])
@@ -225,7 +258,7 @@ class RowGroupStreamReader(DataSourceStreamReader):
         yield from table.to_batches()
 
     def commit(self, end):
-        pass
+        self._sync_floor(end["rg"])
 
 
 class _PartFile(WriterCommitMessage):

@@ -161,3 +161,85 @@ def test_rows_exact_despite_group_granularity(spark, sized_path):
         .filter(F.col("event_id") < 300)
     )
     assert df.count() == 300  # not 500: group 1 was read, then filtered
+
+def _write_grouped(path: str, n_groups: int) -> None:
+    """Deterministic events-shaped file with exactly n_groups row groups of
+    ROW_GROUP_ROWS rows each (group g holds event_ids [g*R, (g+1)*R))."""
+    import pyarrow as pa
+
+    n = n_groups * ROW_GROUP_ROWS
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array([f"t{i % 3}" for i in range(n)]),
+            "value": pa.array([float(i) / 7 for i in range(n)], pa.float64()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, row_group_size=ROW_GROUP_ROWS)
+    import os
+
+    os.replace(tmp, path)
+
+
+def test_bounded_admission_replays_growth_exactly_once(spark, tmp_path):
+    """Bounded batch admission (VERDICT r5 #6): after the initial backlog,
+    24 appended row groups must replay as ⌈24/8⌉ = 3 deterministic batches
+    of ≤ 8·ROW_GROUP_ROWS rows, summing to exactly-once totals; restarting
+    the checkpointed query must replay nothing (the admission bound never
+    regresses the WAL offset — the planned-high-water floor invariant)."""
+    import json
+    import os
+    import uuid
+
+    from parquet_near_storage_compute_spark.sources.pyds import (
+        RowGroupParquetDataSource,
+    )
+
+    spark.dataSource.register(RowGroupParquetDataSource)
+    src = os.path.join(str(tmp_path), "growing.parquet")
+    out = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    batch_log = os.path.join(str(tmp_path), "batches.jsonl")
+    _write_grouped(src, 4)
+
+    stream = (
+        spark.readStream.format("rowgroup_parquet")
+        .option("path", src)
+        .option("maxGroupsPerBatch", "8")
+        .load()
+    )
+
+    def sink(df, batch_id):
+        n = df.count()
+        with open(batch_log, "a") as fh:
+            fh.write(json.dumps({"batch": batch_id, "rows": n}) + "\n")
+        df.write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def batches():
+        with open(batch_log) as fh:
+            return [json.loads(line) for line in fh]
+
+    run()  # initial backlog: one (unbounded) recovery-style batch
+    assert spark.read.parquet(out).count() == 4 * ROW_GROUP_ROWS
+
+    _write_grouped(src, 28)  # append 24 groups (first 4 identical)
+    run()
+    new = [b for b in batches() if b["batch"] > 0 and b["rows"] > 0]
+    assert len(new) == 3, batches()  # 24 groups / 8 per batch
+    assert all(b["rows"] <= 8 * ROW_GROUP_ROWS for b in new)
+    assert spark.read.parquet(out).count() == 28 * ROW_GROUP_ROWS
+
+    # restart with nothing new, twice: no replay, no WAL regression
+    for attempt in range(2):
+        run()
+        assert spark.read.parquet(out).count() == 28 * ROW_GROUP_ROWS, attempt
