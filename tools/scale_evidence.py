@@ -76,6 +76,137 @@ def _replicate(spark, sf_dir: str, out_dir: str, n_reps: int) -> None:
     )
 
 
+def _replicate_tabular(spark, sf_dir: str, out_dir: str, n_reps: int) -> None:
+    """Replicate lineitem/events/orders for the maintenance-family rungs
+    (VERDICT r5 #7). Keys are strided so they stay unique; l_partkey and
+    o_custkey are kept VERBATIM so the z-order partkey distribution and
+    the DPP cust_mod partition fractions are scale-invariant."""
+    import os
+
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    if os.path.isdir(os.path.join(out_dir, "lineitem.parquet")):
+        return
+    for name, keys in (
+        ("lineitem", ("l_orderkey",)),
+        ("events", ("event_id",)),
+        ("orders", ("o_orderkey",)),
+    ):
+        base = load_table(spark, sf_dir, name)
+        reps = None
+        for r in range(n_reps):
+            part = base
+            for k in keys:
+                part = part.withColumn(k, F.col(k) + F.lit(r * ID_STRIDE))
+            reps = part if reps is None else reps.unionByName(part)
+        reps.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+
+def _maintenance_section(spark, big: str, out: dict) -> dict:
+    """z-order pruning asymmetry, compaction file math, DPP partition-hit
+    ratio — measured at the replicated rung, not just at sf0.01."""
+    import glob as _glob
+    import hashlib
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parquet_near_storage_compute_spark.plans import metrics as M
+    from parquet_near_storage_compute_spark.sources import io as src_io
+    from parquet_near_storage_compute_spark.tables import load_table, table_path
+
+    # --- z-order: planned-bytes asymmetry on the scaled layouts
+    sec, _ = _timed(src_io.zorder_scan(spark, big))
+    st = os.stat(table_path(big, "lineitem"))
+    key = hashlib.md5(
+        f"{big}:{st.st_mtime_ns}:{st.st_size}:{src_io._Z_ROW_GROUP_BYTES}".encode()
+    ).hexdigest()[:12]
+    (zfile,) = _glob.glob(
+        os.path.join(src_io._TMP_DIR, f"zorder_{key}", "*.parquet")
+    )
+    (lfile,) = _glob.glob(
+        os.path.join(src_io._TMP_DIR, f"linear_{key}", "*.parquet")
+    )
+    li = load_table(spark, big, "lineitem")
+    maxes = li.agg(
+        F.max("l_partkey").alias("pk"), F.max("l_orderkey").alias("ok")
+    ).collect()[0]
+    cols = ["l_orderkey", "l_partkey", "l_extendedprice"]
+    pk_pred = [("l_partkey", "<", maxes.pk // 8)]
+    z_full = M.planned_scan_bytes(zfile, cols, None)
+    l_full = M.planned_scan_bytes(lfile, cols, None)
+    out["sink_zorder_layout"] = {
+        "sec": sec,
+        "n_row_groups_zorder": pq.ParquetFile(zfile).metadata.num_row_groups,
+        "partkey_probe_planned_pct_zorder": round(
+            100.0 * M.planned_scan_bytes(zfile, cols, pk_pred) / z_full, 1
+        ),
+        "partkey_probe_planned_pct_linear": round(
+            100.0 * M.planned_scan_bytes(lfile, cols, pk_pred) / l_full, 1
+        ),
+    }
+
+    # --- compaction: the bytes-per-file sizing math at scale
+    sec, n_rows = _timed(src_io.compaction_sink(spark, big))
+    st = os.stat(table_path(big, "events"))
+    key = hashlib.md5(
+        f"{big}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    frag_files = _glob.glob(
+        os.path.join(src_io._TMP_DIR, f"compact_frag_{key}", "*.parquet")
+    )
+    out_files = _glob.glob(
+        os.path.join(src_io._TMP_DIR, f"compact_out_{key}", "*.parquet")
+    )
+    in_bytes = sum(os.path.getsize(p) for p in frag_files)
+    out["sink_compaction"] = {
+        "sec": sec,
+        "in_files": len(frag_files),
+        "in_bytes": in_bytes,
+        "expected_out_files": max(
+            1, math.ceil(in_bytes / src_io._COMPACT_TARGET_BYTES)
+        ),
+        "out_files": len(out_files),
+    }
+
+    # --- DPP: measured partition-hit ratio (files actually opened under
+    # the runtime-injected partition filter vs the full layout)
+    sec, _ = _timed(src_io.dpp_star_join(spark, big))
+    st = os.stat(table_path(big, "orders"))
+    key = hashlib.md5(
+        f"{big}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    fact_dir = os.path.join(src_io._TMP_DIR, f"dpp_orders_{key}")
+    total_parts = len(_glob.glob(os.path.join(fact_dir, "cust_mod=*")))
+    total_files = len(
+        _glob.glob(os.path.join(fact_dir, "cust_mod=*", "*.parquet"))
+    )
+    fact = src_io.read_parquet(spark, fact_dir)
+    dim = (
+        spark.range(10)
+        .select(F.col("id").alias("cust_mod"), (F.col("id") * 2).alias("attr"))
+        .filter(F.col("attr").isin(*src_io._DPP_ATTRS))
+    )
+    touched = (
+        fact.join(dim, "cust_mod")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    out["source_dpp_star_join"] = {
+        "sec": sec,
+        "partitions_total": total_parts,
+        "partitions_selected": len(src_io._DPP_ATTRS),
+        "files_total": total_files,
+        "files_read": touched,
+        "files_read_pct": round(100.0 * touched / max(total_files, 1), 1),
+    }
+    return out
+
+
 def _max_partition_rows(df) -> int:
     """Actual per-task row counts of the frame's final stage: the direct
     'max shuffle rows any single task held' observable."""
@@ -108,6 +239,13 @@ def run(
         _replicate(spark, sf_dir, big, n_reps)
 
     out: dict = {"reps": n_reps, "base_sf_dir": sf_dir}
+
+    # maintenance family (VERDICT r5 #7) — measured at the base rung only:
+    # the z-order/compaction/DPP observables are layout properties, and one
+    # scaled point plus the sf0.01 tests already bracket them
+    if not skip_contamination:
+        _replicate_tabular(spark, sf_dir, big, n_reps)
+        _maintenance_section(spark, big, out)
 
     # dedup_minhash_lsh: every doc now has REPS near-copies → buckets grow
     # REPS×; the cap must keep held ids ≤ SALT×(CAP+1) and route over-cap
