@@ -468,40 +468,103 @@ def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vector keep/drop decisions from the ≥τ cosine pair set — the
+    """Per-vector keep/drop decisions for the ≥τ cosine relation — the
     actionable step for embedding-space dedup, mirroring
-    `minhash_dedup_decisions` for the text modality: `sim_range_search`
-    finds the similar PAIRS; this reduces them to a decision per vector
-    (drop the higher vec_id of every pair — min-id-wins, the same
-    deterministic rule the text path uses) plus each vector's partner
-    count as the dedup-pressure observable.
+    `minhash_dedup_decisions` for the text modality: drop the higher
+    vec_id of every similar pair (min-id-wins), report each vector's
+    partner count as the dedup-pressure observable.
 
-    Shape: the pair frame (sparse by construction of τ) explodes into
-    per-endpoint rows, one groupBy on vec_id, one left join back to the
-    full vector list — no additional pairwise work beyond what
-    range_search already bounded with its salted bucket join. Integer
-    outputs only.
+    Scale shape (r6): exact-duplicate vectors — the dominant mass on
+    duplicate-heavy corpora, where the member-level pair set is
+    Θ(Σ duplicates²) BY DEFINITION — are collapsed to (representative =
+    min vec_id, multiplicity) groups BEFORE any pair work, keyed on an
+    engine-internal md5 of the vector bytes.  The ≥τ relation is constant
+    on duplicate groups (every member shares the exact value), so the
+    member-level answers are exact group-level algebra:
+
+      n_partners(member of g) = (m_g − 1) + Σ_{g'≠g, g'~g} m_{g'}
+      keep(x) = x is g's min id AND no similar group has a smaller min id
+
+    The pair search then runs over DISTINCT vectors only (same salted
+    sign-LSH bucket join as `sim_range_search`), so pair work is constant
+    in duplication and the member-side cost is two narrow joins — while
+    the DuckDB oracle stays the brute member-level definition, proving
+    the collapse is semantics-preserving at any scale. Integer outputs.
     """
-    pairs = range_search(spark, sf_dir).select("vec_a", "vec_b")
-    partners = (
-        pairs.select(F.col("vec_a").alias("vec_id"))
-        .unionByName(pairs.select(F.col("vec_b").alias("vec_id")))
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("n_partners"))
-    )
-    losers = pairs.select(F.col("vec_b").alias("vec_id")).distinct().withColumn(
-        "dropped", F.lit(1)
-    )
-    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    return (
-        v.join(partners, "vec_id", "left")
-        .join(losers, "vec_id", "left")
+    emb = load_table(spark, sf_dir, "embeddings")
+    mem = (
+        fan_out(emb)
         .select(
             "vec_id",
             F.col("label").cast("int").alias("label"),
-            F.coalesce(F.col("n_partners"), F.lit(0)).alias("n_partners"),
-            (1 - F.coalesce(F.col("dropped"), F.lit(0))).alias("keep"),
+            as_double("embedding").alias("v"),
         )
+        .withColumn("gsig", F.md5(F.col("v").cast("string")))
+    )
+    groups = mem.groupBy("gsig").agg(
+        F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("m")
+    )
+    reps = (
+        mem.join(groups, "gsig")
+        .filter(F.col("vec_id") == F.col("rep_id"))
+        .select("gsig", "rep_id", "m", "v")
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumn("bucket", lsh_bucket(F.col("v"), _PLANES))
+    )
+    a = reps.select(
+        F.col("rep_id").alias("ra"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+        F.col("bucket").alias("ab"),
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(KNN_SALT - 1))))
+    b = reps.select(
+        F.col("rep_id").alias("rb"),
+        F.col("m").alias("mb"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+        F.col("bucket").alias("bb"),
+        F.pmod(F.col("rep_id"), F.lit(KNN_SALT)).alias("bsalt"),
+    )
+    sim = (
+        a.join(
+            b,
+            (F.col("ab") == F.col("bb"))
+            & (F.col("salt") == F.col("bsalt"))
+            & (F.col("ra") != F.col("rb")),
+        )
+        .filter(
+            (dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")))
+            >= COS_RANGE_THRESHOLD
+        )
+        .groupBy("ra")
+        .agg(
+            F.sum("mb").alias("ext"),
+            F.min("rb").alias("min_partner_rep"),
+        )
+    )
+    ginfo = groups.join(
+        sim, groups["rep_id"] == sim["ra"], "left"
+    ).select(
+        "gsig",
+        "rep_id",
+        "m",
+        F.coalesce(F.col("ext"), F.lit(0)).alias("ext"),
+        "min_partner_rep",
+    )
+    return mem.join(ginfo, "gsig").select(
+        "vec_id",
+        "label",
+        ((F.col("m") - 1) + F.col("ext")).alias("n_partners"),
+        F.when(
+            (F.col("vec_id") == F.col("rep_id"))
+            & (
+                F.col("min_partner_rep").isNull()
+                | (F.col("min_partner_rep") > F.col("rep_id"))
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("keep"),
     )
 
 

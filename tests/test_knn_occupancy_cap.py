@@ -109,3 +109,38 @@ def test_uncapped_path_planless(spark, sf_dir):
         "bucket", S.lsh_bucket(F.col("v"), S._PLANES)
     )
     assert S._nbr_candidates(v) is v
+
+
+def test_collapsed_dedup_decisions_match_member_level_oracle(spark, hot_dir):
+    """`sim_dedup_decisions` (r6): the duplicate-collapse must be exactly
+    semantics-preserving — on a corpus where one vector has N_HOT exact
+    copies, the group-level algebra must reproduce the brute member-level
+    oracle (which enumerates all Θ(dup²) pairs) row for row."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(hot_dir, 'embeddings.parquet')}/*.parquet'"
+    )
+    compare(
+        S.embedding_dedup_decisions(spark, hot_dir),
+        con,
+        S.ORACLE_SQL["sim_dedup_decisions"],
+    )
+
+
+def test_collapsed_decisions_pairwork_is_duplication_invariant(spark, hot_dir, sf_dir):
+    """The rep-level pair search must see DISTINCT vectors only: the hot
+    corpus (500 base + N_HOT copies of one value) exposes exactly as many
+    representatives as the base corpus has distinct values."""
+    emb = S.load_table(spark, hot_dir, "embeddings")
+    mem = emb.select(
+        "vec_id", S.as_double("embedding").alias("v")
+    ).withColumn("gsig", F.md5(F.col("v").cast("string")))
+    n_reps = mem.select("gsig").distinct().count()
+    n_base_distinct = (
+        S.load_table(spark, sf_dir, "embeddings")
+        .select(F.md5(S.as_double("embedding").cast("string")))
+        .distinct()
+        .count()
+    )
+    assert n_reps == n_base_distinct  # duplication added ZERO pair-side rows

@@ -344,6 +344,21 @@ def _knn_section(spark, S, big: str, out: dict) -> dict:
         .agg(F.max("vol").alias("mx"), F.sum("vol").alias("tot"))
         .collect()[0]
     )
+    # sim_dedup_decisions (r6): the duplicate collapse makes pair work a
+    # function of DISTINCT vectors only — reps stays at the base corpus
+    # count no matter the replication factor
+    dsec, d_rows = _timed(S.embedding_dedup_decisions(spark, big))
+    n_reps = (
+        v.select(F.md5(F.col("v").cast("string")))
+        .distinct()
+        .count()
+    )
+    out["sim_dedup_decisions"] = {
+        "sec": dsec,
+        "rows": d_rows,
+        "distinct_vector_reps_on_pair_side": n_reps,
+    }
+
     sec, n_rows = _timed(S.knn_join(spark, big))
     out["sim_knn_join"] = {
         "sec": sec,
