@@ -250,7 +250,11 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket occupancy — the tuning observable for plane count (skew in
-    this histogram = skew in the ANN join)."""
+    this histogram = skew in the ANN join). Buckets with n_vectors >
+    KNN_BUCKET_CAP are exactly the ones `sim_knn_join` bounds to the
+    KNN_PILOT pilot set (r6), so this histogram is also the capping
+    observable: compare it against the cap to see where and how hard the
+    bound binds."""
     v = _vectors(spark, sf_dir).withColumn("bucket", lsh_bucket(F.col("v"), _PLANES))
     return v.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
 

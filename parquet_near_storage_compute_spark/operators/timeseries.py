@@ -422,31 +422,31 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-window summary (finance bars, metrics rollups, dashboard
     downsampling all share this shape).
 
-    Open/close need a deterministic FIRST/LAST within the bar: one window
-    pass per (hour, type) ranks by (ts, event_id) ascending and
-    descending; high/low/volume come from the same hash aggregate. One
-    shuffle on the bar key; output volume is bounded by bars×types no
-    matter the event rate. Values as integer cents (floor(value·100)) —
-    engine-exact; rank ties broken by the unique event_id."""
+    Open/close need a deterministic FIRST/LAST within the bar: since r6
+    they come from ``min_by``/``max_by`` over the (ts, event_id) ordering
+    struct — part of the SAME hash aggregate as high/low/volume, so the
+    whole op is ONE map-side-combinable exchange with no per-bar sort at
+    all (the r5 form paid two extra window passes that ranked every event
+    ascending and descending; min_by/max_by partials merge associatively,
+    so a hot bar costs bounded per-task state instead of a full-bar sort).
+    Output volume is bounded by bars×types no matter the event rate.
+    Values as integer cents (floor(value·100)) — engine-exact; ordering
+    ties broken by the unique event_id."""
     ev = load_table(spark, sf_dir, "events")
     hour = F.date_format(F.date_trunc("hour", "ts"), _FMT).alias("bar_start")
     base = ev.select(
-        hour, "event_type", "ts", "event_id", F.floor(F.col("value") * 100).alias("cents")
-    )
-    w_asc = Window.partitionBy("bar_start", "event_type").orderBy("ts", "event_id")
-    w_desc = Window.partitionBy("bar_start", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    ranked = base.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
-        "rn_d", F.row_number().over(w_desc)
+        hour,
+        "event_type",
+        F.struct("ts", "event_id").alias("ord"),
+        F.floor(F.col("value") * 100).alias("cents"),
     )
     return (
-        ranked.groupBy("bar_start", "event_type")
+        base.groupBy("bar_start", "event_type")
         .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+            F.min_by("cents", "ord").alias("open_cents"),
             F.max("cents").alias("high_cents"),
             F.min("cents").alias("low_cents"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+            F.max_by("cents", "ord").alias("close_cents"),
             F.count(F.lit(1)).alias("volume"),
         )
         .orderBy("bar_start", "event_type")
