@@ -347,7 +347,87 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hashing-trick feature space of the linear quality model (r6).
+QC_DIM = 4096
+#: Integer weights: w(f) = hash32('qw', f) % QC_WEIGHT_MOD − QC_WEIGHT_SHIFT
+#: ∈ [−1000, 1000].  A real model would broadcast-join learned weights
+#: against the same feature ids; the md5-derived weights keep the contract
+#: deterministic and cross-engine reproducible without a model artifact.
+QC_WEIGHT_MOD = 2001
+QC_WEIGHT_SHIFT = 1000
+#: Word n-gram order of the features.
+QC_NGRAM = 2
+#: Margin units per quality bucket (fixed-point; the sigmoid is monotone
+#: in the margin, so bucketing margins ≡ bucketing probabilities — and
+#: stays in exact integer arithmetic, no transcendental drift).
+QC_BUCKET_SCALE = 2_000
+QC_BUCKET_CLAMP = 5
+
+
+def _hash32(seed: F.Column, key: F.Column) -> F.Column:
+    """First 8 hex chars of md5('<seed>:<key>') as a non-negative long —
+    the shared cross-engine hash device (operators/sketches.py:52,
+    operators/training.py draw)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(seed.cast("string"), F.lit(":"), key.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def quality_margins(docs: DataFrame) -> DataFrame:
+    """Linear quality-model scoring over hashed word-bigram features —
+    the model-based half of quality filtering (the heuristic half is
+    `text_quality_scores`): feature id = hash32('qf', bigram) % QC_DIM,
+    weight = md5-derived integer, margin = Σ weights, bucket =
+    clamp(floor(margin / QC_BUCKET_SCALE)).
+
+    Shape: explode bigrams → a PURE-EXPRESSION weight per gram (no join:
+    the weight is a formula of the feature id, computable inside codegen;
+    a learned model would broadcast-join a QC_DIM-row weight table on the
+    same ids — identical plan shape, one tiny build side) → one groupBy
+    on doc_id with an integer sum.  Every output is an exact integer —
+    no sigmoid in the contract, because bucketing the margin is
+    equivalent and engine-exact.  Docs with < QC_NGRAM words survive via
+    explode_outer with margin 0."""
+    base = fan_out(docs).select(
+        "doc_id", shingles(words("text"), QC_NGRAM).alias("gs")
+    )
+    feats = base.select("doc_id", F.explode_outer("gs").alias("g"))
+    f_id = _hash32(F.lit("qf"), F.col("g")) % QC_DIM
+    wt = F.when(F.col("g").isNull(), F.lit(0)).otherwise(
+        (_hash32(F.lit("qw"), f_id) % QC_WEIGHT_MOD) - QC_WEIGHT_SHIFT
+    )
+    scored = feats.groupBy("doc_id").agg(
+        F.sum(F.col("g").isNotNull().cast("long")).alias("n_features"),
+        F.sum(wt).alias("margin"),
+    )
+    bucket = F.greatest(
+        F.lit(-QC_BUCKET_CLAMP),
+        F.least(
+            F.lit(QC_BUCKET_CLAMP),
+            F.floor(F.col("margin") / F.lit(float(QC_BUCKET_SCALE))),
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        "margin",
+        bucket.cast("long").alias("quality_bucket"),
+    )
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry contract: model-based quality scores for every document."""
+    return quality_margins(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_quality_classifier": quality_classifier,
     "text_quality_scores": quality_scores,
     "text_quality_filter": quality_filter,
     "text_language_id": language_id,
@@ -370,7 +450,44 @@ def _score(lang: str) -> str:
     return f"len(list_filter(ws, w -> list_contains({_MARKER_SQL[lang]}, w)))"
 
 
+#: DuckDB mirror of the hashed-bigram linear model (same md5 hash device
+#: as sketches/training; weights recomputed from feature ids in SQL).
+_QC_GRAMS_CTE = f"""
+  grams AS (
+    SELECT doc_id,
+           unnest(list_transform(
+             CASE WHEN len(ws) >= {QC_NGRAM} THEN range(len(ws)-{QC_NGRAM - 1})
+                  ELSE [] END,
+             i -> array_to_string(ws[i+1:i+{QC_NGRAM}], ' '))) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  ),
+  feats AS (
+    SELECT doc_id,
+           ('0x'||substr(md5('qw:' || CAST(
+              ('0x'||substr(md5('qf:'||g),1,8))::BIGINT % {QC_DIM} AS VARCHAR)
+            ),1,8))::BIGINT % {QC_WEIGHT_MOD} - {QC_WEIGHT_SHIFT} AS w
+    FROM grams
+  ),
+  margins AS (
+    SELECT d.doc_id,
+           CAST(COUNT(f.w) AS BIGINT) AS n_features,
+           CAST(COALESCE(SUM(f.w), 0) AS BIGINT) AS margin
+    FROM documents d LEFT JOIN feats f USING (doc_id)
+    GROUP BY d.doc_id
+  ),
+  buckets AS (
+    SELECT doc_id, n_features, margin,
+           CAST(GREATEST(-{QC_BUCKET_CLAMP}, LEAST({QC_BUCKET_CLAMP},
+                FLOOR(margin / {QC_BUCKET_SCALE}.0))) AS BIGINT)
+             AS quality_bucket
+    FROM margins
+  )"""
+
 ORACLE_SQL: dict[str, str] = {
+    "text_quality_classifier": f"""
+        WITH {_QC_GRAMS_CTE}
+        SELECT doc_id, n_features, margin, quality_bucket FROM buckets
+    """,
     "text_dedup_segments": f"""
         WITH segs AS (
           SELECT DISTINCT doc_id, seg FROM (

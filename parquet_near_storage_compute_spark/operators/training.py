@@ -346,6 +346,62 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-mille keep rates by quality bucket for the classifier-driven
+#: resample: rate(b) = QR_BASE + (b + clamp)·QR_STEP ∈ [50, 1000]‰ —
+#: the lowest-quality bucket keeps 5%, the highest keeps everything
+#: (the standard classifier-filter + importance-resampling step of a
+#: pre-training curation pipeline).
+QR_BASE = 50
+QR_STEP = 95
+
+
+def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling driven by the hashed-bigram
+    linear model (`text_quality_classifier`): each document's keep
+    probability is a function of its quality bucket, the keep decision an
+    md5 draw against an integer per-mille threshold — the same
+    deterministic-draw device as `train_mixture_sample`, keyed 'qr' so
+    draws are independent of the mixture sampler's.
+
+    Shape: the classifier's one-shuffle margin aggregate, then a pure
+    per-row draw + threshold compare and a ≤(2·clamp+1)-group aggregate —
+    at 100 TB the only data-volume cost is the classifier's single
+    groupBy; the decision layer is a narrow map. All-integer outputs:
+    per bucket, documents seen / kept and the threshold applied, so the
+    realized rate is auditable against the target exactly."""
+    from parquet_near_storage_compute_spark.operators.textops import (
+        QC_BUCKET_CLAMP,
+        quality_margins,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_margins(docs)
+    threshold = (
+        F.lit(QR_BASE)
+        + (F.col("quality_bucket") + F.lit(QC_BUCKET_CLAMP)) * F.lit(QR_STEP)
+    ).alias("keep_permille")
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qr:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    decided = scored.select(
+        "quality_bucket",
+        threshold,
+        ((draw % 1000) < F.col("keep_permille")).alias("kept"),
+    )
+    return (
+        decided.groupBy("quality_bucket", "keep_permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .orderBy("quality_bucket")
+    )
+
+
 #: Curriculum phases (easy→hard stages a scheduler feeds in order).
 CURRICULUM_PHASES = 4
 
@@ -473,9 +529,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_mixture_sample": mixture_sample,
     "train_curriculum_order": curriculum_order,
     "train_bpe_pair_counts": bpe_pair_counts,
+    "train_quality_resample": quality_resample,
 }
 
+from parquet_near_storage_compute_spark.operators.textops import (  # noqa: E402
+    _QC_GRAMS_CTE,
+    QC_BUCKET_CLAMP as _QC_CLAMP,
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "train_quality_resample": f"""
+        WITH {_QC_GRAMS_CTE},
+        decided AS (
+          SELECT quality_bucket,
+                 CAST({QR_BASE} + (quality_bucket + {_QC_CLAMP}) * {QR_STEP}
+                      AS BIGINT) AS keep_permille,
+                 (('0x'||substr(md5('qr:'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+                    % 1000)
+                   < ({QR_BASE} + (quality_bucket + {_QC_CLAMP}) * {QR_STEP})
+                   AS kept
+          FROM buckets
+        )
+        SELECT quality_bucket, keep_permille,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM decided GROUP BY quality_bucket, keep_permille
+        ORDER BY quality_bucket
+    """,
     "train_global_shuffle": f"""
         WITH s AS (
           SELECT doc_id, n_chars,

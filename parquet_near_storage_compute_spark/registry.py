@@ -93,6 +93,16 @@ MODIFIED_IN_R6 = [
     "time_ewma",
 ]
 
+#: New in round 6, deliberately NOT in the round-6 window (it is fully
+#: booked by the 22 never-checked + 2 modified + 26 stalest rows): the
+#: model-based quality scoring / resampling pair. Locally oracle-verified
+#: every test run (tests/test_registry_oracle.py); they lead the round-7
+#: window together with the 20 remaining r3-row contracts.
+DEFERRED_TO_R7 = [
+    "text_quality_classifier",
+    "train_quality_resample",
+]
+
 #: The round-6 driver correctness window: 22 never-checked + 2 modified
 #: + the 26 contracts whose latest driver row is oldest (round 3), in
 #: CORRECTNESS_r03 key order. The 20 remaining r3-row contracts

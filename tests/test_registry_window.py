@@ -13,6 +13,7 @@ import os
 
 from parquet_near_storage_compute_spark.registry import (
     _PRIORITY,
+    DEFERRED_TO_R7,
     MODIFIED_IN_R6,
     NEVER_DRIVER_CHECKED,
     all_oracles,
@@ -35,20 +36,39 @@ def test_window_is_exactly_priority():
 
 def test_window_covers_every_unconfirmed_contract():
     """Every contract with no driver row in any round, and everything
-    modified since its last driver row, must be in the round-6 window."""
+    modified since its last driver row, must be in the round-6 window —
+    except the explicitly pinned new-in-r6 deferral (the window is fully
+    booked; deferral is only legitimate for brand-new contracts)."""
     prior = (
         set(_round_keys("CORRECTNESS_r03.json"))
         | set(_round_keys("CORRECTNESS_r04.json"))
         | set(_round_keys("CORRECTNESS_r05.json"))
     )
     never = set(all_queries()) - prior
-    missing = (never | set(MODIFIED_IN_R6)) - set(_PRIORITY)
+    missing = (never | set(MODIFIED_IN_R6)) - set(_PRIORITY) - set(DEFERRED_TO_R7)
     assert not missing, f"unconfirmed contracts outside the window: {missing}"
-    # the pinned never-checked list must BE the never-checked set — if a
-    # contract gains or loses a row the pin must be updated consciously
-    assert never == set(NEVER_DRIVER_CHECKED), (
-        sorted(never ^ set(NEVER_DRIVER_CHECKED))
+    # the pinned lists must BE the never-checked set — if a contract gains
+    # or loses a row the pins must be updated consciously
+    assert never == set(NEVER_DRIVER_CHECKED) | set(DEFERRED_TO_R7), (
+        sorted(never ^ (set(NEVER_DRIVER_CHECKED) | set(DEFERRED_TO_R7)))
     )
+
+
+def test_r7_deferral_is_new_and_oracle_backed():
+    """Deferral is only legitimate for contracts that never had a driver
+    row to go stale (new this round) and that the local differential
+    harness fully covers (oracle-backed) — the same rule round 5's
+    deferral followed."""
+    oracles = all_oracles()
+    prior = (
+        set(_round_keys("CORRECTNESS_r03.json"))
+        | set(_round_keys("CORRECTNESS_r04.json"))
+        | set(_round_keys("CORRECTNESS_r05.json"))
+    )
+    for name in DEFERRED_TO_R7:
+        assert name not in prior, f"{name} has a driver row — defer invalid"
+        assert name in oracles
+        assert name not in _PRIORITY
 
 
 def test_fill_slots_are_the_oldest_r3_rows():
@@ -68,13 +88,14 @@ def test_fill_slots_are_the_oldest_r3_rows():
 
 def test_every_registered_contract_has_a_row_or_a_slot():
     """No contract may fall through the rotation: each is either in the r6
-    window or carries an r3/r4/r5 driver row and is unmodified since."""
+    window, explicitly deferred to r7, or carries an r3/r4/r5 driver row
+    and is unmodified since."""
     prior = (
         set(_round_keys("CORRECTNESS_r03.json"))
         | set(_round_keys("CORRECTNESS_r04.json"))
         | set(_round_keys("CORRECTNESS_r05.json"))
     )
-    holes = set(all_queries()) - set(_PRIORITY) - prior
+    holes = set(all_queries()) - set(_PRIORITY) - set(DEFERRED_TO_R7) - prior
     assert not holes, f"contracts with no driver row and no window slot: {holes}"
 
 
