@@ -144,3 +144,32 @@ def test_collapsed_decisions_pairwork_is_duplication_invariant(spark, hot_dir, s
         .count()
     )
     assert n_reps == n_base_distinct  # duplication added ZERO pair-side rows
+
+
+def test_group_collapsed_knn_is_exact_on_duplicates(spark, hot_dir):
+    """When the DISTINCT-density cap doesn't bind (hot corpus: 500 value
+    groups, one with 713 members), the group-collapsed kNN must be
+    BIT-IDENTICAL to the plain uncapped member-level bucket-kNN — the
+    reconstruction is exact, not approximate (the superseded member-level
+    pilot cap measured 15% edge recall on this regime)."""
+    plain_member_level_sql = f"""
+        WITH ve AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {S._bucket_expr("embedding::DOUBLE[]")} AS bucket
+          FROM embeddings
+        )
+        SELECT src_id, nbr_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                 {S._COS} AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {S._COS} DESC, b.vec_id) AS rk
+          FROM ve a JOIN ve b
+            ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        ) WHERE rk <= {S.TOP_K}
+    """
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(hot_dir, 'embeddings.parquet')}/*.parquet'"
+    )
+    compare(S.knn_join(spark, hot_dir), con, plain_member_level_sql)
