@@ -383,6 +383,54 @@ def _value_groups(v: DataFrame) -> DataFrame:
     return stats.join(ids, "v")
 
 
+def _member_level_knn(v: DataFrame) -> DataFrame:
+    """The direct salted bucket join (r5 form): exact when the corpus has
+    no exact-duplicate vectors — then the value collapse is the identity
+    and this plan skips its machinery. `_nbr_candidates` still bounds
+    bucket occupancy (= distinct occupancy here)."""
+    nbrs = _nbr_candidates(v)
+    a = v.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("sn"),
+        F.col("bucket").alias("sb"),
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(KNN_SALT - 1))))
+    b = nbrs.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+        F.col("bucket").alias("nb"),
+        F.pmod(F.col("vec_id"), F.lit(KNN_SALT)).alias("nsalt"),
+    )
+    scored = a.join(
+        b,
+        (F.col("sb") == F.col("nb"))
+        & (F.col("salt") == F.col("nsalt"))
+        & (F.col("src_id") != F.col("nbr_id")),
+    ).select(
+        "src_id",
+        "salt",
+        "nbr_id",
+        (dot(F.col("sv"), F.col("nv")) / (F.col("sn") * F.col("nn"))).alias(
+            "cos_sim"
+        ),
+    )
+    wl = Window.partitionBy("src_id", "salt").orderBy(
+        F.col("cos_sim").desc(), "nbr_id"
+    )
+    local = (
+        scored.withColumn("lrk", F.row_number().over(wl))
+        .filter(F.col("lrk") <= TOP_K)
+        .drop("lrk", "salt")
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), "nbr_id")
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("src_id", "nbr_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph construction: top-k neighbours for EVERY vector among its
     sign-LSH bucket-mates — the self-join form of ANN (the `sim_topk_*`
@@ -407,21 +455,43 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     member-level oracle produces (dot(v,v)/(nrm·nrm) — deterministic,
     not assumed 1.0).
 
-    Shape: value-group collapse (two narrow shuffles on v) → salted
-    rep-level bucket join with ``_nbr_candidates`` bounding DISTINCT
-    occupancy (the cap is now a distinct-density backstop: duplication
-    can never re-inflate a bucket) → two-phase top-group selection →
-    a bounded expansion join (≤ KNN_GROUP_FANOUT·KNN_GROUP_IDS candidate
-    rows per source member) → final member window.  Pair work is
-    O(Σ min(distinct_b, pilot)·distinct_b): measured duplication-INVARIANT,
-    and the result is bit-identical to the uncapped member-level graph
-    whenever the distinct-density cap doesn't bind (everywhere measured:
-    edge recall 100% at 10×/100× replication, vs 15% for the superseded
-    design)."""
+    Shape: a one-aggregate duplicate probe first — on a duplicate-FREE
+    corpus (every contract/bench corpus) the collapse is the identity, so
+    the direct member-level salted join runs instead (identical result,
+    none of the collapse cost).  Otherwise: value-group collapse (two
+    narrow shuffles on v, persisted — one row per DISTINCT value) →
+    salted rep-level bucket join with ``_nbr_candidates`` bounding
+    DISTINCT occupancy (the cap is now a distinct-density backstop:
+    duplication can never re-inflate a bucket) → two-phase top-group
+    selection → a bounded expansion join (≤ KNN_GROUP_FANOUT·
+    KNN_GROUP_IDS candidate rows per source member) → final member
+    window.  Pair work is O(Σ min(distinct_b, pilot)·distinct_b):
+    measured duplication-INVARIANT (261 364 rep pairs at 10×, 30× AND
+    100× replication), and the result is bit-identical to the uncapped
+    member-level graph whenever the distinct-density cap doesn't bind
+    (measured: edge recall 100% at 10×, vs 15% for the superseded
+    member-level pilot-cap design)."""
     v = _vectors(spark, sf_dir).withColumn(
         "bucket", lsh_bucket(F.col("v"), _PLANES)
     )
-    groups = _value_groups(v)
+    # cheap duplicate probe (AQE-style eager statistic, same device as
+    # _nbr_candidates' cap probe): count distinct value HASHES vs members.
+    # Equality proves the corpus duplicate-free (a hash collision can only
+    # undercount distinct values, which falls back to the heavy-but-exact
+    # collapse path — never the reverse), so the value collapse is the
+    # identity and the direct member-level plan is the same result.
+    stats = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.md5(F.col("v").cast("string"))).alias("d"),
+    ).collect()[0]
+    if stats.d == stats.n:
+        return _member_level_knn(v)
+    # the group frame feeds five consumers (cap probe, both join sides,
+    # self-candidates, expansion ids, member mapping) — persist it, or
+    # each consumer re-runs the collapse (scan + shuffle + window); the
+    # frame is one row per DISTINCT value, so the cache is corpus-size
+    # independent under duplication (same device as dedup's bands cache)
+    groups = _value_groups(v).persist()
     reps = groups.select(
         F.col("rep_id").alias("vec_id"), "v", "nrm", "bucket"
     )
