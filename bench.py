@@ -75,6 +75,10 @@ def main() -> None:
         "source_python_datasource",
         "events_retention_cohorts",
         "pipeline_curation_report",
+        # the round-6 centerpiece family: the value-collapsed kNN graph
+        # and the duplication-invariant embedding-dedup decisions
+        "sim_knn_join",
+        "sim_dedup_decisions",
     ]
     headline = core22 + r6_added
     queries = all_queries()

@@ -642,6 +642,11 @@ def embedding_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     in duplication and the member-side cost is two narrow joins — while
     the DuckDB oracle stays the brute member-level definition, proving
     the collapse is semantics-preserving at any scale. Integer outputs.
+    The group frame is persisted — its consumers otherwise re-run the
+    collapse.  (No duplicate-free fast path here, unlike `knn_join`:
+    measured at sf0.1, the member-level alternative — range_search's
+    SORTED pair listing + endpoint reduction — is slower than the
+    collapse even with zero duplicates, 2.97 s vs 2.34 s.)
     """
     emb = load_table(spark, sf_dir, "embeddings")
     mem = (
@@ -655,7 +660,7 @@ def embedding_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     groups = mem.groupBy("gsig").agg(
         F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("m")
-    )
+    ).persist()
     reps = (
         mem.join(groups, "gsig")
         .filter(F.col("vec_id") == F.col("rep_id"))
