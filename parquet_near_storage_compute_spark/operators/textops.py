@@ -556,14 +556,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents GROUP BY source
     """,
     "text_fingerprint": f"""
+        -- COALESCE: DuckDB yields NULL (not '') for the empty-gram branch
+        -- of sub-{FP_NGRAM}-char docs; Spark's array_join gives '' — found
+        -- by the randomized differential sweep (the fixed corpus has no
+        -- short docs)
         SELECT doc_id,
-               array_to_string(
+               COALESCE(array_to_string(
                  list_sort(list_transform(
                    CASE WHEN length(text) >= {FP_NGRAM}
                         THEN range(length(text) - {FP_NGRAM - 1})
                         ELSE [] END,
-                   i -> md5(substr(text, i + 1, {FP_NGRAM}))))[1:{FP_KEEP}], '')
-                 AS fingerprint
+                   i -> md5(substr(text, i + 1, {FP_NGRAM}))))[1:{FP_KEEP}], ''),
+                 '') AS fingerprint
         FROM documents
     """,
     "text_repetition_filter": f"""

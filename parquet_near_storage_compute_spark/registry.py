@@ -15,9 +15,10 @@ round 5 cleared the r2-only stragglers plus everything r5 modified
 (CORRECTNESS_r05, 50/50). Round 6's window (VERDICT r5 #1): the 22
 contracts that have NEVER had a driver row (round 5's third-session
 additions — sketches, table maintenance, variant, OHLC, markov,
-incremental pipeline), the 2 contracts round 6 modifies that already
-carry rows (``sim_knn_join`` occupancy cap, ``time_ewma`` chunked fold),
-and the 26 oldest r3-row contracts as fill. After this window lands
+incremental pipeline), the 3 contracts round 6 modifies that
+already carry rows (``sim_knn_join`` value collapse, ``time_ewma``
+chunked fold, ``text_fingerprint`` oracle fix), and the 25 oldest
+r3-row contracts as fill. After this window lands
 green, every registered contract has at least one external driver row.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
@@ -91,10 +92,14 @@ NEVER_DRIVER_CHECKED = [
 MODIFIED_IN_R6 = [
     "sim_knn_join",
     "time_ewma",
+    # oracle fix only (COALESCE for sub-8-char docs, found by the
+    # randomized differential sweep; a no-op on the driver corpus, but
+    # an oracle change is a contract change — it re-enters the window)
+    "text_fingerprint",
 ]
 
 #: New in round 6, deliberately NOT in the round-6 window (it is fully
-#: booked by the 22 never-checked + 2 modified + 26 stalest rows): the
+#: booked by the 22 never-checked + 3 modified + 26 stalest rows): the
 #: model-based quality scoring / resampling pair. Locally oracle-verified
 #: every test run (tests/test_registry_oracle.py); they lead the round-7
 #: window together with the 20 remaining r3-row contracts.
@@ -103,14 +108,14 @@ DEFERRED_TO_R7 = [
     "train_quality_resample",
 ]
 
-#: The round-6 driver correctness window: 22 never-checked + 2 modified
-#: + the 26 contracts whose latest driver row is oldest (round 3), in
-#: CORRECTNESS_r03 key order. The 20 remaining r3-row contracts
+#: The round-6 driver correctness window: 22 never-checked + 3 modified
+#: + the 25 contracts whose latest driver row is oldest (round 3), in
+#: CORRECTNESS_r03 key order. The 21 remaining r3-row contracts
 #: (window_*, iter_kmeans_lite, train_pack/test/stratified/profile,
-#: stream_windowed/stateful/dedup/join, agg_stats, agg_percentile)
+#: stream_windowed/stateful/dedup/join, agg_min_max_by, agg_stats, agg_percentile)
 #: stay on their r3 rows and lead the round-7 fill.
 _PRIORITY = NEVER_DRIVER_CHECKED + MODIFIED_IN_R6 + [
-    # oldest r3-row contracts, CORRECTNESS_r03 order (26)
+    # oldest r3-row contracts, CORRECTNESS_r03 order (25)
     "v1_footer_only_agg",
     "v1_flagship",
     "v1_ladder_real",
@@ -136,7 +141,6 @@ _PRIORITY = NEVER_DRIVER_CHECKED + MODIFIED_IN_R6 + [
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_min_max_by",
 ]
 
 
