@@ -34,6 +34,17 @@ CONTRACTS = [
     "text_quality_classifier",
     "train_quality_resample",
     "dedup_exact",
+    # lineitem/orders families — heavy-duplicate prices (30% of rows share
+    # one exact value) exercise the r6 rank-interval percentile flags and
+    # window/top-k tie handling
+    "agg_pricing_summary",
+    "agg_approx_percentile_sketch",
+    "agg_percentile",
+    "agg_stats",
+    "agg_rollup",
+    "window_topk_per_group",
+    "sort_limit_topk",
+    "join_range",
 ]
 
 WORDS = (
@@ -92,6 +103,55 @@ def _make_corpus(spark, out: str, seed: int) -> None:
         docs, "doc_id long, text string, lang string, source string, n_chars long"
     ).coalesce(2).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
+    # lineitem: 30% of rows share ONE exact price (multiplicity ≫ the GK
+    # tolerance band — the regime the r6 rank-interval flag fix exists
+    # for); ties everywhere for window/top-k determinism checks
+    n_li, n_orders = 3000, 800
+    hot_price = 12345.67
+    lineitem = []
+    for i in range(n_li):
+        okey = rng.randrange(n_orders)
+        price = hot_price if rng.random() < 0.3 else round(rng.uniform(900.0, 99_000.0), 2)
+        lineitem.append(
+            (
+                okey,
+                rng.randrange(200),
+                rng.randrange(10),
+                i,  # unique linenumber keeps tiebreaks deterministic
+                float(rng.randrange(1, 50)),
+                price,
+                round(rng.uniform(0.0, 0.1), 2),
+                round(rng.uniform(0.0, 0.08), 2),
+                rng.choice(["A", "N", "R"]),
+                rng.choice(["F", "O"]),
+                base_ts + dt.timedelta(days=rng.randrange(0, 300)),
+            )
+        )
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(2).write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+
+    orders = [
+        (
+            i,
+            rng.randrange(150),
+            rng.choice(["F", "O", "P"]),
+            round(rng.uniform(1000.0, 400_000.0), 2),
+            base_ts + dt.timedelta(days=rng.randrange(0, 300)),
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]),
+        )
+        for i in range(n_orders)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(2).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+
 
 @pytest.fixture(scope="module", params=[11, 42])
 def random_corpus(request, spark, tmp_path_factory):
@@ -103,7 +163,7 @@ def random_corpus(request, spark, tmp_path_factory):
 @pytest.fixture(scope="module")
 def random_con(random_corpus):
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "lineitem", "orders"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{os.path.join(random_corpus, t + '.parquet')}/*.parquet'"
