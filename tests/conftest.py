@@ -21,6 +21,11 @@ def spark():
         conf={
             "spark.sql.shuffle.partitions": "8",
             "spark.driver.memory": "4g",
+            # the runtime-bytes tests diff the status store's stage
+            # counters; the default 1000-stage retention evicts history
+            # mid-measurement once the (growing) suite has run enough
+            # jobs before them — retain far past the suite's stage count
+            "spark.ui.retainedStages": "100000",
         },
     )
     yield s
