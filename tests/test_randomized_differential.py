@@ -34,6 +34,12 @@ CONTRACTS = [
     "text_quality_classifier",
     "train_quality_resample",
     "dedup_exact",
+    "text_repetition_filter",
+    "text_language_id",
+    "time_tumbling_hourly",
+    "events_cumulative_users",
+    "sketch_hll_distinct",
+    "dedup_simhash",
     # lineitem/orders families — heavy-duplicate prices (30% of rows share
     # one exact value) exercise the r6 rank-interval percentile flags and
     # window/top-k tie handling
