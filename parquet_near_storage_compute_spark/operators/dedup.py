@@ -325,7 +325,11 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     its component representative (min doc_id) and the component size.
 
     Cluster sizes come from a groupBy over the #clustered-docs label frame
-    (tiny relative to the corpus) joined back broadcast."""
+    (tiny relative to the corpus) joined back broadcast.  The output is a
+    per-doc SET keyed by doc_id (consumers join it; the contract compare
+    is order-insensitive): no terminal sort — at 100 TB that would be a
+    global range-partitioned sort over every clustered doc for
+    presentation only (VERDICT r6)."""
     docs = load_table(spark, sf_dir, "documents")
     edges = _lsh_candidates(_minhash_signatures(docs)).localCheckpoint()
     comp = propagate_min_labels(edges)
@@ -334,7 +338,7 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comp.join(F.broadcast(sizes), "cluster_rep").select(
         "doc_id", "cluster_rep", "cluster_size"
-    ).orderBy("doc_id")
+    )
 
 
 def lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -374,6 +374,196 @@ def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMG_DEDUP_FIXTURE = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+    "images_dedup.parquet",
+)
+
+#: Pinned geometry of the dedup fixture (tools/make_image_dedup_fixture.py
+#: asserts the header length at build): every payload is a 64×64 P6 with a
+#: 13-byte header, so the hex-wise oracle uses fixed offsets, exactly like
+#: WAV_DATA_OFFSET for the audio contract.
+IMG_DEDUP_HEADER = 13
+IMG_DEDUP_SIDE = 64
+#: pHash geometry: 64×64 luma → 2×2 area-resize → 32×32 → DCT-II → top-left
+#: 8×8 block → 63 AC coefficients thresholded on their lower median.
+PHASH_RESIZED = 32
+PHASH_BLOCK = 8
+#: Near-duplicate decision threshold: ≤ PHASH_HAMMING differing bits out of
+#: 63. Structured perturbations (noise/brightness/requantization) measure
+#: 0–4 bits on the fixture; unrelated images center near 31 — the widest
+#: gap is at ~10.
+PHASH_HAMMING = 10
+#: Banded candidate generation: 4 bands × 16 bits (band 3 carries 15). Two
+#: hashes within PHASH_HAMMING share a clean band unless their differing
+#: bits spread across all 4 bands — the standard LSH banding trade, and the
+#: oracle mirrors the banding so recall semantics stay externally checked.
+PHASH_BANDS = 4
+
+
+def phash64(img) -> int:
+    """DCT-based 63-bit perceptual hash of a decoded (H, W, 3) uint8 array.
+
+    Integer luma numerators (299R+587G+114B — no division, no rounding
+    surface), integer 2×2 area sums to 32×32, then an orthonormal DCT-II
+    (the only float stage); bits are AC > lower-median-of-63. The DuckDB
+    oracle recomputes the identical pipeline from the payload hex; the
+    float stage is drift-safe because AC-to-median gaps are ~O(1e2) against
+    ~1e-13 cross-engine noise (asserted per-image by
+    tests/test_image_phash_dedup.py's margin check)."""
+    import numpy as np
+
+    px = img.astype(np.int64)
+    luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    n = PHASH_RESIZED
+    p = luma.reshape(n, 2, n, 2).sum(axis=(1, 3)).astype(np.float64)
+    a = np.arange(PHASH_BLOCK)[:, None]
+    y = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * y + 1) * a / (2 * n)) * np.where(
+        a == 0, np.sqrt(1.0 / n), np.sqrt(2.0 / n)
+    )
+    block = c @ p @ c.T  # (8, 8): H[a][b] = Σ_y Σ_x C[a,y]·P[y,x]·C[b,x]
+    ac = block.flatten()[1:]
+    med = np.sort(ac)[(len(ac) - 1) // 2]  # lower median of 63
+    return int(sum(1 << i for i, v in enumerate(ac) if v > med))
+
+
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate dedup across the image modality — the
+    multimodal × dedup bridge (VERDICT r6 #3): text has MinHash, embeddings
+    have sign-LSH; images get DCT pHash over the committed near-dup fixture
+    (fixtures/images_dedup.parquet — base images plus noise / brightness /
+    requantization variants; generator in tools/make_image_dedup_fixture.py).
+
+    Per-image hashes run as one Arrow-batched mapInPandas pass (numpy DCT,
+    no image library — the netpbm path of `decode_image`). Everything after
+    is the embedding-dedup group algebra (`sim_dedup_decisions`,
+    similarity.py): images collapse to one row per DISTINCT hash before any
+    pair work — the ≤PHASH_HAMMING relation is constant on equal-hash
+    groups, so member answers are exact group algebra (n_partners =
+    (m−1) + Σ similar-group m'; keep ⇔ min of own ∪ similar groups) and
+    pair volume is bounded by distinct-hash density, invariant under
+    duplication (a million re-crawls of one image add zero pairs).
+    Candidates come from 4×16-bit hash bands (one explode + equi-join on
+    (band, key) — never an all-pairs product), verified by exact Hamming
+    distance. The DuckDB oracle stays the brute member-level definition —
+    header-offset hex decode, the same integer luma/resize, the same DCT
+    as embedded float literals, banding, pairs — proving the collapse
+    semantics-preserving. Output per image: (img_id, phash, n_partners,
+    keep), all integers/booleans — no float output surface.
+
+    At 100 TB: the hash pass is embarrassingly parallel; the pair stage
+    sees one row per distinct hash, banded — a hot band key (near-solid
+    frames) bounds at distinct-density like the knn pilot cap, with the
+    minhash overflow-cluster route (`dedup.py`) as the documented escape
+    for adversarial distinct-density; at fixture scale no guard binds."""
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    imgs = fan_out(spark.read.parquet(IMG_DEDUP_FIXTURE))
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"],
+                    "phash": pdf["payload"].map(
+                        lambda p: phash64(decode_image(p))
+                    ),
+                }
+            )
+
+    ph = imgs.select("img_id", "payload").mapInPandas(
+        hash_batch, "img_id bigint, phash bigint"
+    )
+    # value collapse: one row per DISTINCT hash (the sim_dedup_decisions
+    # device) — the frame feeds the band join, the partner sums and the
+    # member mapping, so persist it
+    groups = (
+        ph.groupBy("phash")
+        .agg(F.min("img_id").alias("rep_id"), F.count(F.lit(1)).alias("m"))
+        .persist()
+    )
+    bands = groups.select("phash", "rep_id", "m").withColumn(
+        "band", F.explode(F.array(*[F.lit(b) for b in range(PHASH_BANDS)]))
+    ).withColumn(
+        # shiftright's python signature wants a literal bit count, so the
+        # per-band shift goes through expr()
+        "key", F.expr("shiftright(phash, 16 * band)").bitwiseAND(0xFFFF)
+    )
+    a = bands.select(
+        F.col("band").alias("band_a"),
+        F.col("key").alias("key_a"),
+        F.col("phash").alias("ph_a"),
+        F.col("rep_id").alias("rep_a"),
+        F.col("m").alias("m_a"),
+    )
+    b = bands.select(
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+        F.col("phash").alias("ph_b"),
+        F.col("rep_id").alias("rep_b"),
+        F.col("m").alias("m_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("key_a") == F.col("key_b"))
+            & (F.col("rep_a") < F.col("rep_b")),
+        )
+        .select("ph_a", "rep_a", "m_a", "ph_b", "rep_b", "m_b")
+        .distinct()  # a close pair can share several bands
+        .filter(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            <= PHASH_HAMMING
+        )
+    )
+    sym = pairs.select(
+        F.col("rep_a").alias("rep_id"),
+        F.col("m_b").alias("partner_m"),
+        F.col("rep_b").alias("partner_rep"),
+    ).unionByName(
+        pairs.select(
+            F.col("rep_b").alias("rep_id"),
+            F.col("m_a").alias("partner_m"),
+            F.col("rep_a").alias("partner_rep"),
+        )
+    )
+    gstats = sym.groupBy("rep_id").agg(
+        F.sum("partner_m").alias("cross_partners"),
+        F.min("partner_rep").alias("min_sim_rep"),
+    )
+    gdec = groups.join(gstats, "rep_id", "left").select(
+        "phash",
+        "rep_id",
+        (F.col("m") - 1 + F.coalesce(F.col("cross_partners"), F.lit(0))).alias(
+            "n_partners"
+        ),
+        F.coalesce(F.col("min_sim_rep"), F.lit(None).cast("long")).alias(
+            "min_sim_rep"
+        ),
+    )
+    return (
+        ph.join(gdec, "phash")
+        .select(
+            "img_id",
+            "phash",
+            F.col("n_partners").cast("bigint").alias("n_partners"),
+            (
+                (F.col("img_id") == F.col("rep_id"))
+                & (
+                    F.col("min_sim_rep").isNull()
+                    | (F.col("rep_id") < F.col("min_sim_rep"))
+                )
+            ).alias("keep"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_feature_extract": feature_extract,
     "mm_binary_metadata": binary_metadata,
@@ -381,6 +571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize": resize,
     "mm_image_decode": image_decode,
     "mm_audio_decode": audio_decode,
+    "dedup_image_phash": image_phash_dedup,
 }
 
 def _hexbyte(k: str) -> str:
@@ -494,4 +685,130 @@ ORACLE_SQL: dict[str, str] = {
                CAST(list_sum(bs) AS BIGINT) AS checksum
         FROM px
     """,
+    "dedup_image_phash": None,  # filled below (needs the DCT literal)
 }
+
+
+def _phash_dct_literal() -> str:
+    """The 8×32 orthonormal DCT-II matrix as a DuckDB list literal — repr()
+    round-trips doubles exactly, so both engines threshold the identical
+    coefficient values (modulo summation order, covered by the margin
+    test)."""
+    import numpy as np
+
+    n = PHASH_RESIZED
+    a = np.arange(PHASH_BLOCK)[:, None]
+    y = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * y + 1) * a / (2 * n)) * np.where(
+        a == 0, np.sqrt(1.0 / n), np.sqrt(2.0 / n)
+    )
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in row) + "]" for row in c
+        )
+        + "]"
+    )
+
+
+def _phash_pv_term(dy: int, dx: int) -> str:
+    """Integer luma numerator of source pixel (2·(j mod 32)+dy, 2·(j÷32)+dx)
+    as a DuckDB expression over the per-image byte list ``bs``.  ``j``
+    indexes the resized matrix COLUMN-major (j = 32·x + y) so the DCT
+    stages can slice contiguous columns for ``list_dot_product``."""
+    o = (
+        f"(3*({IMG_DEDUP_SIDE}*(2*(j%{PHASH_RESIZED})+{dy})"
+        f" + (2*(j//{PHASH_RESIZED})+{dx})))"
+    )
+    return f"(299*bs[{o}+1] + 587*bs[{o}+2] + 114*bs[{o}+3])"
+
+
+# Brute MEMBER-LEVEL re-derivation from the payload bytes: hex-decode at the
+# pinned 13-byte header offset, the same integer luma + 2×2 area sums, the
+# same DCT (embedded literal matrix), the same median threshold / banding /
+# Hamming verification — but with no value collapse and no group algebra,
+# proving the Spark side's distinct-hash collapse semantics-preserving.
+ORACLE_SQL["dedup_image_phash"] = f"""
+    WITH
+    -- hex → nibble list FIRST (small-value lambdas; a lambda over the
+    -- whole 24 KB hex varchar re-captures the string per element and is
+    -- ~30× slower), then pair nibbles into bytes by position
+    raw AS (
+      SELECT img_id,
+             list_transform(
+               regexp_split_to_array(lower(hex(payload)), ''),
+               c -> strpos('0123456789abcdef', c) - 1) AS nib
+      FROM read_parquet('{IMG_DEDUP_FIXTURE}')
+    ),
+    bytes AS (
+      SELECT img_id,
+             list_transform(range({IMG_DEDUP_SIDE * IMG_DEDUP_SIDE * 3}), j ->
+               nib[2*({IMG_DEDUP_HEADER}+j)+1] * 16
+               + nib[2*({IMG_DEDUP_HEADER}+j)+2]) AS bs
+      FROM raw
+    ),
+    cmat AS (SELECT {_phash_dct_literal()} AS cm),
+    -- pv is the 32×32 integer area-sum matrix, COLUMN-major (j = 32·x + y),
+    -- so each DCT stage is 32-element list_dot_product over a contiguous
+    -- slice (native vector op) instead of nested per-element lambdas
+    pmat AS (
+      SELECT img_id,
+             list_transform(range({PHASH_RESIZED * PHASH_RESIZED}), j -> CAST(
+               {_phash_pv_term(0, 0)} + {_phash_pv_term(1, 0)}
+               + {_phash_pv_term(0, 1)} + {_phash_pv_term(1, 1)} AS DOUBLE)) AS pv
+      FROM bytes
+    ),
+    -- rd flattened 8×32 row-major: rd[32a + x + 1] = Σ_y C[a][y]·P[y][x]
+    rowdct AS (
+      SELECT img_id, list_transform(range({PHASH_BLOCK * PHASH_RESIZED}), i ->
+        list_dot_product(
+          cm[(i//{PHASH_RESIZED})+1],
+          pv[{PHASH_RESIZED}*(i%{PHASH_RESIZED})+1
+             : {PHASH_RESIZED}*(i%{PHASH_RESIZED})+{PHASH_RESIZED}])) AS rd
+      FROM pmat, cmat
+    ),
+    -- hc flattened 8×8 row-major: hc[8a + b + 1] = Σ_x C[b][x]·rd[a][x]
+    blockc AS (
+      SELECT img_id, list_transform(range({PHASH_BLOCK * PHASH_BLOCK}), i ->
+        list_dot_product(
+          cm[(i%{PHASH_BLOCK})+1],
+          rd[{PHASH_RESIZED}*(i//{PHASH_BLOCK})+1
+             : {PHASH_RESIZED}*(i//{PHASH_BLOCK})+{PHASH_RESIZED}])) AS hc
+      FROM rowdct, cmat
+    ),
+    med AS (
+      SELECT img_id, hc[2:{PHASH_BLOCK * PHASH_BLOCK}] AS ac,
+             list_sort(hc[2:{PHASH_BLOCK * PHASH_BLOCK}])[32] AS m
+      FROM blockc
+    ),
+    hsh AS (
+      SELECT img_id, CAST(list_sum(list_transform(range(63), i ->
+         CASE WHEN ac[i+1] > m THEN (CAST(1 AS BIGINT) << i)
+              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      FROM med
+    ),
+    bands AS (
+      SELECT img_id, phash, t.band, (phash >> (16*t.band)) & 65535 AS key
+      FROM hsh, range({PHASH_BANDS}) t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.img_id AS ia, a.phash AS ha, b.img_id AS ib, b.phash AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.img_id < b.img_id
+    ),
+    pairs AS (
+      SELECT ia, ib FROM cand WHERE bit_count(xor(ha, hb)) <= {PHASH_HAMMING}
+    ),
+    partners AS (
+      SELECT img_id, COUNT(*) AS n FROM (
+        SELECT ia AS img_id FROM pairs UNION ALL SELECT ib FROM pairs
+      ) GROUP BY img_id
+    ),
+    losers AS (SELECT DISTINCT ib AS img_id FROM pairs)
+    SELECT h.img_id, h.phash,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_partners,
+           (l.img_id IS NULL) AS keep
+    FROM hsh h
+    LEFT JOIN partners p USING (img_id)
+    LEFT JOIN losers l USING (img_id)
+"""

@@ -7,22 +7,18 @@ a collision raises at import time so it can't silently shadow coverage.
 
 Ordering matters: the driver's correctness gate checks the FIRST 50 keys in
 iteration order. Round 1 verified the core v1/snowset/join/agg/window surface
-(CORRECTNESS_r01, 47/50); round 2 verified the 50 extension operators
-(CORRECTNESS_r02, 50/50); round 3 rotated back to the r1-era core plus the
-never-checked train_/stream_/kmeans contracts (CORRECTNESS_r03, 50/50);
-round 4 rotated to the new-in-r3/r4 contracts plus the oldest r2 fill;
-round 5 cleared the r2-only stragglers plus everything r5 modified
-(CORRECTNESS_r05, 50/50). Round 6's window (VERDICT r5 #1): the 22
-contracts that have NEVER had a driver row (round 5's third-session
-additions — sketches, table maintenance, variant, OHLC, markov,
-incremental pipeline), the 3 contracts round 6 modifies that
-already carry rows (``sim_knn_join`` value collapse, ``time_ewma``
-chunked fold, ``text_fingerprint`` oracle fix), and the 25 oldest
-r3-row contracts as fill. After this window lands
-green, every registered contract has at least one external driver row.
-``_PRIORITY`` pins the window explicitly; everything else follows in
-module order so the window can rotate again in later rounds without code
-churn elsewhere.
+(CORRECTNESS_r01, 47/50); round 2 the 50 extension operators; round 3 the
+r1-era core plus the never-checked train_/stream_/kmeans contracts; round 4
+the new-in-r3/r4 contracts plus the oldest r2 fill; round 5 the r2-only
+stragglers plus everything r5 modified; round 6 the 22 never-checked
+r5-third-session contracts + 3 modified + the 25 oldest r3 rows — all 50/50
+green, leaving 161 of 163 contracts driver-confirmed. Round 7's window
+(VERDICT r6 #1): the 2 deferred r6 contracts + 1 new + 3 modified lead,
+then the 21 remaining r3-row contracts, then the oldest r4 rows as fill.
+After this window lands green, no live contract is unchecked and none is
+staler than round 4. ``_PRIORITY`` pins the window explicitly; everything
+else follows in module order so the window can rotate again in later
+rounds without code churn elsewhere.
 """
 
 from __future__ import annotations
@@ -56,91 +52,89 @@ _MODULES = [
 ]
 
 
-#: The 22 contracts that entered the registry in round 5's third session
-#: and have never been driver-checked (VERDICT r5 "What's missing" #1).
-#: They lead the round-6 window so the external oracle signal finally
-#: covers the whole registry.
-NEVER_DRIVER_CHECKED = [
-    "stream_python_datasource",
-    "types_variant_json",
-    "sketch_countmin",
-    "sketch_bloom_membership",
-    "join_skew_salted",
-    "dedup_incremental",
-    "relational_merge_upsert",
-    "sink_compaction",
-    "sink_zorder_layout",
-    "stream_upsert_foreachbatch",
-    "sketch_hll_distinct",
-    "sketch_kmv_distinct",
-    "pipeline_incremental_ingest",
-    "time_ohlc_bars",
-    "sketch_kmv_overlap",
-    "source_dpp_star_join",
-    "agg_bitmap_distinct",
-    "relational_scd2_history",
-    "events_markov_transitions",
-    "agg_approx_percentile_sketch",
-    "join_runtime_bloom_filtered",
-    "sim_dedup_decisions",
-]
-
-#: Contracts round 6 modifies that already carry a driver row — any code
-#: change invalidates the old row, so they re-enter the window:
-#: sim_knn_join gains the over-cap pilot-set bound (VERDICT r5 #2),
-#: time_ewma gains the chunked bounded-state fold (VERDICT r5 #5).
-MODIFIED_IN_R6 = [
-    "sim_knn_join",
-    "time_ewma",
-    # oracle fix only (COALESCE for sub-8-char docs, found by the
-    # randomized differential sweep; a no-op on the driver corpus, but
-    # an oracle change is a contract change — it re-enters the window)
-    "text_fingerprint",
-]
-
-#: New in round 6, deliberately NOT in the round-6 window (it is fully
+#: New in round 6, deliberately NOT in the round-6 window (it was fully
 #: booked by the 22 never-checked + 3 modified + 26 stalest rows): the
 #: model-based quality scoring / resampling pair. Locally oracle-verified
 #: every test run (tests/test_registry_oracle.py); they lead the round-7
-#: window together with the 20 remaining r3-row contracts.
+#: window (VERDICT r6 #1).
 DEFERRED_TO_R7 = [
     "text_quality_classifier",
     "train_quality_resample",
 ]
 
-#: The round-6 driver correctness window: 22 never-checked + 3 modified
-#: + the 25 contracts whose latest driver row is oldest (round 3), in
-#: CORRECTNESS_r03 key order. The 21 remaining r3-row contracts
-#: (window_*, iter_kmeans_lite, train_pack/test/stratified/profile,
-#: stream_windowed/stateful/dedup/join, agg_min_max_by, agg_stats, agg_percentile)
-#: stay on their r3 rows and lead the round-7 fill.
-_PRIORITY = NEVER_DRIVER_CHECKED + MODIFIED_IN_R6 + [
-    # oldest r3-row contracts, CORRECTNESS_r03 order (25)
-    "v1_footer_only_agg",
-    "v1_flagship",
-    "v1_ladder_real",
-    "v1_ladder_worst",
-    "v1_grammar_boolean",
-    "v1_grammar_extended",
-    "v1_count_semantics",
-    "v1_projection_rows",
-    "snowset_selectivity_distribution",
-    "join_theta",
-    "join_self",
-    "join_broadcast_inner",
-    "join_multiway",
-    "join_semi",
-    "join_anti",
-    "join_cross_pct",
-    "join_window_pct",
-    "join_asof",
-    "join_range",
-    "agg_pricing_summary",
-    "agg_over_expression",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
+#: New in round 7: DCT perceptual-hash image dedup (VERDICT r6 #3) —
+#: never driver-checked, enters the window immediately.
+NEW_IN_R7 = [
+    "dedup_image_phash",
+]
+
+#: Contracts round 7 modifies that already carry driver rows — the change
+#: invalidates the old row, so they re-enter the window:
+#: sim_knn_join's oracle gains the own-group duplicate candidate branch
+#: (ADVICE r6: Spark and oracle diverged in the over-cap pilot regime);
+#: sim_range_search and dedup_connected_components drop their terminal
+#: presentational global sorts (VERDICT r6 #2 — plan shape only, but a
+#: contract change is a contract change).
+MODIFIED_IN_R7 = [
+    "sim_knn_join",
+    "sim_range_search",
+    "dedup_connected_components",
+]
+
+#: The round-7 driver correctness window (VERDICT r6 #1): the 2 deferred
+#: r6 contracts + 1 new + 3 modified lead; then every contract still on a
+#: round-3 driver row (21 — window_*, stream_* ×4, train_* ×4,
+#: iter_kmeans_lite, agg_min_max_by, agg_stats, agg_percentile); the
+#: remaining 23 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
+#: order. After this window lands green, no live contract is unchecked
+#: and none is older than round 4.
+_PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
+    # the 21 round-3-row contracts, alphabetical
+    "agg_min_max_by",
+    "agg_percentile",
+    "agg_stats",
+    "iter_kmeans_lite",
+    "stream_dedup_exact",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "stream_windowed_counts",
+    "train_pack_sequences",
+    "train_profile_columns",
+    "train_stratified_sample",
+    "train_test_split",
+    "window_first_last_nth",
+    "window_lag_lead",
+    "window_mode_per_group",
+    "window_moving_sum",
+    "window_ntile",
+    "window_percent_rank_cume",
+    "window_rank_dense_rank",
+    "window_running_total",
+    "window_topk_per_group",
+    # oldest round-4 rows, CORRECTNESS_r04 key order (23)
+    "time_gap_fill",
+    "events_funnel",
+    "agg_histogram",
+    "window_range_frame",
+    "text_ngram_topk",
+    "text_repetition_filter",
+    "text_tfidf_topk",
+    "text_pii_scrub",
+    "train_chunk_documents",
+    "train_contamination_check",
+    "train_mixture_sample",
+    "train_curriculum_order",
+    "stream_sliding_counts",
+    "source_partitioned_scan",
+    "source_csv_scan",
+    "dedup_ngram_jaccard",
+    "mm_resize",
+    "dedup_minhash_lsh",
+    "dedup_blocked_jaccard",
+    "events_retention_cohorts",
+    "train_bpe_pair_counts",
+    "dedup_shingle_containment",
+    "stream_append_closed_windows",
 ]
 
 

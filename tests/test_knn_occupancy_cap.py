@@ -146,6 +146,102 @@ def test_collapsed_decisions_pairwork_is_duplication_invariant(spark, hot_dir, s
     assert n_reps == n_base_distinct  # duplication added ZERO pair-side rows
 
 
+#: Distinct value groups packed into ONE bucket — past the cap, so the
+#: pilot bound binds on the GROUP path (the hot corpus above never
+#: exercises this: its ~500 distinct values stay in-cap after collapse).
+N_OVERCAP = S.KNN_BUCKET_CAP + 88
+
+
+@pytest.fixture(scope="module")
+def overcap_dup_dir(spark, sf_dir, tmp_path_factory):
+    """ADVICE r6 regime: a bucket with MORE THAN KNN_BUCKET_CAP distinct
+    vector values, plus an exact-duplicate group whose rep_id ranks far
+    outside the KNN_PILOT pilot set.  The pilot cap then binds on the
+    collapsed group path, and the out-of-pilot duplicate group's members
+    must still receive their own cos≈1 duplicates as neighbours (Spark's
+    self_cand branch / the oracle's own-group UNION branch)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    planes = np.array(S._PLANES)  # (N_PLANES, DIM), entries ±1
+    # Sample until one bucket holds N_OVERCAP+1 distinct values.  Bucket
+    # membership is decided on the float32-rounded values (what both
+    # engines read back), with a 1e-3 sign margin on every plane so
+    # engine-side double folds can't flip a bit.
+    picked: dict[int, list[np.ndarray]] = {}
+    target = None
+    while target is None:
+        x = rng.normal(size=(4096, S.DIM)).astype(np.float32)
+        d = x.astype(np.float64) @ planes.T
+        ok = np.abs(d).min(axis=1) > 1e-3
+        bits = (d >= 0) @ (2 ** np.arange(S.N_PLANES))
+        for vec, b in zip(x[ok], bits[ok]):
+            picked.setdefault(int(b), []).append(vec)
+            if len(picked[int(b)]) == N_OVERCAP + 1:
+                target = int(b)
+                break
+    vals = picked[target]
+    rows = [
+        (2_000_000 + i, [float(x) for x in vals[i]], 0)
+        for i in range(N_OVERCAP)
+    ]
+    # the duplicate group: 3 copies of a FRESH value, member ids above
+    # every other id in the bucket → rep rank == N_OVERCAP+1 > KNN_PILOT
+    dup = [float(x) for x in vals[N_OVERCAP]]
+    rows += [(3_000_000 + j, dup, 1) for j in range(3)]
+    out = str(tmp_path_factory.mktemp("knn_overcap"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    synth = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    emb.unionByName(synth).coalesce(1).write.parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    return out
+
+
+def test_overcap_fixture_is_adversarial(spark, overcap_dup_dir):
+    """The regime the ADVICE names must actually hold: > KNN_BUCKET_CAP
+    DISTINCT values in one bucket, and the duplicate group's rep rank
+    outside the pilot set."""
+    v = S._vectors(spark, overcap_dup_dir).withColumn(
+        "bucket", S.lsh_bucket(F.col("v"), S._PLANES)
+    )
+    g = v.groupBy("v", "bucket").agg(
+        F.min("vec_id").alias("rep_id"), F.count("*").alias("m")
+    )
+    dup_bucket = g.filter(F.col("rep_id") == 3_000_000).collect()
+    assert len(dup_bucket) == 1 and dup_bucket[0].m == 3
+    in_bucket = g.filter(F.col("bucket") == dup_bucket[0].bucket)
+    n_groups = in_bucket.count()
+    assert n_groups > S.KNN_BUCKET_CAP
+    rank = in_bucket.filter(F.col("rep_id") < 3_000_000).count() + 1
+    assert rank > S.KNN_PILOT  # the dup group is OUT of the pilot set
+
+
+def test_overcap_out_of_pilot_duplicates_match_oracle(spark, overcap_dup_dir):
+    """Contract parity exactly where ADVICE r6 found the divergence: with
+    the pilot cap binding, an out-of-pilot duplicate group's members get
+    their own duplicates as neighbours on BOTH sides (the oracle's
+    own-group UNION branch mirrors Spark's self_cand)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(overcap_dup_dir, 'embeddings.parquet')}/*.parquet'"
+    )
+    result = S.knn_join(spark, overcap_dup_dir)
+    compare(result, con, S.ORACLE_SQL["sim_knn_join"])
+    # and the semantics the fix preserves: each dup member's top-1
+    # neighbour is a sibling duplicate (cos≈1 beats any random cosine)
+    top1 = {
+        r.src_id: r.nbr_id
+        for r in result.filter(
+            (F.col("src_id") >= 3_000_000) & (F.col("rk") == 1)
+        ).collect()
+    }
+    assert top1 == {3_000_000: 3_000_001, 3_000_001: 3_000_000, 3_000_002: 3_000_000}
+
+
 def test_group_collapsed_knn_is_exact_on_duplicates(spark, hot_dir):
     """When the DISTINCT-density cap doesn't bind (hot corpus: 500 value
     groups, one with 713 members), the group-collapsed kNN must be

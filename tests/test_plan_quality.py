@@ -57,14 +57,90 @@ _SKIP = {
 }
 
 
+#: Contracts whose executed plan is ALLOWED to contain a global
+#: (range-partitioned) Sort.  Every entry is a declared ordering: either the
+#: contract's output contract includes ORDER BY / top-k semantics, the sorted
+#: frame is dimension-sized (aggregate outputs, codebooks, report rows), or
+#: the ordering IS the semantics (curriculum order, global shuffle, sequence
+#: packing, sorted sink layouts).  The two VERDICT-r6 presentational sorts
+#: (`sim_range_search`, `dedup_connected_components` — unbounded row-set
+#: outputs sorted for nothing) were REMOVED in r7 and must stay out; any new
+#: contract that grows an undeclared global sort fails here, which is the
+#: point.
+GLOBAL_SORT_DECLARED = {
+    "agg_bitmap_distinct",
+    "agg_histogram",
+    "agg_pricing_summary",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "events_anomaly_mad",
+    "events_cumulative_users",
+    "events_funnel",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "iter_kmeans_lite",
+    "join_bucketed_colocated",
+    "join_outer_full",
+    "join_runtime_bloom_filtered",
+    "join_skew_salted",
+    "join_theta",
+    "meta_stat_prefixes",
+    "minhash_dedup_decisions",
+    "pipeline_curation_report",
+    "pipeline_incremental_ingest",
+    "relational_lateral_topn",
+    "sink_compaction",
+    "sink_python_datasource",
+    "sketch_kmv_overlap",
+    "snowset_selectivity_distribution",
+    "snowset_selectivity_distribution_sql",
+    "source_csv_scan",
+    "source_dpp_star_join",
+    "source_jsonl_scan",
+    "source_orc_scan",
+    "source_partitioned_scan",
+    "source_python_datasource",
+    "stream_python_datasource",
+    "stream_session_windows",
+    "stream_stream_join",
+    "text_dedup_segments",
+    "time_ewma",
+    "time_gap_fill",
+    "time_ohlc_bars",
+    "train_chunk_documents",
+    "train_contamination_check",
+    "train_curriculum_order",
+    "train_global_shuffle",
+    "train_mixture_sample",
+    "train_pack_sequences",
+    "train_profile_columns",
+    "train_quality_resample",
+    "train_stratified_sample",
+    "train_test_split",
+    "types_unsigned_decimal",
+    "types_variant_json",
+    "udtf_tokenize",
+}
+
+_GLOBAL_SORT_RE = r"Sort \[[^\]]*\], true, 0"
+
+
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - _SKIP))
 def test_plan_is_scale_safe(name, spark, sf_dir):
+    import re
+
     df = _QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product:\n{plan}"
     if "BroadcastNestedLoopJoin" in plan:
         assert name in BNLJ_WHITELIST, (
             f"{name}: unexpected BroadcastNestedLoopJoin:\n{plan}"
+        )
+    if re.search(_GLOBAL_SORT_RE, plan):
+        assert name in GLOBAL_SORT_DECLARED, (
+            f"{name}: undeclared global (range-partitioned) sort:\n{plan}"
         )
 
 

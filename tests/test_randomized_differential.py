@@ -1,8 +1,15 @@
 """Randomized differential sweep: seeded synthetic corpora with shapes the
 fixed test corpus doesn't exercise — duplicate texts, single-word and empty
-documents, identical timestamps, negative and tiny float values, hot users —
-run through the SAME Spark-vs-DuckDB oracle harness as the registry sweep.
-Catches data-shape assumptions that 163 green contracts on one corpus can't.
+documents, identical timestamps, negative and tiny float values, hot users,
+duplicate-heavy embeddings, dangling foreign keys — run through the SAME
+Spark-vs-DuckDB oracle harness as the registry sweep. Catches data-shape
+assumptions that 164 green contracts on one corpus can't.
+
+r6 ran 26 contracts × 2 seeds (and caught a real oracle bug on first
+contact); r7 (VERDICT r6 #5) widens to 74 shape-sensitive contracts × 3
+seeds, adding the previously untouched families: windows, the join
+surface, snowset, sketches, table maintenance, and similarity over a
+duplicate-heavy random embedding corpus.
 
 Corpora are deterministic (fixed seeds), so failures reproduce exactly."""
 
@@ -51,6 +58,58 @@ CONTRACTS = [
     "window_topk_per_group",
     "sort_limit_topk",
     "join_range",
+    # --- r7 extension (VERDICT r6 #5): the families the sweep had not
+    # touched — windows over hot-user/identical-ts frames, the join
+    # surface, snowset, more sketches, table maintenance, similarity on a
+    # duplicate-heavy random embedding corpus, and the v1 core ---
+    "window_lag_lead",
+    "window_moving_sum",
+    "window_running_total",
+    "window_rank_dense_rank",
+    "window_percent_rank_cume",
+    "window_ntile",
+    "window_first_last_nth",
+    "window_mode_per_group",
+    "window_range_frame",
+    "join_semi",
+    "join_anti",
+    "join_self",
+    "join_asof",
+    "join_theta",
+    "join_broadcast_inner",
+    "join_skew_salted",
+    "snowset_selectivity_distribution",
+    "snowset_selectivity_distribution_sql",
+    "snowset_retrieval_rate",
+    "sketch_bloom_membership",
+    "sketch_kmv_overlap",
+    "agg_approx_distinct",
+    "sink_compaction",
+    "sink_zorder_layout",
+    "source_dpp_star_join",
+    "relational_merge_upsert",
+    "relational_scd2_history",
+    "sim_knn_join",
+    "sim_range_search",
+    "sim_dedup_decisions",
+    "dedup_embedding_lsh",
+    "dedup_key",
+    "dedup_minhash_lsh",
+    "minhash_dedup_decisions",
+    "dedup_connected_components",
+    "text_tfidf_topk",
+    "text_quality_filter",
+    "train_chunk_documents",
+    "train_contamination_check",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_min_max_by",
+    "agg_histogram",
+    "v1_flagship",
+    "v1_count_semantics",
+    "events_anomaly_mad",
+    "events_retention_cohorts",
+    "time_sessionize",
 ]
 
 WORDS = (
@@ -158,8 +217,83 @@ def _make_corpus(spark, out: str, seed: int) -> None:
         "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     ).coalesce(2).write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
 
+    # dimensions: small, with negative balances and dangling foreign keys
+    # (l_partkey/l_suppkey ranges exceed the dim key ranges, so semi/anti/
+    # outer joins see unmatched rows on BOTH sides)
+    spark.createDataFrame(
+        [(r, name) for r, name in enumerate(["AMERICA", "EUROPE", "ASIA"])],
+        "r_regionkey int, r_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "region.parquet"))
+    spark.createDataFrame(
+        [(n, f"NATION{n}", n % 3) for n in range(10)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "nation.parquet"))
+    spark.createDataFrame(
+        [
+            (
+                i,
+                f"Customer#{i:06d}",
+                rng.randrange(10),
+                round(rng.uniform(-999.0, 9999.0), 2),
+                rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD"]),
+            )
+            for i in range(150)
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+    spark.createDataFrame(
+        [
+            (
+                i,
+                f"Supplier#{i:06d}",
+                rng.randrange(10),
+                round(rng.uniform(-999.0, 9999.0), 2),
+            )
+            for i in range(40)
+        ],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "supplier.parquet"))
+    spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(rng.choices(WORDS, k=3)),
+                f"Brand#{rng.randrange(1, 6)}{rng.randrange(1, 6)}",
+                " ".join(rng.choices(WORDS, k=2)).upper(),
+                rng.randrange(1, 51),
+                round(rng.uniform(900.0, 2000.0), 2),
+            )
+            for i in range(80)
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
 
-@pytest.fixture(scope="module", params=[11, 42])
+    # embeddings: duplicate-HEAVY on purpose — ~20% of vectors are exact
+    # copies of three base values, so the similarity contracts run their
+    # value-collapse path (and the r7 own-group oracle branch) on shapes
+    # the fixed corpus (duplicate-free) never reaches
+    dims = 64
+    base_vecs = [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dims)] for _ in range(3)
+    ]
+    emb = []
+    for i in range(300):
+        r = rng.random()
+        if r < 0.20:
+            vec = rng.choice(base_vecs)
+        else:
+            vec = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dims)]
+        emb.append((i, vec, rng.randrange(10)))
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+
+@pytest.fixture(scope="module", params=[11, 42, 77])
 def random_corpus(request, spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp(f"randcorpus_{request.param}"))
     _make_corpus(spark, out, request.param)
@@ -169,7 +303,18 @@ def random_corpus(request, spark, tmp_path_factory):
 @pytest.fixture(scope="module")
 def random_con(random_corpus):
     con = duckdb.connect()
-    for t in ("events", "documents", "lineitem", "orders"):
+    for t in (
+        "events",
+        "documents",
+        "lineitem",
+        "orders",
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "embeddings",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{os.path.join(random_corpus, t + '.parquet')}/*.parquet'"
