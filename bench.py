@@ -263,6 +263,17 @@ def main() -> None:
         "decode_gbps": round(li_size / 1e9 / decode_sec, 4),
     }
 
+    # Network-path observable (VERDICT r6 #7): the loopback analogue of the
+    # reference's network/HTTP ingest microbenchmarks
+    # (microbenchmarks/src/{network,http}/client.rs — N duration-bounded
+    # parallel streams into a byte sink). Loopback measures this host's
+    # TCP/HTTP stack ceiling (the path Spark shuffle fetch shares), NOT a
+    # NIC — tools/net_microbench.py documents the distinction.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.net_microbench import run as _net_run
+
+    network_path = _net_run()
+
     # Opt-in big-scan rung (SPARK_GRAFT_BIG_SCAN=1): at sf0.1 the 10 MB
     # table is dominated by the ~0.2 s scheduling floor, so engine "gbps"
     # measures overhead, not throughput. Replicating lineitem to ~1 GB
@@ -355,6 +366,7 @@ def main() -> None:
         # plan construction, timed separately from execution: nonzero
         # jobs here = eager statistics probes (see the dfs-build comment)
         "plan_construction_sec": construction_sec,
+        "network_path": network_path,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

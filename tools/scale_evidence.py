@@ -138,9 +138,15 @@ def _maintenance_section(spark, big: str, out: dict) -> dict:
     pk_pred = [("l_partkey", "<", maxes.pk // 8)]
     z_full = M.planned_scan_bytes(zfile, cols, None)
     l_full = M.planned_scan_bytes(lfile, cols, None)
+    zmeta = pq.ParquetFile(zfile).metadata
     out["sink_zorder_layout"] = {
         "sec": sec,
-        "n_row_groups_zorder": pq.ParquetFile(zfile).metadata.num_row_groups,
+        "n_row_groups_zorder": zmeta.num_row_groups,
+        # r7 (VERDICT r6 #6): the task/memory bound — the sized row groups
+        # must stay flat in replication factor, growing in COUNT only
+        "max_row_group_rows": max(
+            zmeta.row_group(i).num_rows for i in range(zmeta.num_row_groups)
+        ),
         "partkey_probe_planned_pct_zorder": round(
             100.0 * M.planned_scan_bytes(zfile, cols, pk_pred) / z_full, 1
         ),
@@ -170,6 +176,11 @@ def _maintenance_section(spark, big: str, out: dict) -> dict:
             1, math.ceil(in_bytes / src_io._COMPACT_TARGET_BYTES)
         ),
         "out_files": len(out_files),
+        # r7: per-output-file row maximum — each compacted file is one
+        # write task's frame, so this is the task-row bound
+        "max_out_file_rows": max(
+            pq.ParquetFile(p).metadata.num_rows for p in out_files
+        ),
     }
 
     # --- DPP: measured partition-hit ratio (files actually opened under
@@ -203,6 +214,14 @@ def _maintenance_section(spark, big: str, out: dict) -> dict:
         "files_total": total_files,
         "files_read": touched,
         "files_read_pct": round(100.0 * touched / max(total_files, 1), 1),
+        # r7: per-file row maximum across the partitioned fact layout —
+        # the scan-task bound under the injected partition filter
+        "max_fact_file_rows": max(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(
+                os.path.join(fact_dir, "cust_mod=*", "*.parquet")
+            )
+        ),
     }
     return out
 
@@ -226,7 +245,11 @@ def _timed(df) -> tuple[float, int]:
 
 
 def run(
-    spark, sf_dir: str, n_reps: int = REPS, skip_contamination: bool = False
+    spark,
+    sf_dir: str,
+    n_reps: int = REPS,
+    skip_contamination: bool = False,
+    include_maintenance: bool | None = None,
 ) -> dict:
     from parquet_near_storage_compute_spark.operators import dedup as D
     from parquet_near_storage_compute_spark.operators import (
@@ -240,10 +263,14 @@ def run(
 
     out: dict = {"reps": n_reps, "base_sf_dir": sf_dir}
 
-    # maintenance family (VERDICT r5 #7) — measured at the base rung only:
-    # the z-order/compaction/DPP observables are layout properties, and one
-    # scaled point plus the sf0.01 tests already bracket them
-    if not skip_contamination:
+    # maintenance family (VERDICT r5 #7): measured at the base rung every
+    # run, and (VERDICT r6 #6) at the TOP high rung (100×) so the layout
+    # bounds — sized row groups, per-file row maxima, partition-hit
+    # fractions — are shown flat in replication factor, not just
+    # satisfied at one point
+    if include_maintenance is None:
+        include_maintenance = not skip_contamination
+    if include_maintenance:
         _replicate_tabular(spark, sf_dir, big, n_reps)
         _maintenance_section(spark, big, out)
 
@@ -386,11 +413,20 @@ def main() -> None:
     out = run(spark, sf_dir, REPS)
     high = [r for r in HIGH_REPS if r > REPS]
     if high:
-        # further rungs: the two heaviest families only, to show the bounds
-        # are flat in replication factor (contamination's fan-out bound is
-        # structural — rare means df ≤ cap — so one rung suffices there)
+        # further rungs: the two heaviest families at every rung, plus the
+        # maintenance family at the top rung (VERDICT r6 #6) — to show the
+        # bounds are flat in replication factor (contamination's fan-out
+        # bound is structural — rare means df ≤ cap — so one rung
+        # suffices there)
         out["higher_rungs"] = [
-            run(spark, sf_dir, r, skip_contamination=True) for r in high
+            run(
+                spark,
+                sf_dir,
+                r,
+                skip_contamination=True,
+                include_maintenance=(r == max(high)),
+            )
+            for r in high
         ]
     path = os.path.join(REPO, "SCALE_EVIDENCE.json")
     with open(path, "w") as fh:
