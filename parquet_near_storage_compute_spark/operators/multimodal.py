@@ -431,6 +431,107 @@ def phash64(img) -> int:
     return int(sum(1 << i for i, v in enumerate(ac) if v > med))
 
 
+def _hash_neardup_decisions(
+    hashed: DataFrame, id_col: str, hash_col: str, hamming_max: int
+) -> DataFrame:
+    """Shared near-dup decision algebra over any 63-bit perceptual hash —
+    the modality-independent half of image/audio dedup (the
+    ``sim_dedup_decisions`` group algebra applied to hash space):
+
+    1. value collapse: one row per DISTINCT hash (rep = min id, m =
+       multiplicity) — pair volume is bounded by distinct-hash density
+       and invariant under duplication (a million re-crawls of one asset
+       add zero pairs);
+    2. 4×16-bit hash bands → equi-join candidates (never all pairs);
+    3. exact Hamming verification ≤ ``hamming_max``;
+    4. exact member-level reconstruction: n_partners = (m−1) +
+       Σ similar-group m'; keep ⇔ the member is its group's rep AND no
+       similar group has a smaller rep.
+
+    Output: (id, hash, n_partners BIGINT, keep BOOLEAN) for every input
+    row.  The per-modality contracts pair this with brute member-level
+    DuckDB oracles, proving the collapse semantics-preserving."""
+    groups = (
+        hashed.groupBy(hash_col)
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("m"))
+        .persist()  # feeds the band join, partner sums, member mapping
+    )
+    bands = groups.select(hash_col, "rep_id", "m").withColumn(
+        "band", F.explode(F.array(*[F.lit(b) for b in range(PHASH_BANDS)]))
+    ).withColumn(
+        # shiftright's python signature wants a literal bit count, so the
+        # per-band shift goes through expr()
+        "key", F.expr(f"shiftright({hash_col}, 16 * band)").bitwiseAND(0xFFFF)
+    )
+    a = bands.select(
+        F.col("band").alias("band_a"),
+        F.col("key").alias("key_a"),
+        F.col(hash_col).alias("ph_a"),
+        F.col("rep_id").alias("rep_a"),
+        F.col("m").alias("m_a"),
+    )
+    b = bands.select(
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+        F.col(hash_col).alias("ph_b"),
+        F.col("rep_id").alias("rep_b"),
+        F.col("m").alias("m_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("key_a") == F.col("key_b"))
+            & (F.col("rep_a") < F.col("rep_b")),
+        )
+        .select("ph_a", "rep_a", "m_a", "ph_b", "rep_b", "m_b")
+        .distinct()  # a close pair can share several bands
+        .filter(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= hamming_max
+        )
+    )
+    sym = pairs.select(
+        F.col("rep_a").alias("rep_id"),
+        F.col("m_b").alias("partner_m"),
+        F.col("rep_b").alias("partner_rep"),
+    ).unionByName(
+        pairs.select(
+            F.col("rep_b").alias("rep_id"),
+            F.col("m_a").alias("partner_m"),
+            F.col("rep_a").alias("partner_rep"),
+        )
+    )
+    gstats = sym.groupBy("rep_id").agg(
+        F.sum("partner_m").alias("cross_partners"),
+        F.min("partner_rep").alias("min_sim_rep"),
+    )
+    gdec = groups.join(gstats, "rep_id", "left").select(
+        hash_col,
+        "rep_id",
+        (F.col("m") - 1 + F.coalesce(F.col("cross_partners"), F.lit(0))).alias(
+            "n_partners"
+        ),
+        F.coalesce(F.col("min_sim_rep"), F.lit(None).cast("long")).alias(
+            "min_sim_rep"
+        ),
+    )
+    return (
+        hashed.join(gdec, hash_col)
+        .select(
+            id_col,
+            hash_col,
+            F.col("n_partners").cast("bigint").alias("n_partners"),
+            (
+                (F.col(id_col) == F.col("rep_id"))
+                & (
+                    F.col("min_sim_rep").isNull()
+                    | (F.col("rep_id") < F.col("min_sim_rep"))
+                )
+            ).alias("keep"),
+        )
+    )
+
+
 def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate dedup across the image modality — the
     multimodal × dedup bridge (VERDICT r6 #3): text has MinHash, embeddings
@@ -479,89 +580,118 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = imgs.select("img_id", "payload").mapInPandas(
         hash_batch, "img_id bigint, phash bigint"
     )
-    # value collapse: one row per DISTINCT hash (the sim_dedup_decisions
-    # device) — the frame feeds the band join, the partner sums and the
-    # member mapping, so persist it
-    groups = (
-        ph.groupBy("phash")
-        .agg(F.min("img_id").alias("rep_id"), F.count(F.lit(1)).alias("m"))
-        .persist()
+    return _hash_neardup_decisions(ph, "img_id", "phash", PHASH_HAMMING)
+
+
+AUDIO_DEDUP_FIXTURE = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+    "audio_dedup.parquet",
+)
+
+#: Pinned geometry of the audio-dedup fixture (tools/
+#: make_audio_dedup_fixture.py asserts at build): mono PCM16, 4000 Hz,
+#: exactly 2000 samples behind the canonical 44-byte header.
+AUDIO_FP_RATE = 4000
+AUDIO_FP_SAMPLES = 2000
+#: Fingerprint grid: 8 non-overlapping 250-sample frames × 9 spectral
+#: bands at 250+150·m Hz (250–1450, inside the 2 kHz Nyquist).
+AUDIO_FP_FRAMES = 8
+AUDIO_FP_FRAME_LEN = 250
+AUDIO_FP_BANDS = 9
+#: Near-duplicate threshold: ≤ AUDIO_FP_HAMMING of 63 bits. Measured on
+#: the fixture: gain/noise/requantization variants land 0–4 bits from
+#: their base; unrelated clips ≥ 20 (mean ~31).
+AUDIO_FP_HAMMING = 10
+
+
+def audio_fingerprint63(samples) -> int:
+    """Haitsma–Kalker-style 63-bit spectral fingerprint of 2000 mono PCM16
+    samples: per (frame, band) single-bin energies E[n][m] = c²+s² (c, s =
+    frame · cos/sin at the band frequency), then sign bits of the
+    band-energy DIFFERENTIALS — row 0 contributes E[0][m] > E[0][m+1]
+    (7 bits), rows 1-7 the time-and-band second difference
+    (E[n][m]−E[n][m+1]) − (E[n−1][m]−E[n−1][m+1]) (56 bits).
+    Differentials make the bits invariant to uniform gain (g² scales every
+    E) and robust to additive noise — exactly the re-master/re-encode
+    perturbations audio near-dup must survive.  Float stage is drift-safe:
+    min |differential| on the fixture ≈ 9.6e4 against ~0.35 worst-case
+    cross-engine summation drift (margin-asserted per clip in
+    tests/test_audio_fingerprint_dedup.py).  The trig weights are written
+    as ((2π·f)·t)/rate so the DuckDB oracle's literal expression computes
+    bit-identical cos/sin inputs."""
+    import numpy as np
+
+    fr = (
+        np.asarray(samples, dtype=np.float64)[:AUDIO_FP_SAMPLES]
+        .reshape(AUDIO_FP_FRAMES, AUDIO_FP_FRAME_LEN)
     )
-    bands = groups.select("phash", "rep_id", "m").withColumn(
-        "band", F.explode(F.array(*[F.lit(b) for b in range(PHASH_BANDS)]))
-    ).withColumn(
-        # shiftright's python signature wants a literal bit count, so the
-        # per-band shift goes through expr()
-        "key", F.expr("shiftright(phash, 16 * band)").bitwiseAND(0xFFFF)
+    tt = np.arange(AUDIO_FP_FRAME_LEN, dtype=np.float64)
+    cw = np.empty((AUDIO_FP_BANDS, AUDIO_FP_FRAME_LEN))
+    sw = np.empty((AUDIO_FP_BANDS, AUDIO_FP_FRAME_LEN))
+    for m in range(AUDIO_FP_BANDS):
+        arg = (2 * np.pi * (250 + 150 * m) * tt) / AUDIO_FP_RATE
+        cw[m] = np.cos(arg)
+        sw[m] = np.sin(arg)
+    c = fr @ cw.T
+    s = fr @ sw.T
+    e = c * c + s * s  # (frames, bands)
+    bits = []
+    for m in range(AUDIO_FP_BANDS - 2):
+        bits.append(e[0][m] > e[0][m + 1])
+    for n in range(1, AUDIO_FP_FRAMES):
+        for m in range(AUDIO_FP_BANDS - 1):
+            bits.append(
+                (e[n][m] - e[n][m + 1]) - (e[n - 1][m] - e[n - 1][m + 1]) > 0
+            )
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-fingerprint near-duplicate dedup across the audio modality
+    — completing the per-modality near-dup matrix (text MinHash /
+    embedding sign-LSH / image pHash / THIS), over the committed near-dup
+    fixture (fixtures/audio_dedup.parquet: sinusoid-mixture bases plus
+    gain / noise / requantization variants; generator in
+    tools/make_audio_dedup_fixture.py).
+
+    Per-clip fingerprints run as one Arrow-batched mapInPandas pass
+    (stdlib WAV decode via `decode_audio` + numpy band energies); then
+    the shared `_hash_neardup_decisions` algebra: distinct-fingerprint
+    value collapse → 4×16-bit banded candidates → exact Hamming ≤
+    AUDIO_FP_HAMMING → exact member-level reconstruction.  The DuckDB
+    oracle is the brute member-level definition — hex → nibble-list PCM16
+    decode at the pinned 44-byte offset, the same band energies via
+    runtime cos()/sin() weights and `list_dot_product`, the same bit
+    law, banding and Hamming — proving the collapse semantics-preserving.
+    Output per clip: (clip_id, fp, n_partners, keep) — integer/boolean
+    only, no float output surface.  Scale shape identical to
+    `dedup_image_phash` (the shared algebra's docstring carries the
+    100 TB analysis)."""
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    clips = fan_out(spark.read.parquet(AUDIO_DEDUP_FIXTURE))
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fp(payload: bytes) -> int:
+            _, _, samples = decode_audio(payload)
+            return audio_fingerprint63(samples[:, 0])
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf["clip_id"],
+                    "fp": pdf["payload"].map(fp),
+                }
+            )
+
+    hashed = clips.select("clip_id", "payload").mapInPandas(
+        hash_batch, "clip_id bigint, fp bigint"
     )
-    a = bands.select(
-        F.col("band").alias("band_a"),
-        F.col("key").alias("key_a"),
-        F.col("phash").alias("ph_a"),
-        F.col("rep_id").alias("rep_a"),
-        F.col("m").alias("m_a"),
-    )
-    b = bands.select(
-        F.col("band").alias("band_b"),
-        F.col("key").alias("key_b"),
-        F.col("phash").alias("ph_b"),
-        F.col("rep_id").alias("rep_b"),
-        F.col("m").alias("m_b"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("key_a") == F.col("key_b"))
-            & (F.col("rep_a") < F.col("rep_b")),
-        )
-        .select("ph_a", "rep_a", "m_a", "ph_b", "rep_b", "m_b")
-        .distinct()  # a close pair can share several bands
-        .filter(
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-            <= PHASH_HAMMING
-        )
-    )
-    sym = pairs.select(
-        F.col("rep_a").alias("rep_id"),
-        F.col("m_b").alias("partner_m"),
-        F.col("rep_b").alias("partner_rep"),
-    ).unionByName(
-        pairs.select(
-            F.col("rep_b").alias("rep_id"),
-            F.col("m_a").alias("partner_m"),
-            F.col("rep_a").alias("partner_rep"),
-        )
-    )
-    gstats = sym.groupBy("rep_id").agg(
-        F.sum("partner_m").alias("cross_partners"),
-        F.min("partner_rep").alias("min_sim_rep"),
-    )
-    gdec = groups.join(gstats, "rep_id", "left").select(
-        "phash",
-        "rep_id",
-        (F.col("m") - 1 + F.coalesce(F.col("cross_partners"), F.lit(0))).alias(
-            "n_partners"
-        ),
-        F.coalesce(F.col("min_sim_rep"), F.lit(None).cast("long")).alias(
-            "min_sim_rep"
-        ),
-    )
-    return (
-        ph.join(gdec, "phash")
-        .select(
-            "img_id",
-            "phash",
-            F.col("n_partners").cast("bigint").alias("n_partners"),
-            (
-                (F.col("img_id") == F.col("rep_id"))
-                & (
-                    F.col("min_sim_rep").isNull()
-                    | (F.col("rep_id") < F.col("min_sim_rep"))
-                )
-            ).alias("keep"),
-        )
-    )
+    return _hash_neardup_decisions(hashed, "clip_id", "fp", AUDIO_FP_HAMMING)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -572,6 +702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_image_decode": image_decode,
     "mm_audio_decode": audio_decode,
     "dedup_image_phash": image_phash_dedup,
+    "dedup_audio_fingerprint": audio_fingerprint_dedup,
 }
 
 def _hexbyte(k: str) -> str:
@@ -811,4 +942,90 @@ ORACLE_SQL["dedup_image_phash"] = f"""
     FROM hsh h
     LEFT JOIN partners p USING (img_id)
     LEFT JOIN losers l USING (img_id)
+"""
+
+# Brute MEMBER-LEVEL re-derivation of the audio fingerprint from the
+# payload bytes: hex → nibble list → little-endian PCM16 at the pinned
+# 44-byte offset, per-(frame, band) single-bin energies via runtime
+# cos()/sin() weight lists + list_dot_product (the trig argument is
+# spelled ((2π·f)·t)/rate exactly like the numpy side so both engines
+# feed cos/sin identical doubles), then the identical differential bit
+# law, banding and Hamming verification — no value collapse, no group
+# algebra, proving the Spark side's collapse semantics-preserving.
+_A_FRAME = "250*(i//9)"  # start sample of frame i//9 (flattened 8×9 grid)
+_A_PCM_U16 = "(nib[2*(44+2*j)+1]*16 + nib[2*(44+2*j)+2]" \
+    " + 256*(nib[2*(45+2*j)+1]*16 + nib[2*(45+2*j)+2]))"
+
+ORACLE_SQL["dedup_audio_fingerprint"] = f"""
+    WITH raw AS (
+      SELECT clip_id,
+             list_transform(
+               regexp_split_to_array(lower(hex(payload)), ''),
+               c -> strpos('0123456789abcdef', c) - 1) AS nib
+      FROM read_parquet('{AUDIO_DEDUP_FIXTURE}')
+    ),
+    pcm AS (
+      SELECT clip_id,
+             list_transform(range({AUDIO_FP_SAMPLES}), j -> CAST(
+               CASE WHEN {_A_PCM_U16} >= 32768
+                    THEN {_A_PCM_U16} - 65536
+                    ELSE {_A_PCM_U16} END AS DOUBLE)) AS s
+      FROM raw
+    ),
+    w AS (
+      SELECT
+        list_transform(range({AUDIO_FP_BANDS}), m ->
+          list_transform(range({AUDIO_FP_FRAME_LEN}), t ->
+            cos((2*pi()*(250+150*m)*t)/{AUDIO_FP_RATE}))) AS cw,
+        list_transform(range({AUDIO_FP_BANDS}), m ->
+          list_transform(range({AUDIO_FP_FRAME_LEN}), t ->
+            sin((2*pi()*(250+150*m)*t)/{AUDIO_FP_RATE}))) AS sw
+    ),
+    -- e flattened 8×9 row-major: e[9n + m + 1] = E[n][m]
+    eng AS (
+      SELECT clip_id, list_transform(range({AUDIO_FP_FRAMES * AUDIO_FP_BANDS}), i ->
+        pow(list_dot_product(
+              s[{_A_FRAME}+1 : {_A_FRAME}+{AUDIO_FP_FRAME_LEN}], cw[(i%9)+1]), 2)
+      + pow(list_dot_product(
+              s[{_A_FRAME}+1 : {_A_FRAME}+{AUDIO_FP_FRAME_LEN}], sw[(i%9)+1]), 2)) AS e
+      FROM pcm, w
+    ),
+    fp AS (
+      SELECT clip_id, CAST(list_sum(list_transform(range(63), i ->
+        CASE WHEN i < 7 THEN
+          CASE WHEN e[i+1] > e[i+2]
+               THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+        ELSE
+          CASE WHEN (e[9*((i-7)//8 + 1) + ((i-7)%8) + 1]
+                     - e[9*((i-7)//8 + 1) + ((i-7)%8) + 2])
+                  - (e[9*((i-7)//8) + ((i-7)%8) + 1]
+                     - e[9*((i-7)//8) + ((i-7)%8) + 2]) > 0
+               THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+        END)) AS BIGINT) AS fp
+      FROM eng
+    ),
+    bands AS (
+      SELECT clip_id, fp, t.band, (fp >> (16*t.band)) & 65535 AS key
+      FROM fp, range({PHASH_BANDS}) t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.clip_id AS ia, a.fp AS ha, b.clip_id AS ib, b.fp AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.clip_id < b.clip_id
+    ),
+    pairs AS (
+      SELECT ia, ib FROM cand WHERE bit_count(xor(ha, hb)) <= {AUDIO_FP_HAMMING}
+    ),
+    partners AS (
+      SELECT clip_id, COUNT(*) AS n FROM (
+        SELECT ia AS clip_id FROM pairs UNION ALL SELECT ib FROM pairs
+      ) GROUP BY clip_id
+    ),
+    losers AS (SELECT DISTINCT ib AS clip_id FROM pairs)
+    SELECT h.clip_id, h.fp,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_partners,
+           (l.clip_id IS NULL) AS keep
+    FROM fp h
+    LEFT JOIN partners p USING (clip_id)
+    LEFT JOIN losers l USING (clip_id)
 """

@@ -3,7 +3,7 @@ fixed test corpus doesn't exercise — duplicate texts, single-word and empty
 documents, identical timestamps, negative and tiny float values, hot users,
 duplicate-heavy embeddings, dangling foreign keys — run through the SAME
 Spark-vs-DuckDB oracle harness as the registry sweep. Catches data-shape
-assumptions that 164 green contracts on one corpus can't.
+assumptions that 165 green contracts on one corpus can't.
 
 r6 ran 26 contracts × 2 seeds (and caught a real oracle bug on first
 contact); r7 (VERDICT r6 #5) widens to 74 shape-sensitive contracts × 3

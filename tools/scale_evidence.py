@@ -407,7 +407,12 @@ def main() -> None:
     spark = get_spark(
         app_name="pnsc-scale-evidence",
         master=f"local[{cpus}]",
-        conf={"spark.sql.shuffle.partitions": str(max(int(cpus), 8))},
+        conf={
+            "spark.sql.shuffle.partitions": str(max(int(cpus), 8)),
+            # the 100× maintenance rung (VERDICT r6 #6) global-sorts a
+            # ~60M-row replicated lineitem; the 1g default heap OOMs there
+            "spark.driver.memory": "16g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     out = run(spark, sf_dir, REPS)
