@@ -80,7 +80,15 @@ def main() -> None:
         "sim_knn_join",
         "sim_dedup_decisions",
     ]
-    headline = core22 + r6_added
+    #: round-7 additions: the per-modality near-dup completion — tracks
+    #: the mapInPandas hash pass + shared banded-decisions algebra
+    #: round-over-round (committed fixtures, so corpus size is constant).
+    r7_added = [
+        "dedup_image_phash",
+        "dedup_audio_fingerprint",
+        "pipeline_modality_dedup_report",
+    ]
+    headline = core22 + r6_added + r7_added
     queries = all_queries()
 
     # Build every plan once up front: timing then covers pure execution
@@ -93,6 +101,10 @@ def main() -> None:
     # pays; it is measured here and recorded per query in BENCH_DETAIL as
     # ``plan_construction_sec`` rather than folded into the headline
     # (which would break round-over-round comparability).
+    # session warm-up before the construction loop, so the FIRST query's
+    # construction number measures its own plan, not JVM/py4j/catalog
+    # first-touch costs
+    spark.range(8).selectExpr("id % 2 AS k").groupBy("k").count().collect()
     construction_sec: dict[str, float] = {}
     dfs = {}
     for name in headline:
@@ -362,6 +374,7 @@ def main() -> None:
         "sf": sf,
         "core22_total_sec": core22_total,
         "r6_added_queries": r6_added,
+        "r7_added_queries": r7_added,
         "per_query_spread_pct_best_of_3_interleaved": spread_pct,
         # plan construction, timed separately from execution: nonzero
         # jobs here = eager statistics probes (see the dfs-build comment)

@@ -450,11 +450,20 @@ def _hash_neardup_decisions(
 
     Output: (id, hash, n_partners BIGINT, keep BOOLEAN) for every input
     row.  The per-modality contracts pair this with brute member-level
-    DuckDB oracles, proving the collapse semantics-preserving."""
+    DuckDB oracles, proving the collapse semantics-preserving.
+
+    Plan shape (r7 audit): the hash frame is persisted — it feeds the
+    group aggregation AND the final member mapping, and without the cache
+    the decode+hash pass (the dominant cost at scale: it touches every
+    payload byte) executes twice.  The group frame is persisted for its
+    four consumers (both band-join sides, partner sums, member mapping).
+    The symmetric partner view is ONE explode over the pair frame, not a
+    two-select union — a union re-executes the band join per branch."""
+    hashed = hashed.persist()
     groups = (
         hashed.groupBy(hash_col)
         .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("m"))
-        .persist()  # feeds the band join, partner sums, member mapping
+        .persist()
     )
     bands = groups.select(hash_col, "rep_id", "m").withColumn(
         "band", F.explode(F.array(*[F.lit(b) for b in range(PHASH_BANDS)]))
@@ -491,16 +500,21 @@ def _hash_neardup_decisions(
         )
     )
     sym = pairs.select(
-        F.col("rep_a").alias("rep_id"),
-        F.col("m_b").alias("partner_m"),
-        F.col("rep_b").alias("partner_rep"),
-    ).unionByName(
-        pairs.select(
-            F.col("rep_b").alias("rep_id"),
-            F.col("m_a").alias("partner_m"),
-            F.col("rep_a").alias("partner_rep"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("rep_a").alias("rep_id"),
+                    F.col("m_b").alias("partner_m"),
+                    F.col("rep_b").alias("partner_rep"),
+                ),
+                F.struct(
+                    F.col("rep_b").alias("rep_id"),
+                    F.col("m_a").alias("partner_m"),
+                    F.col("rep_a").alias("partner_rep"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
     gstats = sym.groupBy("rep_id").agg(
         F.sum("partner_m").alias("cross_partners"),
         F.min("partner_rep").alias("min_sim_rep"),

@@ -290,10 +290,68 @@ def incremental_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def modality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup dashboard (r7): one row per modality with its
+    asset count and keep/drop split — the capstone of the per-modality
+    near-dup matrix. A curation operator reads THIS to see where the
+    duplication mass lives before committing to a re-crawl or a filter
+    change: text via MinHash-LSH decisions, embeddings via sign-LSH
+    cosine decisions, images via DCT pHash, audio via spectral
+    fingerprints — four independently-oracled decision pipelines, each
+    already bounded for 100 TB by its own operator's design (value
+    collapse / salted buckets / overflow clusters), reduced here to one
+    map-side-combinable aggregate each and a 4-row union. No new scale
+    surface: the report adds one tiny aggregation per modality on top of
+    machinery the per-modality contracts already pin.
+
+    All-integer output (modality, n_assets, n_kept, n_dropped); the
+    DuckDB oracle is the union of the four member-level decision oracles
+    aggregated the same way — so this contract re-verifies all four
+    pipelines end-to-end through one hash."""
+    from parquet_near_storage_compute_spark.operators.dedup import (
+        minhash_dedup_decisions,
+    )
+    from parquet_near_storage_compute_spark.operators.multimodal import (
+        audio_fingerprint_dedup,
+        image_phash_dedup,
+    )
+    from parquet_near_storage_compute_spark.operators.similarity import (
+        embedding_dedup_decisions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        ("text", minhash_dedup_decisions(docs)),
+        ("embedding", embedding_dedup_decisions(spark, sf_dir)),
+        ("image", image_phash_dedup(spark, sf_dir)),
+        ("audio", audio_fingerprint_dedup(spark, sf_dir)),
+    ]
+    out = None
+    for name, df in parts:
+        row = (
+            df.select(F.col("keep").cast("int").alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("n_assets"),
+                F.coalesce(F.sum("k"), F.lit(0)).alias("n_kept"),
+            )
+            .select(
+                F.lit(name).alias("modality"),
+                F.col("n_assets").cast("bigint").alias("n_assets"),
+                F.col("n_kept").cast("bigint").alias("n_kept"),
+                (F.col("n_assets") - F.col("n_kept"))
+                .cast("bigint")
+                .alias("n_dropped"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_training_data": training_data_pipeline,
     "pipeline_curation_report": curation_report,
     "pipeline_incremental_ingest": incremental_ingest_pipeline,
+    "pipeline_modality_dedup_report": modality_dedup_report,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -471,3 +529,35 @@ ORACLE_SQL["pipeline_incremental_ingest"] = f"""
              AS n_ingested
     FROM cat GROUP BY source ORDER BY source
 """
+
+
+# Oracle for the cross-modality dedup report: the four member-level
+# decision oracles (imported verbatim, so a fix in any of them flows here
+# automatically) each reduced to one summary row and unioned — this
+# contract re-verifies all four decision pipelines through one hash.
+from parquet_near_storage_compute_spark.operators import (  # noqa: E402
+    dedup as _dd,
+    multimodal as _mm,
+    similarity as _sim,
+)
+
+
+def _modality_summary_sql(modality: str, decisions_sql: str) -> str:
+    return f"""
+    SELECT '{modality}' AS modality,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(COALESCE(SUM(CAST(keep AS INT)), 0) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - COALESCE(SUM(CAST(keep AS INT)), 0) AS BIGINT)
+             AS n_dropped
+    FROM ({decisions_sql})
+    """
+
+
+ORACLE_SQL["pipeline_modality_dedup_report"] = " UNION ALL ".join(
+    [
+        _modality_summary_sql("text", _dd.ORACLE_SQL["minhash_dedup_decisions"]),
+        _modality_summary_sql("embedding", _sim.ORACLE_SQL["sim_dedup_decisions"]),
+        _modality_summary_sql("image", _mm.ORACLE_SQL["dedup_image_phash"]),
+        _modality_summary_sql("audio", _mm.ORACLE_SQL["dedup_audio_fingerprint"]),
+    ]
+)

@@ -307,7 +307,7 @@ KNN_BUCKET_CAP = 512
 KNN_PILOT = 64
 
 
-def _nbr_candidates(v: DataFrame) -> DataFrame:
+def _nbr_candidates(v: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Neighbour candidate set with bounded per-bucket enumeration.
 
     In-cap buckets (≤ KNN_BUCKET_CAP members) contribute every member;
@@ -323,12 +323,17 @@ def _nbr_candidates(v: DataFrame) -> DataFrame:
     Shape: bucket sizes are a ≤2^N_PLANES-row aggregate, probed eagerly
     (one narrow pass, AQE-style statistics) — when no bucket exceeds the
     cap the function returns ``v`` unchanged and the plan is identical to
-    the uncapped one.  When the cap binds, pilots are selected with the
-    salted two-phase k-min (local k-min per (bucket, salt) → global k-min
-    per bucket over ≤ KNN_SALT·KNN_PILOT rows), never a single-task
-    whole-bucket sort."""
+    the uncapped one.  Callers that already probed bucket occupancy pass
+    ``max_bucket`` to skip the probe job (r7: ``knn_join`` folds the
+    duplicate probe and both occupancy probes into ONE aggregation, so
+    construction runs one statistics job instead of up to three — ADVICE
+    r6 measured these probes as real per-invocation cost).  When the cap
+    binds, pilots are selected with the salted two-phase k-min (local
+    k-min per (bucket, salt) → global k-min per bucket over ≤
+    KNN_SALT·KNN_PILOT rows), never a single-task whole-bucket sort."""
     sizes = v.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_in_bucket"))
-    max_bucket = sizes.agg(F.max("n_in_bucket")).collect()[0][0] or 0
+    if max_bucket is None:
+        max_bucket = sizes.agg(F.max("n_in_bucket")).collect()[0][0] or 0
     if max_bucket <= KNN_BUCKET_CAP:
         return v
     vs = v.join(F.broadcast(sizes), "bucket")
@@ -383,12 +388,12 @@ def _value_groups(v: DataFrame) -> DataFrame:
     return stats.join(ids, "v")
 
 
-def _member_level_knn(v: DataFrame) -> DataFrame:
+def _member_level_knn(v: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """The direct salted bucket join (r5 form): exact when the corpus has
     no exact-duplicate vectors — then the value collapse is the identity
     and this plan skips its machinery. `_nbr_candidates` still bounds
     bucket occupancy (= distinct occupancy here)."""
-    nbrs = _nbr_candidates(v)
+    nbrs = _nbr_candidates(v, max_bucket)
     a = v.select(
         F.col("vec_id").alias("src_id"),
         F.col("v").alias("sv"),
@@ -474,18 +479,32 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).withColumn(
         "bucket", lsh_bucket(F.col("v"), _PLANES)
     )
-    # cheap duplicate probe (AQE-style eager statistic, same device as
-    # _nbr_candidates' cap probe): count distinct value HASHES vs members.
-    # Equality proves the corpus duplicate-free (a hash collision can only
-    # undercount distinct values, which falls back to the heavy-but-exact
-    # collapse path — never the reverse), so the value collapse is the
-    # identity and the direct member-level plan is the same result.
-    stats = v.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(F.md5(F.col("v").cast("string"))).alias("d"),
-    ).collect()[0]
+    # cheap duplicate probe (AQE-style eager statistic): count distinct
+    # VALUES vs members (exact distinct on the vector itself — no hash,
+    # so the cap decision below cannot be fooled by a collision).
+    # Equality proves the corpus duplicate-free, so the value collapse is
+    # the identity and the direct member-level plan is the same result.
+    # r7 (ADVICE r6 #3): ONE per-bucket aggregation yields the duplicate
+    # stats AND both occupancy maxima (identical values share a bucket,
+    # so per-bucket distincts partition the distinct set), collapsing
+    # construction's up-to-three probe jobs into one; _nbr_candidates
+    # then skips its own probe on both paths.
+    stats = (
+        v.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.countDistinct(F.col("v")).alias("db"),
+        )
+        .agg(
+            F.sum("nb").alias("n"),
+            F.sum("db").alias("d"),
+            F.max("nb").alias("max_members"),
+            F.max("db").alias("max_distinct"),
+        )
+        .collect()[0]
+    )
     if stats.d == stats.n:
-        return _member_level_knn(v)
+        return _member_level_knn(v, max_bucket=stats.max_members)
     # the group frame feeds five consumers (cap probe, both join sides,
     # self-candidates, expansion ids, member mapping) — persist it, or
     # each consumer re-runs the collapse (scan + shuffle + window); the
@@ -495,7 +514,7 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = groups.select(
         F.col("rep_id").alias("vec_id"), "v", "nrm", "bucket"
     )
-    nbr_groups = _nbr_candidates(reps)
+    nbr_groups = _nbr_candidates(reps, max_bucket=stats.max_distinct)
     a = groups.select(
         F.col("rep_id").alias("ga"),
         F.col("v").alias("av"),

@@ -62,13 +62,15 @@ DEFERRED_TO_R7 = [
     "train_quality_resample",
 ]
 
-#: New in round 7: DCT perceptual-hash image dedup (VERDICT r6 #3) and
-#: its audio sibling (spectral-fingerprint dedup, completing the
-#: per-modality near-dup matrix) — never driver-checked, enter the
-#: window immediately.
+#: New in round 7: DCT perceptual-hash image dedup (VERDICT r6 #3), its
+#: audio sibling (spectral-fingerprint dedup, completing the per-modality
+#: near-dup matrix), and the cross-modality dedup report composite that
+#: re-verifies all four decision pipelines through one hash — never
+#: driver-checked, enter the window immediately.
 NEW_IN_R7 = [
     "dedup_image_phash",
     "dedup_audio_fingerprint",
+    "pipeline_modality_dedup_report",
 ]
 
 #: Contracts round 7 modifies that already carry driver rows — the change
@@ -85,10 +87,10 @@ MODIFIED_IN_R7 = [
 ]
 
 #: The round-7 driver correctness window (VERDICT r6 #1): the 2 deferred
-#: r6 contracts + 2 new + 3 modified lead; then every contract still on a
+#: r6 contracts + 3 new + 3 modified lead; then every contract still on a
 #: round-3 driver row (21 — window_*, stream_* ×4, train_* ×4,
 #: iter_kmeans_lite, agg_min_max_by, agg_stats, agg_percentile); the
-#: remaining 22 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
+#: remaining 21 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
 #: order. After this window lands green, no live contract is unchecked
 #: and none is older than round 4.
 _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
@@ -136,7 +138,6 @@ _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     "dedup_blocked_jaccard",
     "events_retention_cohorts",
     "train_bpe_pair_counts",
-    "dedup_shingle_containment",
 ]
 
 

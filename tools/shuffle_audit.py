@@ -66,6 +66,10 @@ HEADLINE = [
     "sim_knn_join",
     "sim_dedup_decisions",
     "time_ohlc_bars",
+    # r7: per-modality near-dup (decode-once + single band join pinned
+    # by the plan audit; shuffle volume is the distinct-hash frame)
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
 ]
 
 
