@@ -671,6 +671,9 @@ def embedding_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse even with zero duplicates, 2.97 s vs 2.34 s.)
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # persisted (r7): three consumers (group collapse, rep selection, the
+    # final member mapping) otherwise each re-scan the corpus and re-hash
+    # every vector — 3× I/O + 3× md5 at 100 TB for one narrow projection
     mem = (
         fan_out(emb)
         .select(
@@ -679,6 +682,7 @@ def embedding_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double("embedding").alias("v"),
         )
         .withColumn("gsig", F.md5(F.col("v").cast("string")))
+        .persist()
     )
     groups = mem.groupBy("gsig").agg(
         F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("m")
