@@ -86,6 +86,7 @@ def main() -> None:
     r7_added = [
         "dedup_image_phash",
         "dedup_audio_fingerprint",
+        "dedup_video_fingerprint",
         "pipeline_modality_dedup_report",
     ]
     headline = core22 + r6_added + r7_added

@@ -434,23 +434,41 @@ def phash64(img) -> int:
 def _hash_neardup_decisions(
     hashed: DataFrame, id_col: str, hash_col: str, hamming_max: int
 ) -> DataFrame:
-    """Shared near-dup decision algebra over any 63-bit perceptual hash —
-    the modality-independent half of image/audio dedup (the
-    ``sim_dedup_decisions`` group algebra applied to hash space):
+    """Single-hash view of `_sig_neardup_decisions` (images, audio)."""
+    return _sig_neardup_decisions(hashed, id_col, [hash_col], hamming_max)
 
-    1. value collapse: one row per DISTINCT hash (rep = min id, m =
-       multiplicity) — pair volume is bounded by distinct-hash density
-       and invariant under duplication (a million re-crawls of one asset
-       add zero pairs);
-    2. 4×16-bit hash bands → equi-join candidates (never all pairs);
-    3. exact Hamming verification ≤ ``hamming_max``;
+
+def _sig_neardup_decisions(
+    hashed: DataFrame, id_col: str, hash_cols: list[str], hamming_max: int
+) -> DataFrame:
+    """Shared near-dup decision algebra over any SIGNATURE of 63-bit
+    perceptual hashes — one hash for images/audio, a temporally-ordered
+    sequence of sampled-frame hashes for video — the modality-independent
+    half of perceptual dedup (the ``sim_dedup_decisions`` group algebra
+    applied to hash space). Similarity = per-component Hamming distance
+    ≤ ``hamming_max`` for EVERY component (max-criterion); with one
+    component this is exactly the classic single-hash relation, and with
+    frame components it is aligned-sequence similarity (a reversed clip
+    is NOT a near-dup of its source — pinned by the video fixture's
+    temporal decoy):
+
+    1. value collapse: one row per DISTINCT signature (rep = min id, m =
+       multiplicity) — pair volume is bounded by distinct-signature
+       density and invariant under duplication (a million re-crawls of
+       one asset add zero pairs);
+    2. 4×16-bit bands PER COMPONENT → equi-join candidates (never all
+       pairs); recall is per-component: two signatures within the
+       threshold have ≤ ``hamming_max`` flipped bits in EVERY component,
+       so every component independently offers a clean-band chance;
+    3. exact per-component Hamming verification, max ≤ ``hamming_max``;
     4. exact member-level reconstruction: n_partners = (m−1) +
        Σ similar-group m'; keep ⇔ the member is its group's rep AND no
        similar group has a smaller rep.
 
-    Output: (id, hash, n_partners BIGINT, keep BOOLEAN) for every input
-    row.  The per-modality contracts pair this with brute member-level
-    DuckDB oracles, proving the collapse semantics-preserving.
+    Output: (id, *hash_cols, n_partners BIGINT, keep BOOLEAN) for every
+    input row.  The per-modality contracts pair this with brute
+    member-level DuckDB oracles, proving the collapse semantics-
+    preserving.
 
     Plan shape (r7 audit): the hash frame is persisted — it feeds the
     group aggregation AND the final member mapping, and without the cache
@@ -461,30 +479,44 @@ def _hash_neardup_decisions(
     two-select union — a union re-executes the band join per branch."""
     hashed = hashed.persist()
     groups = (
-        hashed.groupBy(hash_col)
+        hashed.groupBy(*hash_cols)
         .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("m"))
         .persist()
     )
-    bands = groups.select(hash_col, "rep_id", "m").withColumn(
-        "band", F.explode(F.array(*[F.lit(b) for b in range(PHASH_BANDS)]))
-    ).withColumn(
-        # shiftright's python signature wants a literal bit count, so the
-        # per-band shift goes through expr()
-        "key", F.expr(f"shiftright({hash_col}, 16 * band)").bitwiseAND(0xFFFF)
-    )
+    # one (band, key) stream per signature component: band ids are
+    # 4·component + 0..3 so components never cross-match
+    bands = groups.select(*hash_cols, "rep_id", "m").withColumn(
+        "bk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(PHASH_BANDS * f + b).alias("band"),
+                        # shiftright's python signature wants a literal bit
+                        # count, so the per-band shift goes through expr()
+                        F.expr(f"shiftright({hc}, {16 * b})")
+                        .bitwiseAND(0xFFFF)
+                        .alias("key"),
+                    )
+                    for f, hc in enumerate(hash_cols)
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ),
+    ).select(*hash_cols, "rep_id", "m", "bk.band", "bk.key")
     a = bands.select(
         F.col("band").alias("band_a"),
         F.col("key").alias("key_a"),
-        F.col(hash_col).alias("ph_a"),
         F.col("rep_id").alias("rep_a"),
         F.col("m").alias("m_a"),
+        *[F.col(hc).alias(f"{hc}__a") for hc in hash_cols],
     )
     b = bands.select(
         F.col("band").alias("band_b"),
         F.col("key").alias("key_b"),
-        F.col(hash_col).alias("ph_b"),
         F.col("rep_id").alias("rep_b"),
         F.col("m").alias("m_b"),
+        *[F.col(hc).alias(f"{hc}__b") for hc in hash_cols],
     )
     pairs = (
         a.join(
@@ -493,12 +525,22 @@ def _hash_neardup_decisions(
             & (F.col("key_a") == F.col("key_b"))
             & (F.col("rep_a") < F.col("rep_b")),
         )
-        .select("ph_a", "rep_a", "m_a", "ph_b", "rep_b", "m_b")
-        .distinct()  # a close pair can share several bands
-        .filter(
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= hamming_max
+        .select(
+            "rep_a",
+            "m_a",
+            "rep_b",
+            "m_b",
+            *[f"{hc}__a" for hc in hash_cols],
+            *[f"{hc}__b" for hc in hash_cols],
         )
+        .distinct()  # a close pair can share several bands
     )
+    dists = [
+        F.bit_count(F.col(f"{hc}__a").bitwiseXOR(F.col(f"{hc}__b")))
+        for hc in hash_cols
+    ]
+    worst = dists[0] if len(dists) == 1 else F.greatest(*dists)
+    pairs = pairs.filter(worst <= hamming_max)
     sym = pairs.select(
         F.explode(
             F.array(
@@ -520,7 +562,7 @@ def _hash_neardup_decisions(
         F.min("partner_rep").alias("min_sim_rep"),
     )
     gdec = groups.join(gstats, "rep_id", "left").select(
-        hash_col,
+        *hash_cols,
         "rep_id",
         (F.col("m") - 1 + F.coalesce(F.col("cross_partners"), F.lit(0))).alias(
             "n_partners"
@@ -530,10 +572,10 @@ def _hash_neardup_decisions(
         ),
     )
     return (
-        hashed.join(gdec, hash_col)
+        hashed.join(gdec, hash_cols)
         .select(
             id_col,
-            hash_col,
+            *hash_cols,
             F.col("n_partners").cast("bigint").alias("n_partners"),
             (
                 (F.col(id_col) == F.col("rep_id"))
@@ -708,6 +750,114 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hash_neardup_decisions(hashed, "clip_id", "fp", AUDIO_FP_HAMMING)
 
 
+VID_DEDUP_FIXTURE = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+    "video_dedup.parquet",
+)
+
+#: Pinned geometry of the video-dedup fixture (tools/
+#: make_video_dedup_fixture.py asserts at build): "RV01\n64 64 8\n" header
+#: (13 bytes) + 8 raw 64×64 RGB frames, frame-major. Frame side equals
+#: IMG_DEDUP_SIDE so the per-frame pHash pipeline (and its oracle SQL
+#: helpers) is reused verbatim.
+VID_DEDUP_HEADER = 13
+VID_FRAMES = 8
+VID_FRAME_BYTES = IMG_DEDUP_SIDE * IMG_DEDUP_SIDE * 3
+#: Temporal sampling: every second frame — 4 sampled frames per clip, a
+#: fixed fraction like a production keyframe sampler (sampling cost and
+#: signature width stay constant per second of video, not per encode).
+VID_SAMPLE_STRIDE = 2
+VID_SAMPLED = VID_FRAMES // VID_SAMPLE_STRIDE
+#: Near-dup criterion: EVERY aligned sampled frame within PHASH_HAMMING
+#: bits (max-criterion) — re-encode/brightness/noise variants perturb all
+#: frames a little; a different clip (or the same frames re-ordered)
+#: diverges on at least one alignment slot.
+VID_FRAME_HAMMING = PHASH_HAMMING
+
+
+def decode_video(payload: bytes):
+    """Decode the RV01 raw-frame container to (n_frames, H, W, 3) uint8.
+
+    Format (defined by tools/make_video_dedup_fixture.py): ASCII header
+    ``RV01\\n<w> <h> <nframes>\\n`` + nframes raw 24-bit RGB rasters.
+    Real codecs (H.264 etc.) need libraries absent in this container —
+    the raw-frame path keeps every byte oracle-checkable while the Spark
+    plumbing (binary column, Arrow batches, per-frame kernels) is the
+    real thing."""
+    import numpy as np
+
+    if payload[:5] != b"RV01\n":
+        raise NotImplementedError(
+            "only the RV01 raw-frame container is supported without a "
+            "video library (H.264/VP9/AV1 need PyAV/ffmpeg, absent here)"
+        )
+    nl = payload.index(b"\n", 5)
+    w, h, n = (int(t) for t in payload[5:nl].split())
+    data = np.frombuffer(payload, np.uint8, count=n * h * w * 3, offset=nl + 1)
+    return data.reshape(n, h, w, 3)
+
+
+def video_phash_sig(payload: bytes) -> list[int]:
+    """Per-clip perceptual signature: pHash of each stride-sampled frame,
+    in temporal order. The signature is a SEQUENCE, not a bag — aligned
+    comparison is what makes a reversed clip distinct from its source."""
+    frames = decode_video(payload)
+    return [
+        phash64(frames[i]) for i in range(0, VID_FRAMES, VID_SAMPLE_STRIDE)
+    ]
+
+
+def video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-frame perceptual near-duplicate dedup across the video
+    modality — the fifth and final modality of the near-dup matrix (text
+    MinHash / embedding sign-LSH / image pHash / audio fingerprint /
+    THIS), over the committed near-dup fixture (fixtures/
+    video_dedup.parquet: animated clips plus per-frame noise / brightness
+    / requantization variants, exact copies, and a reversed-order
+    temporal decoy; generator in tools/make_video_dedup_fixture.py).
+
+    One Arrow-batched mapInPandas pass decodes each clip and hashes its
+    4 stride-sampled frames (the image pHash kernel per frame); then the
+    shared `_sig_neardup_decisions` algebra generalized to signatures:
+    distinct-signature value collapse → 4×16-bit bands per frame (16
+    banding keys) → exact per-frame Hamming, max ≤ VID_FRAME_HAMMING →
+    exact member-level reconstruction. The DuckDB oracle is the brute
+    member-level definition — per sampled frame, hex-substring the frame
+    raster at its pinned offset, nibble-decode, and re-run the image
+    oracle's integer luma / area-resize / DCT / median-bit pipeline, then
+    aligned max-Hamming pairs — proving both the collapse and the
+    signature banding semantics-preserving. Output per clip: (vid_id,
+    ph0..ph3, n_partners, keep) — integer/boolean only.
+
+    At 100 TB: decode+hash is embarrassingly parallel and touches each
+    payload byte once; pair work runs over DISTINCT signatures (re-crawled
+    copies of one asset add zero pairs) with banded candidates — the
+    scale analysis of `_sig_neardup_decisions` applies with 4× the band
+    streams of the single-hash modalities."""
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    vids = fan_out(spark.read.parquet(VID_DEDUP_FIXTURE))
+    cols = [f"ph{i}" for i in range(VID_SAMPLED)]
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = pdf["payload"].map(video_phash_sig)
+            out = {"vid_id": pdf["vid_id"]}
+            for i, c in enumerate(cols):
+                out[c] = sigs.map(lambda s, i=i: s[i])
+            yield pd.DataFrame(out)
+
+    hashed = vids.select("vid_id", "payload").mapInPandas(
+        hash_batch,
+        "vid_id bigint, " + ", ".join(f"{c} bigint" for c in cols),
+    )
+    return _sig_neardup_decisions(hashed, "vid_id", cols, VID_FRAME_HAMMING)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_feature_extract": feature_extract,
     "mm_binary_metadata": binary_metadata,
@@ -717,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_audio_decode": audio_decode,
     "dedup_image_phash": image_phash_dedup,
     "dedup_audio_fingerprint": audio_fingerprint_dedup,
+    "dedup_video_fingerprint": video_fingerprint_dedup,
 }
 
 def _hexbyte(k: str) -> str:
@@ -1042,4 +1193,120 @@ ORACLE_SQL["dedup_audio_fingerprint"] = f"""
     FROM fp h
     LEFT JOIN partners p USING (clip_id)
     LEFT JOIN losers l USING (clip_id)
+"""
+
+# Brute MEMBER-LEVEL re-derivation of the video signature from the payload
+# bytes: per sampled frame, substring the frame's raster out of the hex
+# (offset = header + frame_bytes · source_frame, all pinned constants),
+# nibble-decode, and re-run the image oracle's integer luma / 2×2 area
+# resize / DCT / median-bit pipeline keyed by (vid_id, fidx); candidates
+# from 4×16-bit bands per frame, verified by ALIGNED per-frame Hamming
+# with a MAX ≤ VID_FRAME_HAMMING criterion — no value collapse, no group
+# algebra, proving the Spark side's signature collapse and per-component
+# banding semantics-preserving.
+ORACLE_SQL["dedup_video_fingerprint"] = f"""
+    WITH raw AS (
+      SELECT vid_id, lower(hex(payload)) AS hx
+      FROM read_parquet('{VID_DEDUP_FIXTURE}')
+    ),
+    -- one row per (clip, sampled frame): slice the frame's raster out of
+    -- the hex FIRST (the nibble lambda over a full-clip varchar would
+    -- re-capture ~600 KB per element), then nibble-decode per frame
+    frames AS (
+      SELECT vid_id, t.fidx,
+             list_transform(
+               regexp_split_to_array(
+                 hx[2*({VID_DEDUP_HEADER}
+                        + {VID_FRAME_BYTES}*({VID_SAMPLE_STRIDE}*t.fidx))+1
+                    : 2*({VID_DEDUP_HEADER}
+                         + {VID_FRAME_BYTES}*({VID_SAMPLE_STRIDE}*t.fidx
+                                              + 1))],
+                 ''),
+               c -> strpos('0123456789abcdef', c) - 1) AS nib
+      FROM raw, range({VID_SAMPLED}) t(fidx)
+    ),
+    bytes AS (
+      SELECT vid_id, fidx,
+             list_transform(range({VID_FRAME_BYTES}), j ->
+               nib[2*j+1] * 16 + nib[2*j+2]) AS bs
+      FROM frames
+    ),
+    cmat AS (SELECT {_phash_dct_literal()} AS cm),
+    -- from here the per-frame pipeline is the image oracle's, keyed by
+    -- (vid_id, fidx): pv column-major 32×32 integer area sums, two DCT
+    -- stages as contiguous-slice list_dot_products, lower-median bits
+    pmat AS (
+      SELECT vid_id, fidx,
+             list_transform(range({PHASH_RESIZED * PHASH_RESIZED}), j -> CAST(
+               {_phash_pv_term(0, 0)} + {_phash_pv_term(1, 0)}
+               + {_phash_pv_term(0, 1)} + {_phash_pv_term(1, 1)} AS DOUBLE)) AS pv
+      FROM bytes
+    ),
+    rowdct AS (
+      SELECT vid_id, fidx,
+             list_transform(range({PHASH_BLOCK * PHASH_RESIZED}), i ->
+        list_dot_product(
+          cm[(i//{PHASH_RESIZED})+1],
+          pv[{PHASH_RESIZED}*(i%{PHASH_RESIZED})+1
+             : {PHASH_RESIZED}*(i%{PHASH_RESIZED})+{PHASH_RESIZED}])) AS rd
+      FROM pmat, cmat
+    ),
+    blockc AS (
+      SELECT vid_id, fidx,
+             list_transform(range({PHASH_BLOCK * PHASH_BLOCK}), i ->
+        list_dot_product(
+          cm[(i%{PHASH_BLOCK})+1],
+          rd[{PHASH_RESIZED}*(i//{PHASH_BLOCK})+1
+             : {PHASH_RESIZED}*(i//{PHASH_BLOCK})+{PHASH_RESIZED}])) AS hc
+      FROM rowdct, cmat
+    ),
+    med AS (
+      SELECT vid_id, fidx, hc[2:{PHASH_BLOCK * PHASH_BLOCK}] AS ac,
+             list_sort(hc[2:{PHASH_BLOCK * PHASH_BLOCK}])[32] AS m
+      FROM blockc
+    ),
+    hsh AS (
+      SELECT vid_id, fidx, CAST(list_sum(list_transform(range(63), i ->
+         CASE WHEN ac[i+1] > m THEN (CAST(1 AS BIGINT) << i)
+              ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      FROM med
+    ),
+    sig AS (
+      SELECT vid_id,
+             MAX(CASE WHEN fidx = 0 THEN phash END) AS ph0,
+             MAX(CASE WHEN fidx = 1 THEN phash END) AS ph1,
+             MAX(CASE WHEN fidx = 2 THEN phash END) AS ph2,
+             MAX(CASE WHEN fidx = 3 THEN phash END) AS ph3
+      FROM hsh GROUP BY vid_id
+    ),
+    bands AS (
+      SELECT vid_id, {PHASH_BANDS}*fidx + t.band AS band,
+             (phash >> (16*t.band)) & 65535 AS key
+      FROM hsh, range({PHASH_BANDS}) t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vid_id AS ia, b.vid_id AS ib
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.vid_id < b.vid_id
+    ),
+    pairs AS (
+      SELECT c.ia, c.ib
+      FROM cand c
+      JOIN hsh a ON a.vid_id = c.ia
+      JOIN hsh b ON b.vid_id = c.ib AND b.fidx = a.fidx
+      GROUP BY c.ia, c.ib
+      HAVING MAX(bit_count(xor(a.phash, b.phash))) <= {VID_FRAME_HAMMING}
+    ),
+    partners AS (
+      SELECT vid_id, COUNT(*) AS n FROM (
+        SELECT ia AS vid_id FROM pairs UNION ALL SELECT ib FROM pairs
+      ) GROUP BY vid_id
+    ),
+    losers AS (SELECT DISTINCT ib AS vid_id FROM pairs)
+    SELECT s.vid_id, s.ph0, s.ph1, s.ph2, s.ph3,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_partners,
+           (l.vid_id IS NULL) AS keep
+    FROM sig s
+    LEFT JOIN partners p USING (vid_id)
+    LEFT JOIN losers l USING (vid_id)
 """

@@ -297,16 +297,17 @@ def modality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication mass lives before committing to a re-crawl or a filter
     change: text via MinHash-LSH decisions, embeddings via sign-LSH
     cosine decisions, images via DCT pHash, audio via spectral
-    fingerprints — four independently-oracled decision pipelines, each
+    fingerprints, video via sampled-frame pHash signatures — five
+    independently-oracled decision pipelines, each
     already bounded for 100 TB by its own operator's design (value
     collapse / salted buckets / overflow clusters), reduced here to one
-    map-side-combinable aggregate each and a 4-row union. No new scale
+    map-side-combinable aggregate each and a 5-row union. No new scale
     surface: the report adds one tiny aggregation per modality on top of
     machinery the per-modality contracts already pin.
 
     All-integer output (modality, n_assets, n_kept, n_dropped); the
-    DuckDB oracle is the union of the four member-level decision oracles
-    aggregated the same way — so this contract re-verifies all four
+    DuckDB oracle is the union of the five member-level decision oracles
+    aggregated the same way — so this contract re-verifies all five
     pipelines end-to-end through one hash."""
     from parquet_near_storage_compute_spark.operators.dedup import (
         minhash_dedup_decisions,
@@ -314,17 +315,24 @@ def modality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_near_storage_compute_spark.operators.multimodal import (
         audio_fingerprint_dedup,
         image_phash_dedup,
+        video_fingerprint_dedup,
     )
     from parquet_near_storage_compute_spark.operators.similarity import (
         embedding_dedup_decisions,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # single-scan discipline (test_pipeline_single_scan): the text branch
+    # consumes the corpus twice (signature subtree + member mapping), so
+    # the narrow projection is persisted like every other composite's
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).persist()
     parts = [
         ("text", minhash_dedup_decisions(docs)),
         ("embedding", embedding_dedup_decisions(spark, sf_dir)),
         ("image", image_phash_dedup(spark, sf_dir)),
         ("audio", audio_fingerprint_dedup(spark, sf_dir)),
+        ("video", video_fingerprint_dedup(spark, sf_dir)),
     ]
     out = None
     for name, df in parts:
@@ -531,10 +539,10 @@ ORACLE_SQL["pipeline_incremental_ingest"] = f"""
 """
 
 
-# Oracle for the cross-modality dedup report: the four member-level
+# Oracle for the cross-modality dedup report: the five member-level
 # decision oracles (imported verbatim, so a fix in any of them flows here
 # automatically) each reduced to one summary row and unioned — this
-# contract re-verifies all four decision pipelines through one hash.
+# contract re-verifies all five decision pipelines through one hash.
 from parquet_near_storage_compute_spark.operators import (  # noqa: E402
     dedup as _dd,
     multimodal as _mm,
@@ -559,5 +567,6 @@ ORACLE_SQL["pipeline_modality_dedup_report"] = " UNION ALL ".join(
         _modality_summary_sql("embedding", _sim.ORACLE_SQL["sim_dedup_decisions"]),
         _modality_summary_sql("image", _mm.ORACLE_SQL["dedup_image_phash"]),
         _modality_summary_sql("audio", _mm.ORACLE_SQL["dedup_audio_fingerprint"]),
+        _modality_summary_sql("video", _mm.ORACLE_SQL["dedup_video_fingerprint"]),
     ]
 )
