@@ -88,6 +88,7 @@ def main() -> None:
         "dedup_audio_fingerprint",
         "dedup_video_fingerprint",
         "pipeline_modality_dedup_report",
+        "sim_topk_sq8",
     ]
     headline = core22 + r6_added + r7_added
     queries = all_queries()

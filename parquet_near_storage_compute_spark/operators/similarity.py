@@ -176,6 +176,105 @@ def topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_codes(v: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the FAISS "SQ8 flat"
+    layout): scale = max|v_i|, code_i = floor(v_i·127/scale + 0.5) ∈
+    [−127, 127]. Everything downstream is integer algebra: code norms² are
+    exact longs, code dots are exact longs, and the approximate cosine
+    dot/√(n2a·n2b) is a double derived from integers only — so the DuckDB
+    oracle matches BIT-FOR-BIT, not merely to epsilon (the per-vector
+    scale cancels out of the cosine entirely). floor(x+0.5) is spelled on
+    both engines instead of round() to pin half-up semantics."""
+    return (
+        v.withColumn(
+            "scale",
+            F.aggregate(
+                "v",
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            ),
+        )
+        .withColumn(
+            "code",
+            F.expr(
+                "transform(v, x -> CASE WHEN scale = 0.0D THEN 0 "
+                "ELSE CAST(floor(x * 127.0D / scale + 0.5D) AS INT) END)"
+            ),
+        )
+        .withColumn(
+            "n2",
+            F.expr(
+                "aggregate(code, 0L, (acc, x) -> acc + CAST(x AS BIGINT) * x)"
+            ),
+        )
+        .select("vec_id", "code", "n2")
+    )
+
+
+def topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via int8 scalar quantization (SQ8 flat scan) — the memory-
+    bandwidth scale path, complementing the blocking scale paths (LSH
+    buckets, IVF lists): at 100 TB of float32 embeddings the SQ8 code
+    table is 4× smaller, the scan is integer SIMD, and the quantization
+    pass is a one-off narrow map (here inlined; a production pipeline
+    materializes the code table once and scans it for every query batch).
+    Composable with IVF — quantize within lists — which is exactly the
+    FAISS IVF-SQ8 design this mirrors.
+
+    Scoring is exact integer work over the codes (see `_sq8_codes`), so
+    unlike every float ANN variant the DuckDB oracle matches bit-for-bit
+    — including rank ties, broken deterministically by (score desc,
+    cand_id). Recall vs exact float cosine is fixture-measured in
+    tests/test_sq8_topk.py (28/30 = 93% at sf0.001 — the misses are
+    neighbours whose exact-cosine gap is inside SQ8's ~1e-2 relative
+    quantization error, the standard SQ8 trade)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "v")
+    codes = _sq8_codes(v)
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code").alias("qc"),
+        F.col("n2").alias("qn2"),
+    )
+    c = codes.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("code").alias("cc"),
+        F.col("n2").alias("cn2"),
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qc, cc, (a, b) -> CAST(a AS BIGINT) * b), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.when(
+                (F.col("qn2") == 0) | (F.col("cn2") == 0), F.lit(-2.0)
+            )
+            .otherwise(
+                idot.cast("double")
+                / F.sqrt(
+                    F.col("qn2").cast("double") * F.col("cn2").cast("double")
+                )
+            )
+            .alias("cos_sq8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sq8").desc(), "cand_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cos_sq8", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
 def _label_centroids(emb: DataFrame) -> DataFrame:
     """label → element-wise mean vector (the IVF coarse codebook; here the
     labels seed the cells — production would k-means iterate the same op)."""
@@ -757,6 +856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_numpy": topk_numpy,
     "sim_topk_lsh": topk_lsh,
     "sim_topk_ivf": topk_ivf,
+    "sim_topk_sq8": topk_sq8,
     "sim_lsh_bucket_histogram": bucket_histogram,
     "sim_label_centroid": label_centroid_cosine,
     "sim_knn_join": knn_join,
@@ -900,6 +1000,47 @@ ORACLE_SQL: dict[str, str] = {
                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                     ORDER BY {_COS} DESC, b.vec_id) AS rk
           FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    """,
+    # int8 scalar-quantized top-k: the identical quantization law (scale =
+    # max|v_i|, code = floor(v·127/scale + 0.5)) then PURE INTEGER scoring
+    # — code dots and norms² are exact integers < 2^53, so every engine
+    # computes the identical doubles and the compare is bit-for-bit, rank
+    # ties included (broken by cand_id on both sides).
+    "sim_topk_sq8": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sc AS (
+          SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+          FROM v
+        ),
+        codes AS (
+          SELECT vec_id,
+                 list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+                     ELSE CAST(floor(x * 127.0 / scale + 0.5) AS INT) END)
+                   AS code
+          FROM sc
+        ),
+        n AS (
+          SELECT vec_id, code,
+                 CAST(list_sum(list_transform(code,
+                      x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS n2
+          FROM codes
+        )
+        SELECT query_id, cand_id, cos_sq8, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN -2.0
+                      ELSE list_dot_product(a.code::DOUBLE[], b.code::DOUBLE[])
+                           / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                 END AS cos_sq8,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN -2.0
+                      ELSE list_dot_product(a.code::DOUBLE[], b.code::DOUBLE[])
+                           / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                   END DESC, b.vec_id) AS rk
+          FROM n a JOIN n b ON b.vec_id != a.vec_id
           WHERE a.vec_id < {N_QUERIES}
         ) WHERE rk <= {TOP_K}
     """,

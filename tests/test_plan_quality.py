@@ -27,6 +27,9 @@ BNLJ_WHITELIST = {
     # the hash projection and an equi-join for the exact baseline)
     "sketch_kmv_overlap",
     "sim_topk_bruteforce",
+    # SQ8 flat scan: same deliberate shape as sim_topk_bruteforce — the
+    # N_QUERIES-row code frame broadcasts against the candidate scan
+    "sim_topk_sq8",
     "snowset_selectivity_distribution_sql",
     # IVF / k-means cell assignment: deliberate cross join vs the ~k-row
     # broadcast codebook (narrow pass; candidate search is an equi-join)
