@@ -89,6 +89,7 @@ def main() -> None:
         "dedup_video_fingerprint",
         "pipeline_modality_dedup_report",
         "sim_topk_sq8",
+        "sim_topk_ivf_sq8",
     ]
     headline = core22 + r6_added + r7_added
     queries = all_queries()

@@ -347,6 +347,89 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 ANN (FAISS IVFScalarQuantizer with by_residual=false): the
+    two scale levers composed — the inverted-file layout bounds WHAT is
+    scanned (the query's coarse cell, 1/k of the data, cells = partition
+    key at 100 TB), the SQ8 codes bound the BANDWIDTH of scanning it (4×
+    smaller rows, integer SIMD). Assignment is `sim_topk_ivf`'s exact
+    coarse step (broadcast label-centroid codebook, one narrow pass);
+    scoring within the cell is `sim_topk_sq8`'s exact integer algebra, so
+    the in-cell ranking — ties included — is still bit-deterministic
+    across engines and partitionings. by_residual=false (codes quantize
+    the raw vectors, not centroid residuals) is what keeps scoring
+    integer-exact; residual coding would trade that for recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb)
+    v = fan_out(emb).select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    scored_cells = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cell",
+        (
+            dot(F.col("v"), F.col("centroid"))
+            / (F.col("nrm") * norm(F.col("centroid")))
+        ).alias("cell_cos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
+    assigned = (
+        scored_cells.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    codes = _sq8_codes(assigned.select("vec_id", "v")).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code").alias("qc"),
+        F.col("n2").alias("qn2"),
+        F.col("cell").alias("qcell"),
+    )
+    c = codes.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("code").alias("cc"),
+        F.col("n2").alias("cn2"),
+        F.col("cell").alias("ccell"),
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qc, cc, (a, b) -> CAST(a AS BIGINT) * b), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("qcell") == F.col("ccell"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.when((F.col("qn2") == 0) | (F.col("cn2") == 0), F.lit(-2.0))
+            .otherwise(
+                idot.cast("double")
+                / F.sqrt(
+                    F.col("qn2").cast("double") * F.col("cn2").cast("double")
+                )
+            )
+            .alias("cos_sq8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sq8").desc(), "cand_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cos_sq8", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
 def bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket occupancy — the tuning observable for plane count (skew in
     this histogram = skew in the ANN join). Buckets with n_vectors >
@@ -857,6 +940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_lsh": topk_lsh,
     "sim_topk_ivf": topk_ivf,
     "sim_topk_sq8": topk_sq8,
+    "sim_topk_ivf_sq8": topk_ivf_sq8,
     "sim_lsh_bucket_histogram": bucket_histogram,
     "sim_label_centroid": label_centroid_cosine,
     "sim_knn_join": knn_join,
@@ -1041,6 +1125,66 @@ ORACLE_SQL: dict[str, str] = {
                            / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
                    END DESC, b.vec_id) AS rk
           FROM n a JOIN n b ON b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    """,
+    # IVF-SQ8: sim_topk_ivf's coarse assignment CTEs + sim_topk_sq8's
+    # integer scoring, joined on the cell — bit-exact like plain SQ8
+    "sim_topk_ivf_sq8": f"""
+        WITH pos AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings
+        ),
+        cent AS (SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+        cvec AS (
+          SELECT label AS cell, list(c ORDER BY pos) AS centroid
+          FROM cent GROUP BY label
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT v.vec_id, v.v, c.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.v, c.centroid)
+                              / (sqrt(list_dot_product(v.v, v.v))
+                                 * sqrt(list_dot_product(c.centroid, c.centroid)))
+                              DESC, c.cell) AS crk
+            FROM v CROSS JOIN cvec c
+          ) WHERE crk = 1
+        ),
+        sc AS (
+          SELECT vec_id, v, cell,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+          FROM assigned
+        ),
+        codes AS (
+          SELECT vec_id, cell,
+                 list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+                     ELSE CAST(floor(x * 127.0 / scale + 0.5) AS INT) END)
+                   AS code
+          FROM sc
+        ),
+        n AS (
+          SELECT vec_id, cell, code,
+                 CAST(list_sum(list_transform(code,
+                      x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS n2
+          FROM codes
+        )
+        SELECT query_id, cand_id, cos_sq8, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN -2.0
+                      ELSE list_dot_product(a.code::DOUBLE[], b.code::DOUBLE[])
+                           / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                 END AS cos_sq8,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN -2.0
+                      ELSE list_dot_product(a.code::DOUBLE[], b.code::DOUBLE[])
+                           / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                   END DESC, b.vec_id) AS rk
+          FROM n a JOIN n b ON a.cell = b.cell AND b.vec_id != a.vec_id
           WHERE a.vec_id < {N_QUERIES}
         ) WHERE rk <= {TOP_K}
     """,

@@ -13,11 +13,12 @@ the new-in-r3/r4 contracts plus the oldest r2 fill; round 5 the r2-only
 stragglers plus everything r5 modified; round 6 the 22 never-checked
 r5-third-session contracts + 3 modified + the 25 oldest r3 rows — all 50/50
 green, leaving 161 of 163 contracts driver-confirmed. Round 7's window
-(VERDICT r6 #1): the 2 deferred r6 contracts + 5 new + 3 modified lead,
+(VERDICT r6 #1): the 2 deferred r6 contracts + 6 new + 3 modified lead,
 then the 21 remaining r3-row contracts, then the oldest r4 rows as fill.
 After this window lands green, no live contract is unchecked and only
-two driver rows (events_retention_cohorts, train_bpe_pair_counts —
-bumped by the window's fixed 50 slots) are staler than round 5.
+three driver rows (dedup_blocked_jaccard, events_retention_cohorts,
+train_bpe_pair_counts — bumped by the window's fixed 50 slots) are
+staler than round 5.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -70,13 +71,15 @@ DEFERRED_TO_R7 = [
 #: near-dup matrix), the cross-modality dedup report composite that
 #: re-verifies all five decision pipelines through one hash, and the int8
 #: scalar-quantized top-k (SQ8 flat scan — integer scoring, bit-exact
-#: oracle) — never driver-checked, enter the window immediately.
+#: oracle) plus its IVF composition — never driver-checked, enter the
+#: window immediately.
 NEW_IN_R7 = [
     "dedup_image_phash",
     "dedup_audio_fingerprint",
     "dedup_video_fingerprint",
     "pipeline_modality_dedup_report",
     "sim_topk_sq8",
+    "sim_topk_ivf_sq8",
 ]
 
 #: Contracts round 7 modifies that already carry driver rows — the change
@@ -93,14 +96,15 @@ MODIFIED_IN_R7 = [
 ]
 
 #: The round-7 driver correctness window (VERDICT r6 #1): the 2 deferred
-#: r6 contracts + 5 new + 3 modified lead; then every contract still on a
+#: r6 contracts + 6 new + 3 modified lead; then every contract still on a
 #: round-3 driver row (21 — window_*, stream_* ×4, train_* ×4,
 #: iter_kmeans_lite, agg_min_max_by, agg_stats, agg_percentile); the
-#: remaining 19 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
+#: remaining 18 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
 #: order. After this window lands green, no live contract is unchecked
-#: and only two driver rows (events_retention_cohorts,
-#: train_bpe_pair_counts) are older than round 5 — they lost their slots
-#: to the two r7 session-2 contracts and lead the r8 rotation.
+#: and only three driver rows (dedup_blocked_jaccard,
+#: events_retention_cohorts, train_bpe_pair_counts) are older than round
+#: 5 — they lost their slots to the r7 session-2 contracts (never-checked
+#: beats stale-r4) and lead the r8 rotation.
 _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     # the 21 round-3-row contracts, alphabetical
     "agg_min_max_by",
@@ -143,7 +147,6 @@ _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     "dedup_ngram_jaccard",
     "mm_resize",
     "dedup_minhash_lsh",
-    "dedup_blocked_jaccard",
 ]
 
 

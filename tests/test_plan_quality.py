@@ -30,6 +30,8 @@ BNLJ_WHITELIST = {
     # SQ8 flat scan: same deliberate shape as sim_topk_bruteforce — the
     # N_QUERIES-row code frame broadcasts against the candidate scan
     "sim_topk_sq8",
+    # IVF-SQ8: the ~k-row centroid codebook cross join, as sim_topk_ivf
+    "sim_topk_ivf_sq8",
     "snowset_selectivity_distribution_sql",
     # IVF / k-means cell assignment: deliberate cross join vs the ~k-row
     # broadcast codebook (narrow pass; candidate search is an equi-join)

@@ -6,7 +6,7 @@ Spark-vs-DuckDB oracle harness as the registry sweep. Catches data-shape
 assumptions that 165 green contracts on one corpus can't.
 
 r6 ran 26 contracts × 2 seeds (and caught a real oracle bug on first
-contact); r7 (VERDICT r6 #5) widens to 75 shape-sensitive contracts × 3
+contact); r7 (VERDICT r6 #5) widens to 76 shape-sensitive contracts × 3
 seeds, adding the previously untouched families: windows, the join
 surface, snowset, sketches, table maintenance, and similarity over a
 duplicate-heavy random embedding corpus.
@@ -96,6 +96,7 @@ CONTRACTS = [
     # forces exact score TIES, so the deterministic (score desc, cand_id)
     # tie-break is exercised where the fixed corpus never ties
     "sim_topk_sq8",
+    "sim_topk_ivf_sq8",
     "dedup_embedding_lsh",
     "dedup_key",
     "dedup_minhash_lsh",

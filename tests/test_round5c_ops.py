@@ -427,17 +427,22 @@ def test_stream_upsert_runs_incrementally_and_matches_batch(spark, sf_dir):
     one-shot batch merge (relational_merge_upsert)."""
     from parquet_near_storage_compute_spark.streaming import stream_ops
 
+    state_root = os.path.join(stream_ops._SCRATCH, "upsert_state")
+    before = set(os.listdir(state_root)) if os.path.isdir(state_root) else set()
     out = stream_ops.upsert_foreachbatch(spark, sf_dir)
     batch = merge_upsert(spark, sf_dir)
     assert out.count() == batch.count()
     assert out.exceptAll(batch).count() == 0
 
-    state_root = os.path.join(stream_ops._SCRATCH, "upsert_state")
-    newest = max(
-        (os.path.join(state_root, d) for d in os.listdir(state_root)),
-        key=os.path.getmtime,
+    # THIS call's uuid dir, not newest-by-mtime — a concurrent process
+    # (e.g. a parallel oracle sweep) may be writing its own state dirs
+    new_dirs = set(os.listdir(state_root)) - before
+    assert len(new_dirs) == 1, new_dirs
+    gens = sorted(
+        d
+        for d in os.listdir(os.path.join(state_root, new_dirs.pop()))
+        if d.startswith("gen_")
     )
-    gens = sorted(d for d in os.listdir(newest) if d.startswith("gen_"))
     assert gens == ["gen_0", "gen_1", "gen_2", "gen_3"], gens
 
 

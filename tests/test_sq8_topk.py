@@ -112,3 +112,52 @@ def test_recall_vs_exact_cosine(spark, sf_dir):
     }
     assert len(approx) == len(exact)
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_ivf_sq8_contract_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    compare(
+        S.topk_ivf_sq8(spark, sf_dir), con, S.ORACLE_SQL["sim_topk_ivf_sq8"]
+    )
+
+
+def test_ivf_sq8_bit_identical_and_subsumed_by_cells(spark, sf_dir):
+    """IVF-SQ8 = SQ8 scoring restricted to the query's coarse cell: raw
+    doubles must match the oracle bit-for-bit, and every returned
+    candidate must share the query's cell assignment (the IVF claim)."""
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    srows = sorted(tuple(r) for r in S.topk_ivf_sq8(spark, sf_dir).collect())
+    drows = sorted(
+        tuple(r)
+        for r in con.execute(S.ORACLE_SQL["sim_topk_ivf_sq8"]).fetchall()
+    )
+    assert srows == drows
+    cells = dict(
+        con.execute(
+            """
+            WITH pos AS (
+              SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings
+            ),
+            cent AS (SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+            cvec AS (SELECT label AS cell, list(c ORDER BY pos) AS centroid
+                     FROM cent GROUP BY label),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, c.cell,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.v, c.centroid)
+                                / (sqrt(list_dot_product(v.v, v.v))
+                                   * sqrt(list_dot_product(c.centroid, c.centroid)))
+                                DESC, c.cell) AS crk
+              FROM v CROSS JOIN cvec c
+            ) WHERE crk = 1
+            """
+        ).fetchall()
+    )
+    for q, cand, _, _ in srows:
+        assert cells[q] == cells[cand], (q, cand)

@@ -244,6 +244,73 @@ def _timed(df) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 2), n
 
 
+def _modality_section(spark, out: dict, n_reps: int) -> dict:
+    """dedup_video_fingerprint (the signature representative of the shared
+    `_sig_neardup_decisions` algebra — image/audio are the 1-component
+    case): replicate the fixture's PAYLOADS n_reps× under distinct ids —
+    the exact re-crawl regime — and measure that distinct signatures,
+    group-level verified pairs, and the kept set stay CONSTANT while
+    output rows grow linearly. Pair work bounded by distinct-signature
+    density is the family's whole 100 TB claim."""
+    import pandas as pd
+
+    from parquet_near_storage_compute_spark.operators import multimodal as M
+
+    vids = spark.read.parquet(M.VID_DEDUP_FIXTURE).select("vid_id", "payload")
+    reps = None
+    for r in range(n_reps):
+        part = vids.select(
+            (F.col("vid_id") + F.lit(r * ID_STRIDE)).alias("vid_id"),
+            "payload",
+        )
+        reps = part if reps is None else reps.unionByName(part)
+    reps = reps.repartition(32)
+
+    cols = [f"ph{i}" for i in range(M.VID_SAMPLED)]
+
+    def hash_batch(batches):
+        for pdf in batches:
+            sigs = pdf["payload"].map(M.video_phash_sig)
+            o = {"vid_id": pdf["vid_id"]}
+            for i, c in enumerate(cols):
+                o[c] = sigs.map(lambda s, i=i: s[i])
+            yield pd.DataFrame(o)
+
+    hashed = reps.mapInPandas(
+        hash_batch, "vid_id bigint, " + ", ".join(f"{c} bigint" for c in cols)
+    )
+    dec = M._sig_neardup_decisions(hashed, "vid_id", cols, M.VID_FRAME_HAMMING)
+    sec, n_rows = _timed(dec)
+    n_kept = dec.filter("keep").count()
+    groups = hashed.groupBy(*cols).agg(F.min("vid_id").alias("rep_id"))
+    n_groups = groups.count()
+    # group-level verified pairs: with distinct-signature density this low
+    # the brute pair count IS the banded stage's upper bound (banding only
+    # removes pairs)
+    a = groups.select(*[F.col(c).alias(f"{c}_a") for c in cols], F.col("rep_id").alias("ra"))
+    b = groups.select(*[F.col(c).alias(f"{c}_b") for c in cols], F.col("rep_id").alias("rb"))
+    worst = F.greatest(
+        *[F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b"))) for c in cols]
+    )
+    n_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ra") < F.col("rb"))
+        .filter(worst <= M.VID_FRAME_HAMMING)
+        .count()
+    )
+    out["dedup_video_fingerprint"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "n_assets": 37 * n_reps,
+        "n_distinct_signatures": int(n_groups),
+        "group_level_verified_pairs": int(n_pairs),
+        "n_kept": int(n_kept),
+        "max_task_rows_hash_stage": _max_partition_rows(hashed),
+        "invariant": "signatures/pairs/kept constant in reps; rows linear",
+    }
+    return out
+
+
 def run(
     spark,
     sf_dir: str,
@@ -273,6 +340,10 @@ def run(
     if include_maintenance:
         _replicate_tabular(spark, sf_dir, big, n_reps)
         _maintenance_section(spark, big, out)
+
+    # modality dedup (r7): fixture-sized inputs, so run at every rung —
+    # the point is the replication-invariance of the signature collapse
+    _modality_section(spark, out, n_reps)
 
     # dedup_minhash_lsh: every doc now has REPS near-copies → buckets grow
     # REPS×; the cap must keep held ids ≤ SALT×(CAP+1) and route over-cap

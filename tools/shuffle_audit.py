@@ -70,6 +70,9 @@ HEADLINE = [
     # by the plan audit; shuffle volume is the distinct-hash frame)
     "dedup_image_phash",
     "dedup_audio_fingerprint",
+    "dedup_video_fingerprint",
+    "sim_topk_sq8",
+    "sim_topk_ivf_sq8",
 ]
 
 
