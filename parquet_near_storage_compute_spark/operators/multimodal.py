@@ -1024,8 +1024,11 @@ def _phash_pv_term(dy: int, dx: int) -> str:
 # same DCT (embedded literal matrix), the same median threshold / banding /
 # Hamming verification — but with no value collapse and no group algebra,
 # proving the Spark side's distinct-hash collapse semantics-preserving.
-ORACLE_SQL["dedup_image_phash"] = f"""
-    WITH
+# The image-hash CTE chain (hex → nibbles → bytes → luma area sums → DCT →
+# median bits), shared by the batch image-dedup oracle and the streaming
+# perceptual-ingest oracle (streaming/stream_ops.py) — ends in
+# ``hsh(img_id, phash)``.
+PHASH_HSH_CTES = f"""
     -- hex → nibble list FIRST (small-value lambdas; a lambda over the
     -- whole 24 KB hex varchar re-captures the string per element and is
     -- ~30× slower), then pair nibbles into bytes by position
@@ -1082,7 +1085,11 @@ ORACLE_SQL["dedup_image_phash"] = f"""
          CASE WHEN ac[i+1] > m THEN (CAST(1 AS BIGINT) << i)
               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
       FROM med
-    ),
+    )
+"""
+
+ORACLE_SQL["dedup_image_phash"] = f"""
+    WITH {PHASH_HSH_CTES},
     bands AS (
       SELECT img_id, phash, t.band, (phash >> (16*t.band)) & 65535 AS key
       FROM hsh, range({PHASH_BANDS}) t(band)

@@ -312,10 +312,13 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
+    # persisted (r7): both join sides consume the assignment — without the
+    # cache each side re-scans the corpus and re-runs the codebook pass
     assigned = (
         scored_cells.withColumn("crk", F.row_number().over(wc))
         .filter(F.col("crk") == 1)
         .select("vec_id", "v", "nrm", "cell")
+        .persist()
     )
 
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
@@ -379,8 +382,16 @@ def topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crk") == 1)
         .select("vec_id", "v", "cell")
     )
-    codes = _sq8_codes(assigned.select("vec_id", "v")).join(
-        assigned.select("vec_id", "cell"), "vec_id"
+    # persisted (r7): the code table feeds both join sides — without the
+    # cache each side re-scans the corpus and re-runs the centroid
+    # assignment + quantization (8 corpus scans in the executed plan);
+    # with it the corpus is read once for codes and once for centroids.
+    # At 100 TB this cache IS the materialized SQ8 code table a real
+    # deployment writes next to the embeddings.
+    codes = (
+        _sq8_codes(assigned.select("vec_id", "v"))
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+        .persist()
     )
     q = codes.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -13,12 +13,12 @@ the new-in-r3/r4 contracts plus the oldest r2 fill; round 5 the r2-only
 stragglers plus everything r5 modified; round 6 the 22 never-checked
 r5-third-session contracts + 3 modified + the 25 oldest r3 rows — all 50/50
 green, leaving 161 of 163 contracts driver-confirmed. Round 7's window
-(VERDICT r6 #1): the 2 deferred r6 contracts + 6 new + 3 modified lead,
+(VERDICT r6 #1): the 2 deferred r6 contracts + 7 new + 3 modified lead,
 then the 21 remaining r3-row contracts, then the oldest r4 rows as fill.
 After this window lands green, no live contract is unchecked and only
-three driver rows (dedup_blocked_jaccard, events_retention_cohorts,
-train_bpe_pair_counts — bumped by the window's fixed 50 slots) are
-staler than round 5.
+four driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
+events_retention_cohorts, train_bpe_pair_counts — bumped by the
+window's fixed 50 slots) are staler than round 5.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -71,8 +71,9 @@ DEFERRED_TO_R7 = [
 #: near-dup matrix), the cross-modality dedup report composite that
 #: re-verifies all five decision pipelines through one hash, and the int8
 #: scalar-quantized top-k (SQ8 flat scan — integer scoring, bit-exact
-#: oracle) plus its IVF composition — never driver-checked, enter the
-#: window immediately.
+#: oracle) plus its IVF composition and the streaming perceptual-ingest
+#: bridge (sequential recursive-CTE oracle) — never driver-checked,
+#: enter the window immediately.
 NEW_IN_R7 = [
     "dedup_image_phash",
     "dedup_audio_fingerprint",
@@ -80,6 +81,7 @@ NEW_IN_R7 = [
     "pipeline_modality_dedup_report",
     "sim_topk_sq8",
     "sim_topk_ivf_sq8",
+    "stream_phash_ingest",
 ]
 
 #: Contracts round 7 modifies that already carry driver rows — the change
@@ -96,12 +98,12 @@ MODIFIED_IN_R7 = [
 ]
 
 #: The round-7 driver correctness window (VERDICT r6 #1): the 2 deferred
-#: r6 contracts + 6 new + 3 modified lead; then every contract still on a
+#: r6 contracts + 7 new + 3 modified lead; then every contract still on a
 #: round-3 driver row (21 — window_*, stream_* ×4, train_* ×4,
 #: iter_kmeans_lite, agg_min_max_by, agg_stats, agg_percentile); the
-#: remaining 18 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
+#: remaining 17 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
 #: order. After this window lands green, no live contract is unchecked
-#: and only three driver rows (dedup_blocked_jaccard,
+#: and only four driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
 #: events_retention_cohorts, train_bpe_pair_counts) are older than round
 #: 5 — they lost their slots to the r7 session-2 contracts (never-checked
 #: beats stale-r4) and lead the r8 rotation.
@@ -146,7 +148,6 @@ _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     "source_csv_scan",
     "dedup_ngram_jaccard",
     "mm_resize",
-    "dedup_minhash_lsh",
 ]
 
 

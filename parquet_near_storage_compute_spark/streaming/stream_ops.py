@@ -382,6 +382,170 @@ def upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Streaming perceptual ingest: pinned batch composition (id sets per
+#: micro-batch) over the image-dedup fixture (24 bases 0-23, 3 perturbed
+#: variants each of bases 0-7 at ids 1000-1023, exact byte copies of
+#: base 0 at 1024/1025). Batch 0 deliberately carries the exact copies
+#: WITH base 0 so the within-batch dedup branch executes against an
+#: empty state; batches 3-4 are the re-encode waves the accepted state
+#: must reject.
+PHASH_INGEST_BATCHES: list[tuple[int, ...]] = [
+    tuple(range(8)) + (1024, 1025),
+    tuple(range(8, 16)),
+    tuple(range(16, 24)),
+    tuple(range(1000, 1012)),
+    tuple(range(1012, 1024)),
+]
+
+
+def phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual-dedup ingest — the streaming × modality
+    bridge: micro-batches of image payloads arrive (file stream,
+    ``maxFilesPerTrigger=1``, batch order pinned by file mtimes) and each
+    batch is admitted against the ACCEPTED perceptual state via
+    foreachBatch:
+
+      1. pHash the batch (one Arrow-batched mapInPandas pass);
+      2. reject rows whose hash lands within PHASH_HAMMING of any
+         accepted hash — candidates from the 4×16-bit bands (equi-join,
+         never all pairs), verified by exact Hamming;
+      3. within the surviving batch rows, drop any row with a
+         smaller-id survivor within PHASH_HAMMING (batch-local min-wins);
+      4. append the accepted rows to a NEW state generation dir, then
+         publish (write-then-move pointer, as `upsert_foreachbatch`).
+
+    This is `dedup_incremental`'s perceptual sibling: a crawler ingesting
+    re-encoded copies of known assets does exactly this loop. At 100 TB
+    the state side is a parquet table banded-bucketed on hash bands; the
+    per-batch join touches only matching band keys.
+
+    The DuckDB oracle replays the SAME sequential admission with a
+    recursive CTE carrying the accepted-hash list batch by batch (hashes
+    re-derived member-level from payload hex via the shared image-hash
+    CTE chain) — a full-hash external check of a streaming pipeline.
+    Output: (img_id, phash, batch_no) for every ACCEPTED asset."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_near_storage_compute_spark.operators import multimodal as M
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    st = os.stat(M.IMG_DEDUP_FIXTURE)
+    key = hashlib.md5(
+        f"{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    src_dir = os.path.join(_SCRATCH, f"phash_ingest_src_{key}")
+    if not os.path.exists(os.path.join(src_dir, "_READY")):
+        os.makedirs(src_dir, exist_ok=True)
+        tbl = pq.read_table(M.IMG_DEDUP_FIXTURE, columns=["img_id", "payload"])
+        ids = tbl.column("img_id").to_pylist()
+        for b, batch_ids in enumerate(PHASH_INGEST_BATCHES):
+            path = os.path.join(src_dir, f"batch_{b}.parquet")
+            pq.write_table(
+                tbl.filter(pa.array([i in batch_ids for i in ids])), path
+            )
+            # pinned mtimes: the file stream processes oldest-first, so
+            # mtime order IS batch order
+            os.utime(path, (1_600_000_000 + b, 1_600_000_000 + b))
+        open(os.path.join(src_dir, "_READY"), "w").close()
+
+    run_dir = os.path.join(_SCRATCH, "phash_state", uuid.uuid4().hex[:12])
+    state: dict = {"path": None}
+    ham = M.PHASH_HAMMING
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"],
+                    "phash": pdf["payload"].map(
+                        lambda p: M.phash64(M.decode_image(p))
+                    ),
+                }
+            )
+
+    def bands(df: DataFrame, pre: str) -> DataFrame:
+        return df.select(
+            F.col("img_id").alias(f"{pre}id"),
+            F.col("phash").alias(f"{pre}ph"),
+            F.explode(
+                F.array(*[F.lit(b) for b in range(M.PHASH_BANDS)])
+            ).alias(f"{pre}band"),
+        ).withColumn(
+            f"{pre}key",
+            F.expr(f"shiftright({pre}ph, 16 * {pre}band)").bitwiseAND(0xFFFF),
+        )
+
+    def _ingest(batch: DataFrame, bid: int) -> None:
+        s = batch.sparkSession
+        hashed = batch.select("img_id", "payload").mapInPandas(
+            hash_batch, "img_id bigint, phash bigint"
+        )
+        prev = (
+            s.read.parquet(state["path"]) if state["path"] is not None else None
+        )
+        if prev is not None:
+            hit = (
+                bands(hashed, "n_")
+                .join(
+                    bands(prev.select("img_id", "phash"), "s_"),
+                    (F.col("n_band") == F.col("s_band"))
+                    & (F.col("n_key") == F.col("s_key")),
+                )
+                .filter(
+                    F.bit_count(F.col("n_ph").bitwiseXOR(F.col("s_ph"))) <= ham
+                )
+                .select(F.col("n_id").alias("img_id"))
+                .distinct()
+            )
+            survivors = hashed.join(hit, "img_id", "left_anti")
+        else:
+            survivors = hashed
+        wb = (
+            bands(survivors, "a_")
+            .join(
+                bands(survivors, "b_"),
+                (F.col("a_band") == F.col("b_band"))
+                & (F.col("a_key") == F.col("b_key"))
+                & (F.col("b_id") < F.col("a_id")),
+            )
+            .filter(F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph"))) <= ham)
+            .select(F.col("a_id").alias("img_id"))
+            .distinct()
+        )
+        accepted = survivors.join(wb, "img_id", "left_anti").withColumn(
+            "batch_no", F.lit(bid).cast("int")
+        )
+        new_state = (
+            accepted if prev is None else prev.unionByName(accepted)
+        )
+        gen = os.path.join(run_dir, f"gen_{bid}")
+        new_state.write.mode("overwrite").parquet(gen)  # write, THEN publish
+        state["path"] = gen
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    ckpt = os.path.join(_SCRATCH, "checkpoints", os.path.basename(run_dir))
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["path"] is not None
+    return spark.read.parquet(state["path"]).select(
+        "img_id", "phash", "batch_no"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": windowed_counts,
     "stream_stateful_user_stats": stateful_user_stats,
@@ -391,9 +555,64 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_append_closed_windows": append_closed_windows,
     "stream_session_windows": session_windows,
     "stream_upsert_foreachbatch": upsert_foreachbatch,
+    "stream_phash_ingest": phash_ingest,
 }
 
+
+def _phash_ingest_oracle() -> str:
+    """Sequential replay of the streaming admission in DuckDB: a recursive
+    CTE carries the accepted-hash LIST batch by batch; per batch a row is
+    admitted iff no accepted hash is within PHASH_HAMMING AND no
+    smaller-id state-surviving row of the same batch is. Hashes come from
+    the shared member-level image-hash CTE chain (multimodal.py) — so the
+    external check re-derives the hashes from payload bytes AND replays
+    the stream's admission order."""
+    from parquet_near_storage_compute_spark.operators import multimodal as M
+
+    case_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN img_id IN ({', '.join(map(str, ids))}) THEN {b}"
+            for b, ids in enumerate(PHASH_INGEST_BATCHES)
+        )
+        + " END"
+    )
+    last = len(PHASH_INGEST_BATCHES) - 1
+    ham = M.PHASH_HAMMING
+    near = "len(list_filter(r.acc, h -> bit_count(xor(h, {x})) <= %d)) = 0" % ham
+    return f"""
+        WITH RECURSIVE {M.PHASH_HSH_CTES},
+        batches AS (
+          SELECT img_id, phash, {case_sql} AS bno FROM hsh
+        ),
+        rec AS (
+          SELECT -1 AS bno, CAST([] AS BIGINT[]) AS acc
+          UNION ALL
+          SELECT r.bno + 1,
+                 r.acc || COALESCE((
+                   SELECT list(s.phash ORDER BY s.img_id) FROM batches s
+                   WHERE s.bno = r.bno + 1
+                     AND {near.format(x='s.phash')}
+                     AND NOT EXISTS (
+                       SELECT 1 FROM batches t
+                       WHERE t.bno = s.bno AND t.img_id < s.img_id
+                         AND bit_count(xor(t.phash, s.phash)) <= {ham}
+                         AND {near.format(x='t.phash')})
+                 ), [])
+          FROM rec r WHERE r.bno < {last}
+        )
+        SELECT s.img_id, s.phash, CAST(s.bno AS INT) AS batch_no
+        FROM batches s JOIN rec r ON r.bno = s.bno - 1
+        WHERE {near.format(x='s.phash')}
+          AND NOT EXISTS (
+            SELECT 1 FROM batches t
+            WHERE t.bno = s.bno AND t.img_id < s.img_id
+              AND bit_count(xor(t.phash, s.phash)) <= {ham}
+              AND {near.format(x='t.phash')})
+    """
+
 ORACLE_SQL: dict[str, str] = {
+    "stream_phash_ingest": _phash_ingest_oracle(),
     # the incremental foreachBatch merge must converge to the one-shot
     # batch merge — same SQL as relational_merge_upsert's oracle
     "stream_upsert_foreachbatch": """

@@ -1,0 +1,92 @@
+"""`stream_phash_ingest` (r7): streaming perceptual-dedup ingest — the
+streaming × modality bridge. Micro-batches of image payloads are admitted
+against the accepted pHash state via foreachBatch; the DuckDB oracle
+replays the admission SEQUENTIALLY with a recursive CTE over the pinned
+batch order, re-deriving every hash member-level from payload hex.
+
+Beyond the full-parity compare, this file pins the batch semantics (the
+within-batch min-wins branch fires in batch 0, the state branch rejects
+the re-encode waves), the batch partition of the fixture, and the
+greedy-equivalence precondition the batch-local rule relies on."""
+
+from __future__ import annotations
+
+import duckdb
+
+from parquet_near_storage_compute_spark.operators import multimodal as M
+from parquet_near_storage_compute_spark.streaming import stream_ops as SO
+from tests.oracle import compare
+
+
+def test_contract_matches_sequential_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    compare(
+        SO.phash_ingest(spark, sf_dir),
+        con,
+        SO.ORACLE_SQL["stream_phash_ingest"],
+    )
+
+
+def test_batches_partition_the_fixture():
+    con = duckdb.connect()
+    ids = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT img_id FROM read_parquet('{M.IMG_DEDUP_FIXTURE}')"
+        ).fetchall()
+    )
+    flat = sorted(i for b in SO.PHASH_INGEST_BATCHES for i in b)
+    assert flat == ids  # every asset in exactly one batch
+
+
+def test_admission_semantics(spark, sf_dir):
+    rows = {r.img_id: r for r in SO.phash_ingest(spark, sf_dir).collect()}
+    # all 24 bases accepted, in their arrival batches
+    assert sorted(rows) == list(range(24))
+    for b, ids in enumerate(SO.PHASH_INGEST_BATCHES):
+        for i in ids:
+            if i in rows:
+                assert rows[i].batch_no == b
+    # the within-batch branch fired: base 0's exact copies arrived IN
+    # batch 0 (empty state) and were still dropped
+    assert 1024 not in rows and 1025 not in rows
+    # the state branch fired: every re-encode wave asset was rejected
+    assert not any(1000 <= i <= 1023 for i in rows)
+
+
+def test_within_batch_rule_equals_greedy():
+    """The batch-local rule (drop any state-survivor with a smaller
+    state-surviving same-batch row within threshold) equals TRUE
+    sequential greedy iff every row it drops would also be dropped by
+    greedy — i.e. every within-batch-dropped row has at least one
+    ACCEPTED same-batch partner with a smaller id. Assert that
+    precondition on the fixture (e.g. 1024/1025 both drop against the
+    accepted base 0, not merely against each other)."""
+    con = duckdb.connect()
+    accepted = {
+        r[0]: r[2]
+        for r in con.execute(SO.ORACLE_SQL["stream_phash_ingest"]).fetchall()
+    }
+    rows = con.execute(
+        f"SELECT img_id, payload FROM read_parquet('{M.IMG_DEDUP_FIXTURE}')"
+    ).fetchall()
+    ph = {i: M.phash64(M.decode_image(bytes(p))) for i, p in rows}
+
+    def near(a, b):
+        return bin(ph[a] ^ ph[b]).count("1") <= M.PHASH_HAMMING
+
+    checked = 0
+    for b, ids in enumerate(SO.PHASH_INGEST_BATCHES):
+        earlier_accepted = [a for a, ab in accepted.items() if ab < b]
+        for x in ids:
+            if x in accepted:
+                continue
+            if any(near(x, a) for a in earlier_accepted):
+                continue  # dropped by STATE — within-batch rule not involved
+            # dropped by the within-batch rule: greedy agreement needs an
+            # ACCEPTED smaller same-batch partner
+            assert any(
+                a in accepted and near(x, a) for a in ids if a < x
+            ), (b, x)
+            checked += 1
+    assert checked >= 2  # 1024 and 1025 exercise the branch
