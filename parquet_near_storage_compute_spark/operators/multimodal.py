@@ -858,6 +858,72 @@ def video_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_neardup_decisions(hashed, "vid_id", cols, VID_FRAME_HAMMING)
 
 
+#: Ids whose payloads get corrupt derivatives in `decode_quarantine`.
+QUARANTINE_SEED_IDS = (0, 1, 2, 3)
+QUARANTINE_TRUNC_LEN = 100  # bytes — inside the pixel block, after the header
+
+
+def decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode with quarantine — the ingest-robustness contract: at 100 TB
+    some payloads WILL be truncated uploads or mislabeled formats, and a
+    production decode pass must quarantine them per-row, never fail the
+    task (one bad file killing a 10 000-task stage is the naive failure
+    mode). The corrupt rows are DERIVED deterministically from the
+    committed fixture inside the plan (binary substring/concat — no
+    corrupt fixture needed): per seed id, one payload truncated mid-pixel
+    -block and one with its magic byte zeroed.
+
+    The decode kernel maps `decode_image`'s exception surface to a
+    status column: NotImplementedError (unknown magic) →
+    'unsupported_format', ValueError (truncated block) → 'corrupt', else
+    'ok' with the decoded pixel count. The DuckDB oracle re-derives the
+    status from the payload bytes (magic nibbles + octet length) and the
+    pixel count from the pinned geometry — integer/string outputs only."""
+    from parquet_near_storage_compute_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    imgs = fan_out(spark.read.parquet(IMG_DEDUP_FIXTURE)).select(
+        "img_id", "payload"
+    )
+    seeds = imgs.filter(F.col("img_id").isin(*QUARANTINE_SEED_IDS))
+    truncated = seeds.select(
+        (F.col("img_id") + 2000).alias("img_id"),
+        F.substring("payload", 1, QUARANTINE_TRUNC_LEN).alias("payload"),
+    )
+    bad_magic = seeds.select(
+        (F.col("img_id") + 3000).alias("img_id"),
+        F.concat(
+            F.lit(bytes([0])),
+            F.substring("payload", 2, IMG_DEDUP_HEADER + 3 * IMG_DEDUP_SIDE**2),
+        ).alias("payload"),
+    )
+    corpus = imgs.unionByName(truncated).unionByName(bad_magic)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def row(p: bytes) -> tuple[str, int]:
+            try:
+                img = decode_image(p)
+            except NotImplementedError:
+                return "unsupported_format", -1
+            except ValueError:
+                return "corrupt", -1
+            return "ok", int(img.shape[0] * img.shape[1])
+
+        for pdf in batches:
+            out = pdf["payload"].map(row)
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"],
+                    "status": out.map(lambda t: t[0]),
+                    "n_pixels": out.map(lambda t: t[1]),
+                }
+            )
+
+    return corpus.mapInPandas(
+        decode, "img_id bigint, status string, n_pixels int"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_feature_extract": feature_extract,
     "mm_binary_metadata": binary_metadata,
@@ -868,6 +934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_image_phash": image_phash_dedup,
     "dedup_audio_fingerprint": audio_fingerprint_dedup,
     "dedup_video_fingerprint": video_fingerprint_dedup,
+    "mm_decode_quarantine": decode_quarantine,
 }
 
 def _hexbyte(k: str) -> str:
@@ -1316,4 +1383,37 @@ ORACLE_SQL["dedup_video_fingerprint"] = f"""
     FROM sig s
     LEFT JOIN partners p USING (vid_id)
     LEFT JOIN losers l USING (vid_id)
+"""
+
+# Quarantine oracle: the corrupt derivations are replayed in HEX space
+# (DuckDB 1.0 has no BLOB slicing) — truncation = hex prefix, magic zeroing
+# = '00' + hex tail — then every corpus row is classified from its bytes
+# exactly as decode_image's exception surface does: unknown magic first,
+# then short pixel block, else ok with the pinned pixel count.
+_Q_FULL = IMG_DEDUP_HEADER + 3 * IMG_DEDUP_SIDE * IMG_DEDUP_SIDE
+_Q_IDS = ", ".join(map(str, QUARANTINE_SEED_IDS))
+ORACLE_SQL["mm_decode_quarantine"] = f"""
+    WITH raw AS (
+      SELECT img_id, lower(hex(payload)) AS hx
+      FROM read_parquet('{IMG_DEDUP_FIXTURE}')
+    ),
+    corpus AS (
+      SELECT img_id, hx FROM raw
+      UNION ALL
+      SELECT img_id + 2000, substr(hx, 1, 2*{QUARANTINE_TRUNC_LEN})
+      FROM raw WHERE img_id IN ({_Q_IDS})
+      UNION ALL
+      SELECT img_id + 3000, '00' || substr(hx, 3, 2*{_Q_FULL} - 2)
+      FROM raw WHERE img_id IN ({_Q_IDS})
+    )
+    SELECT img_id,
+           CASE WHEN substr(hx, 1, 4) NOT IN ('5036', '5035')
+                  THEN 'unsupported_format'
+                WHEN length(hx) // 2 < {_Q_FULL} THEN 'corrupt'
+                ELSE 'ok' END AS status,
+           CAST(CASE WHEN substr(hx, 1, 4) IN ('5036', '5035')
+                      AND length(hx) // 2 >= {_Q_FULL}
+                     THEN {IMG_DEDUP_SIDE * IMG_DEDUP_SIDE}
+                     ELSE -1 END AS INT) AS n_pixels
+    FROM corpus
 """

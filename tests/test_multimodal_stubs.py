@@ -122,3 +122,35 @@ def test_ppm_decode_fixture_matches_generator_law(spark):
 def test_fake_features_deterministic():
     assert fake_features(b"abcd more") == [97.0, 98.0, 99.0, 100.0]
     assert fake_features(b"ab") == [97.0, 98.0]
+
+
+# ----------------------------------------------------- decode quarantine
+def test_decode_quarantine_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    from parquet_near_storage_compute_spark.operators import multimodal as M
+    from tests.oracle import compare
+
+    compare(
+        M.decode_quarantine(spark, sf_dir),
+        duckdb.connect(),
+        M.ORACLE_SQL["mm_decode_quarantine"],
+    )
+
+
+def test_decode_quarantine_per_row_not_per_task(spark, sf_dir):
+    """The robustness claim: corrupt payloads quarantine PER ROW — every
+    asset (healthy or corrupt) yields exactly one classified output row,
+    no task failure, and each corruption mode maps to its decode_image
+    exception surface."""
+    from parquet_near_storage_compute_spark.operators import multimodal as M
+
+    rows = {r.img_id: r for r in M.decode_quarantine(spark, sf_dir).collect()}
+    n_fixture = 50
+    assert len(rows) == n_fixture + 2 * len(M.QUARANTINE_SEED_IDS)
+    for i in M.QUARANTINE_SEED_IDS:
+        assert rows[i].status == "ok" and rows[i].n_pixels == 64 * 64
+        assert rows[i + 2000].status == "corrupt"  # truncated pixel block
+        assert rows[i + 3000].status == "unsupported_format"  # zeroed magic
+        assert rows[i + 2000].n_pixels == -1 and rows[i + 3000].n_pixels == -1
+    assert sum(r.status == "ok" for r in rows.values()) == n_fixture
