@@ -90,6 +90,11 @@ def main() -> None:
         "pipeline_modality_dedup_report",
         "sim_topk_sq8",
         "sim_topk_ivf_sq8",
+        # session 3: the cluster-bounded semantic dedup and the
+        # product-quantized ANN (both over the sf embeddings table, so
+        # they scale with SF unlike the fixture-backed modality queries)
+        "dedup_semantic_clusters",
+        "sim_topk_pq",
     ]
     headline = core22 + r6_added + r7_added
     queries = all_queries()

@@ -944,6 +944,385 @@ def embedding_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup cosine threshold: within a coarse cluster, a vector with an
+#: eps-similar neighbour of higher keep-priority is a semantic duplicate.
+#: 0.35 sits in this synthetic corpus's real similarity range (drop rates
+#: 11–35% across SFs) with a fixture-measured float margin to the nearest
+#: pair cosine (tests/test_semdedup_pq.py).
+SEMDEDUP_EPS = 0.35
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then WITHIN
+    each cluster drop every vector that has an eps-cosine-similar
+    neighbour of higher keep-priority.  Completes the dedup ladder the
+    exact/MinHash/SimHash/pHash contracts climb: those catch literal and
+    near-literal copies, this catches *semantically redundant* documents
+    whose text differs — the curation step the SemDeDup paper measured as
+    the largest quality-per-token win on LAION/C4-scale corpora.
+
+    Keep-priority is the paper's policy: prefer the vector FARTHEST from
+    its cluster centroid (low centroid-cosine first; ties by vec_id), so
+    kept exemplars spread to the cluster boundary instead of piling at
+    the mode.  Priority is the lexicographic tuple (cell_cos, vec_id)
+    compared PAIRWISE inside the join — no per-cell row_number ranking,
+    hence no per-cell total sort at scale.
+
+    100 TB shape, in order of attack:
+    - Coarse cells are the blocking key (SemDeDup picks k ∝ corpus
+      size, so expected cell occupancy — and with it the distinct-pair
+      volume — stays bounded).
+    - Exact-duplicate vectors — the dominant mass of duplicate-heavy
+      corpora, which a fixed-k replication would otherwise grow
+      QUADRATICALLY in pair volume — are collapsed to one group per
+      distinct VALUE before any pair work (the r6 kNN device), so the
+      within-cell pair join is over distinct values only and the pair
+      volume is duplication-INVARIANT.  Member-level decisions are then
+      reconstructed EXACTLY in closed form: a member's own-group
+      witnesses are precisely its smaller-id co-members (identical
+      vectors share cell and centroid-cosine bitwise, and cos(v,v) ≥
+      eps always), so n_own = rank-within-group − 1 and the witness is
+      the group minimum — linear per member, no pair enumeration.  The
+      rare cross-group centroid-cosine TIE (two distinct values, equal
+      cc — the priority comparison falls through to member ids) gets a
+      member-level fallback join over just the tied group pairs.  The
+      DuckDB oracle stays the brute member-level rule, so the green
+      contract PROVES the collapse semantics-preserving.
+    - The group pair join is salted like the kNN join; the per-member
+      rank window runs only over multi-member groups (one task per
+      duplicate group — LINEAR in group size, vs the quadratic pair
+      blow-up it replaces); the evidence aggregates are map-side
+      combinable.  The assignment frame feeds the group collapse and
+      the final mapping, so it is persisted — at scale it IS the
+      materialized cluster-assignment table a real pipeline writes.
+
+    Output per vector: cell, centroid-cosine, keep flag, the minimum-id
+    higher-priority witness that dropped it (NULL if kept), and the
+    witness count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb)
+    v = fan_out(emb).select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    scored_cells = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cell",
+        (
+            dot(F.col("v"), F.col("centroid"))
+            / (F.col("nrm") * norm(F.col("centroid")))
+        ).alias("cell_cos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
+    assigned = (
+        scored_cells.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", "cell", "cell_cos")
+        .persist()
+    )
+    # ---- value-group collapse: one row per distinct vector value.
+    # cell / cell_cos / nrm are functions of the value (identical members
+    # get bitwise-identical assignments), so min() just picks the shared
+    # value; gid = the group's minimum member id (unique per group).
+    g = (
+        assigned.groupBy("v")
+        .agg(
+            F.min("vec_id").alias("gid"),
+            F.count(F.lit(1)).alias("m"),
+            F.min("nrm").alias("nrm"),
+            F.min("cell").alias("cell"),
+            F.min("cell_cos").alias("cc"),
+        )
+        .persist()
+    )
+    ga = g.select(
+        F.col("v").alias("va"),
+        F.col("gid").alias("gid_a"),
+        F.col("nrm").alias("na"),
+        "cell",
+        F.col("cc").alias("cc_a"),
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(KNN_SALT - 1))))
+    gb = g.select(
+        F.col("v").alias("vb"),
+        F.col("gid").alias("gid_b"),
+        F.col("m").alias("m_b"),
+        F.col("nrm").alias("nb"),
+        F.col("cell").alias("cell_b"),
+        F.col("cc").alias("cc_b"),
+    ).withColumn("bsalt", F.pmod(F.col("gid_b"), F.lit(KNN_SALT)))
+    pairs = ga.join(
+        gb,
+        (F.col("cell") == F.col("cell_b"))
+        & (F.col("salt") == F.col("bsalt"))
+        & (F.col("gid_a") != F.col("gid_b")),
+    ).filter(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        >= SEMDEDUP_EPS
+    )
+    # strict-priority witness groups: every member of H qualifies against
+    # every member of the target group
+    strict = (
+        pairs.filter(F.col("cc_b") < F.col("cc_a"))
+        .groupBy("gid_a")
+        .agg(
+            F.sum("m_b").alias("n_strict"),
+            F.min("gid_b").alias("w_strict"),
+        )
+    )
+    # cc-tie edges (distinct values, bitwise-equal centroid cosine): the
+    # priority falls through to member ids — member-level fallback over
+    # just these group pairs (empty on both the fixed and random corpora;
+    # the branch exists for exactness, and tests construct one)
+    tie_b = (
+        pairs.filter(F.col("cc_b") == F.col("cc_a"))
+        .select("gid_a", F.col("vb").alias("v"))
+        .join(assigned.select("v", F.col("vec_id").alias("b_id")), "v")
+        .select("gid_a", "b_id")
+    )
+    # ---- member-level reconstruction
+    mem = assigned.select("vec_id", "v", "cell", "cell_cos").join(
+        g.select("v", "gid", "m"), "v"
+    )
+    singles = mem.filter(F.col("m") == 1).withColumn("rk", F.lit(1))
+    wr = Window.partitionBy("v").orderBy("vec_id")
+    multis = mem.filter(F.col("m") >= 2).withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    memr = singles.unionByName(multis)
+    tie_ev = (
+        memr.select("vec_id", "gid")
+        .join(tie_b, F.col("gid") == F.col("gid_a"))
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_tie"), F.min("b_id").alias("w_tie"))
+    )
+    out = (
+        memr.join(strict, memr["gid"] == strict["gid_a"], "left")
+        .drop("gid_a")
+        .join(tie_ev, "vec_id", "left")
+        .withColumn(
+            "n_closer_dups",
+            (F.col("rk") - 1)
+            + F.coalesce("n_strict", F.lit(0))
+            + F.coalesce("n_tie", F.lit(0)),
+        )
+        .withColumn(
+            "dropped_by",
+            F.least(
+                F.when(F.col("rk") > 1, F.col("gid")),
+                F.col("w_strict"),
+                F.col("w_tie"),
+            ),
+        )
+    )
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "cell_cos",
+        F.when(F.col("n_closer_dups") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+        "dropped_by",
+        F.col("n_closer_dups").cast("bigint").alias("n_closer_dups"),
+    )
+
+
+#: PQ geometry: DIM is split into PQ_M contiguous subspaces of PQ_SUB
+#: dims; each subspace is coded against an integer codebook of up to
+#: 4^PQ_SUB = 256 codewords (the classic PQ codebook size).
+PQ_M = 16
+PQ_SUB = DIM // PQ_M
+#: Power-of-two grid: x·1024 is an EXACT double operation (pure exponent
+#: shift), so the integer lattice view of every vector is bit-identical
+#: on any IEEE engine — the foundation of the bit-exact oracle.
+PQ_GRID = 1024
+#: Magnitude threshold (lattice units ≈ 0.12 in vector units) for the
+#: 2-bit-per-dim codebook seeding; picked by a measured recall sweep
+#: (t ∈ {120..320}: 120 best at every SF — see NOTES_r7).
+PQ_TMAG = 120
+
+
+def _pq_recon(v: DataFrame) -> DataFrame:
+    """Product-quantization encode + reconstruct, all-integer.
+
+    1. Lattice view: vi = floor(v·1024 + 0.5) per dim (exact doubles →
+       exact BIGINTs, engine-independent).
+    2. Codebook: per (subspace, 2-bit-per-dim cell) the element-wise
+       floor of the lattice mean over that cell's subvectors — a
+       grid-seeded quantizer with up to 4^PQ_SUB = 256 data-dependent
+       codewords per subspace, the classic PQ codebook size.  The cell
+       key encodes sign and magnitude (|x| ≥ PQ_TMAG) per dim — measured
+       recall doubled vs a sign-only 2^8-orthant key at 8 subspaces, and
+       a per-label codebook of K=10 measured ~0 recall (far too coarse).
+       floor(Σx/n) is
+       deterministic cross-engine: Σx is an exact integer-valued double,
+       IEEE division is correctly rounded, and the quotient sits ≥ 1/n
+       from the nearest integer unless it IS one (margin fixture-measured
+       in tests/test_semdedup_pq.py).
+    3. Encode: per (vector, subspace) the codeword minimizing exact
+       integer L2 distance over ALL of the subspace's codewords (true
+       nearest-codeword encoding, not the seeding orthant); ties by
+       orthant id.
+    4. Reconstruct: codewords concatenated in subspace order, plus the
+       exact integer norm² — everything downstream is the SQ8 contract's
+       integer-score algebra.
+
+    At 100 TB this is the classic PQ memory layout: M small codes per
+    vector (here M=16 codes into a ≤256-word codebook — 16 bytes against
+    256 B of float32), scored via codeword dot products; the codebook
+    (≤ PQ_M·4^PQ_SUB rows) broadcasts for free."""
+    vi = v.withColumn(
+        "vi",
+        F.expr(
+            f"transform(v, x -> CAST(floor(x * {PQ_GRID}.0D + 0.5D) AS BIGINT))"
+        ),
+    )
+    sub = vi.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("vi", s * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    # 2-bit-per-dim cell id: level(x) = sign bit + 2·magnitude bit,
+    # packed base-4 over the subspace dims (0-based in Spark lambdas)
+    subo = sub.withColumn(
+        "orth",
+        F.expr(
+            f"aggregate(transform(sv, (x, i) -> "
+            f"(CASE WHEN x >= 0L THEN 1L ELSE 0L END "
+            f"+ CASE WHEN abs(x) >= {PQ_TMAG}L THEN 2L ELSE 0L END) "
+            f"* CAST(power(4, i) AS BIGINT)), "
+            f"0L, (acc, y) -> acc + y)"
+        ),
+    )
+    px = subo.select("s", "orth", F.posexplode("sv").alias("posn", "x"))
+    cw = px.groupBy("s", "orth", "posn").agg(
+        F.floor(
+            F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("c")
+    )
+    book = (
+        cw.groupBy("s", "orth")
+        .agg(F.array_sort(F.collect_list(F.struct("posn", "c"))).alias("pc"))
+        .select(
+            "s",
+            F.col("orth").alias("cw_orth"),
+            F.transform("pc", lambda x: x.getField("c")).alias("cw"),
+        )
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    wbest = Window.partitionBy("vec_id", "s").orderBy("d2", "cw_orth")
+    best = (
+        subo.join(F.broadcast(book), "s")
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "cw"))).alias("sc"))
+        .select(
+            "vec_id",
+            F.flatten(F.transform("sc", lambda x: x.getField("cw"))).alias(
+                "r"
+            ),
+        )
+        .withColumn("n2", F.expr("aggregate(r, 0L, (acc, x) -> acc + x * x)"))
+        .select("vec_id", "r", "n2")
+    )
+
+
+def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization (PQ, asymmetric/ADC scoring — the
+    FAISS IndexPQ default: the query stays unquantized, only candidates
+    are coded) — the third quantized scale path beside SQ8
+    (`sim_topk_sq8`) and IVF-SQ8: where SQ8 shrinks each dim to a byte
+    (4×), PQ shrinks each SUBSPACE to a code (here 64 float32 dims → 16
+    codes, 16×), trading recall for bandwidth the way billion-vector
+    deployments do (FAISS PQ / IVFPQ).
+
+    Codebooks are per-(subspace, 2-bit-cell) mean subvectors snapped to
+    an integer lattice (see `_pq_recon` — up to 256 codewords per
+    subspace, the classic PQ size); the query side is its exact lattice
+    vector.  Encoding (integer L2 argmin) and ADC scoring (lattice·
+    codeword dots — exact longs) are integer algebra end to end, so like
+    SQ8 the DuckDB oracle matches BIT-FOR-BIT, rank ties included.
+    Recall vs exact cosine is fixture-measured in
+    tests/test_semdedup_pq.py (the geometry was picked by measured
+    sweep: sign-only M=8 ~33%, +ADC ~50%, 2-bit M=16 53–70% across SFs —
+    this corpus is near-random, PQ's hard case, so the numbers quantify
+    the 16×-compression trade honestly rather than flattering it).  The
+    reconstructed-code table feeds both join sides, so it is persisted —
+    at scale it IS the materialized PQ code table (the 32×-smaller scan
+    target) a deployment writes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = fan_out(emb).select("vec_id", as_double("embedding").alias("v"))
+    codes = _pq_recon(v).persist()
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn(
+            "qr",
+            F.expr(
+                f"transform(v, x -> "
+                f"CAST(floor(x * {PQ_GRID}.0D + 0.5D) AS BIGINT))"
+            ),
+        )
+        .withColumn(
+            "qn2",
+            F.expr("aggregate(qr, 0L, (acc, x) -> acc + x * x)"),
+        )
+        .select(F.col("vec_id").alias("query_id"), "qr", "qn2")
+    )
+    c = codes.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("r").alias("cr"),
+        F.col("n2").alias("cn2"),
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qr, cr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.when((F.col("qn2") == 0) | (F.col("cn2") == 0), F.lit(-2.0))
+            .otherwise(
+                idot.cast("double")
+                / F.sqrt(
+                    F.col("qn2").cast("double") * F.col("cn2").cast("double")
+                )
+            )
+            .alias("cos_pq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_pq").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cos_pq", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
     "sim_dedup_decisions": embedding_dedup_decisions,
@@ -956,6 +1335,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_label_centroid": label_centroid_cosine,
     "sim_knn_join": knn_join,
     "sim_range_search": range_search,
+    "dedup_semantic_clusters": semantic_dedup,
+    "sim_topk_pq": topk_pq,
 }
 
 _COS = (
@@ -1231,6 +1612,143 @@ ORACLE_SQL: dict[str, str] = {
           FROM assigned a
           JOIN assigned b ON a.cell = b.cell AND b.vec_id != a.vec_id
           WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    """,
+    # SemDeDup: coarse-cell assignment (the IVF CTEs), then within-cell
+    # drop of every vector with an eps-similar neighbour of higher
+    # keep-priority — priority = (cell_cos ASC, vec_id ASC), the paper's
+    # keep-farthest-from-centroid policy.
+    "dedup_semantic_clusters": f"""
+        WITH pos AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings
+        ),
+        cent AS (SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+        cvec AS (
+          SELECT label AS cell, list(c ORDER BY pos) AS centroid
+          FROM cent GROUP BY label
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (
+          SELECT vec_id, v, cell, cc FROM (
+            SELECT v.vec_id, v.v, c.cell,
+                   list_dot_product(v.v, c.centroid)
+                     / (sqrt(list_dot_product(v.v, v.v))
+                        * sqrt(list_dot_product(c.centroid, c.centroid)))
+                     AS cc,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.v, c.centroid)
+                              / (sqrt(list_dot_product(v.v, v.v))
+                                 * sqrt(list_dot_product(c.centroid, c.centroid)))
+                              DESC, c.cell) AS crk
+            FROM v CROSS JOIN cvec c
+          ) WHERE crk = 1
+        ),
+        ev AS (
+          SELECT a.vec_id AS vid, MIN(b.vec_id) AS dropped_by,
+                 COUNT(*) AS n
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id != b.vec_id
+          WHERE {_COS} >= {SEMDEDUP_EPS}
+            AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id))
+          GROUP BY a.vec_id
+        )
+        SELECT a.vec_id, CAST(a.cell AS INT) AS cell, a.cc AS cell_cos,
+               CASE WHEN e.vid IS NULL THEN 1 ELSE 0 END AS keep,
+               e.dropped_by,
+               CAST(COALESCE(e.n, 0) AS BIGINT) AS n_closer_dups
+        FROM assigned a LEFT JOIN ev e ON a.vec_id = e.vid
+    """,
+    # PQ: integer-lattice view → per-(subspace, sign-orthant) floor-mean
+    # codebook → integer-L2 argmin encode → symmetric codeword scoring.
+    # Every quantity is integer-valued (exact as DOUBLEs below 2^53), so
+    # the compare is bit-for-bit like SQ8.  DuckDB lambda indexes are
+    # 1-based (Spark's are 0-based), hence the (i - 1) in the orthant.
+    "sim_topk_pq": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        vi AS (
+          SELECT vec_id,
+                 list_transform(v, x ->
+                   CAST(floor(x * {PQ_GRID}.0 + 0.5) AS BIGINT)) AS vi
+          FROM v
+        ),
+        sub AS (
+          SELECT vec_id, t.s,
+                 vi[t.s * {PQ_SUB} + 1 : t.s * {PQ_SUB} + {PQ_SUB}] AS sv
+          FROM vi, range({PQ_M}) t(s)
+        ),
+        subo AS (
+          SELECT vec_id, s, sv,
+                 CAST(list_sum(list_transform(sv, (x, i) ->
+                   (CASE WHEN x >= 0 THEN 1 ELSE 0 END
+                    + CASE WHEN abs(x) >= {PQ_TMAG} THEN 2 ELSE 0 END)
+                   * CAST(power(4, i - 1) AS BIGINT))) AS BIGINT) AS orth
+          FROM sub
+        ),
+        px AS (
+          SELECT s, orth, generate_subscripts(sv, 1) - 1 AS posn,
+                 unnest(sv) AS x
+          FROM subo
+        ),
+        cw AS (
+          SELECT s, orth, posn,
+                 CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS c
+          FROM px GROUP BY s, orth, posn
+        ),
+        book AS (
+          SELECT s, orth, list(c ORDER BY posn) AS cw
+          FROM cw GROUP BY s, orth
+        ),
+        enc AS (
+          SELECT vec_id, so.s, b.orth AS co, b.cw,
+                 list_dot_product(so.sv::DOUBLE[], so.sv::DOUBLE[])
+                 + list_dot_product(b.cw::DOUBLE[], b.cw::DOUBLE[])
+                 - 2 * list_dot_product(so.sv::DOUBLE[], b.cw::DOUBLE[])
+                   AS d2
+          FROM subo so JOIN book b USING (s)
+        ),
+        best AS (
+          SELECT vec_id, s, cw FROM (
+            SELECT vec_id, s, cw,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, co) AS rk
+            FROM enc
+          ) WHERE rk = 1
+        ),
+        recon AS (
+          SELECT vec_id, flatten(list(cw ORDER BY s)) AS r
+          FROM best GROUP BY vec_id
+        ),
+        n AS (
+          SELECT vec_id, r,
+                 CAST(list_dot_product(r::DOUBLE[], r::DOUBLE[]) AS BIGINT)
+                   AS n2
+          FROM recon
+        ),
+        qn AS (
+          SELECT vec_id, vi AS qr,
+                 CAST(list_dot_product(vi::DOUBLE[], vi::DOUBLE[]) AS BIGINT)
+                   AS qn2
+          FROM vi WHERE vec_id < {N_QUERIES}
+        )
+        SELECT query_id, cand_id, cos_pq, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 CASE WHEN a.qn2 = 0 OR b.n2 = 0 THEN -2.0
+                      ELSE list_dot_product(a.qr::DOUBLE[], b.r::DOUBLE[])
+                           / sqrt(CAST(a.qn2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                 END AS cos_pq,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CASE WHEN a.qn2 = 0 OR b.n2 = 0 THEN -2.0
+                      ELSE list_dot_product(a.qr::DOUBLE[], b.r::DOUBLE[])
+                           / sqrt(CAST(a.qn2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                   END DESC, b.vec_id) AS rk
+          FROM qn a JOIN n b ON b.vec_id != a.vec_id
         ) WHERE rk <= {TOP_K}
     """,
     "sim_lsh_bucket_histogram": f"""

@@ -13,12 +13,13 @@ the new-in-r3/r4 contracts plus the oldest r2 fill; round 5 the r2-only
 stragglers plus everything r5 modified; round 6 the 22 never-checked
 r5-third-session contracts + 3 modified + the 25 oldest r3 rows — all 50/50
 green, leaving 161 of 163 contracts driver-confirmed. Round 7's window
-(VERDICT r6 #1): the 2 deferred r6 contracts + 8 new + 3 modified lead,
+(VERDICT r6 #1): the 2 deferred r6 contracts + 10 new + 3 modified lead,
 then the 21 remaining r3-row contracts, then the oldest r4 rows as fill.
 After this window lands green, no live contract is unchecked and only
-five driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
-events_retention_cohorts, mm_resize, train_bpe_pair_counts — bumped by
-the window's fixed 50 slots) are staler than round 5.
+seven driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
+dedup_ngram_jaccard, events_retention_cohorts, mm_resize,
+source_csv_scan, train_bpe_pair_counts — bumped by the window's fixed
+50 slots) are staler than round 5.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -72,9 +73,12 @@ DEFERRED_TO_R7 = [
 #: re-verifies all five decision pipelines through one hash, and the int8
 #: scalar-quantized top-k (SQ8 flat scan — integer scoring, bit-exact
 #: oracle) plus its IVF composition and the streaming perceptual-ingest
-#: bridge (sequential recursive-CTE oracle) and the decode-quarantine
-#: robustness contract — never driver-checked, enter the window
-#: immediately.
+#: bridge (sequential recursive-CTE oracle), the decode-quarantine
+#: robustness contract, the SemDeDup-style semantic dedup
+#: (cluster-bounded embedding dedup — the curation op the literal/
+#: near-literal dedup ladder can't express) and the product-quantized
+#: ANN (ADC scoring, integer-exact oracle) — never driver-checked,
+#: enter the window immediately.
 NEW_IN_R7 = [
     "dedup_image_phash",
     "dedup_audio_fingerprint",
@@ -84,6 +88,8 @@ NEW_IN_R7 = [
     "sim_topk_ivf_sq8",
     "stream_phash_ingest",
     "mm_decode_quarantine",
+    "dedup_semantic_clusters",
+    "sim_topk_pq",
 ]
 
 #: Contracts round 7 modifies that already carry driver rows — the change
@@ -100,15 +106,16 @@ MODIFIED_IN_R7 = [
 ]
 
 #: The round-7 driver correctness window (VERDICT r6 #1): the 2 deferred
-#: r6 contracts + 8 new + 3 modified lead; then every contract still on a
-#: round-3 driver row (21 — window_*, stream_* ×4, train_* ×4,
+#: r6 contracts + 10 new + 3 modified lead; then every contract still on
+#: a round-3 driver row (21 — window_*, stream_* ×4, train_* ×4,
 #: iter_kmeans_lite, agg_min_max_by, agg_stats, agg_percentile); the
-#: remaining 16 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
+#: remaining 14 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
 #: order. After this window lands green, no live contract is unchecked
-#: and only five driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
-#: events_retention_cohorts, mm_resize, train_bpe_pair_counts) are older
-#: than round 5 — they lost their slots to the r7 session-2 contracts (never-checked
-#: beats stale-r4) and lead the r8 rotation.
+#: and only seven driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
+#: dedup_ngram_jaccard, events_retention_cohorts, mm_resize,
+#: source_csv_scan, train_bpe_pair_counts) are older than round 5 — they
+#: lost their slots to the r7 session-2/3 contracts (never-checked beats
+#: stale-r4) and lead the r8 rotation.
 _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     # the 21 round-3-row contracts, alphabetical
     "agg_min_max_by",
@@ -147,8 +154,6 @@ _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     "train_curriculum_order",
     "stream_sliding_counts",
     "source_partitioned_scan",
-    "source_csv_scan",
-    "dedup_ngram_jaccard",
 ]
 
 

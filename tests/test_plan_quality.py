@@ -32,6 +32,13 @@ BNLJ_WHITELIST = {
     "sim_topk_sq8",
     # IVF-SQ8: the ~k-row centroid codebook cross join, as sim_topk_ivf
     "sim_topk_ivf_sq8",
+    # PQ: the N_QUERIES-row lattice frame broadcasts against the code
+    # scan, as sim_topk_sq8
+    "sim_topk_pq",
+    # SemDeDup: the ~k-row centroid codebook cross join for cell
+    # assignment, as sim_topk_ivf (the pair work itself equi-joins on
+    # the salted cell key)
+    "dedup_semantic_clusters",
     "snowset_selectivity_distribution_sql",
     # IVF / k-means cell assignment: deliberate cross join vs the ~k-row
     # broadcast codebook (narrow pass; candidate search is an equi-join)

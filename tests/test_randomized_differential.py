@@ -6,7 +6,7 @@ Spark-vs-DuckDB oracle harness as the registry sweep. Catches data-shape
 assumptions that 165 green contracts on one corpus can't.
 
 r6 ran 26 contracts × 2 seeds (and caught a real oracle bug on first
-contact); r7 (VERDICT r6 #5) widens to 76 shape-sensitive contracts × 3
+contact); r7 (VERDICT r6 #5) widens to 78 shape-sensitive contracts × 3
 seeds, adding the previously untouched families: windows, the join
 surface, snowset, sketches, table maintenance, and similarity over a
 duplicate-heavy random embedding corpus.
@@ -97,6 +97,13 @@ CONTRACTS = [
     # tie-break is exercised where the fixed corpus never ties
     "sim_topk_sq8",
     "sim_topk_ivf_sq8",
+    # PQ on a duplicate-heavy corpus: identical vectors → identical codes
+    # → exact ADC score ties, resolved by the deterministic cand_id break
+    "sim_topk_pq",
+    # SemDeDup on a duplicate-heavy corpus: exact duplicates share their
+    # centroid-cosine BITWISE, so the (cc equal → vec_id) priority tie
+    # branch fires — the fixed corpus never ties
+    "dedup_semantic_clusters",
     "dedup_embedding_lsh",
     "dedup_key",
     "dedup_minhash_lsh",

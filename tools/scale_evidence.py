@@ -450,6 +450,36 @@ def _knn_section(spark, S, big: str, out: dict) -> dict:
         "distinct_vector_reps_on_pair_side": int(n_groups),
     }
 
+    # dedup_semantic_clusters (r7 session 3): same collapse law — the
+    # within-cell pair join runs over distinct VALUES, so replication
+    # grows members (and with them the linear rank-window tasks) REPS×
+    # while the pair volume stays at the base corpus's distinct-pair
+    # count.  Record both sides of that claim.
+    from parquet_near_storage_compute_spark.tables import fan_out, load_table
+    from parquet_near_storage_compute_spark.functions.vectors import (
+        as_double,
+        norm as vnorm,
+    )
+
+    emb = load_table(spark, big, "embeddings")
+    vv = fan_out(emb).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    gg = vv.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
+    gstats = gg.agg(
+        F.count(F.lit(1)).alias("n_groups"), F.max("m").alias("max_group")
+    ).collect()[0]
+    ssec, s_rows = _timed(S.semantic_dedup(spark, big))
+    out["dedup_semantic_clusters"] = {
+        "sec": ssec,
+        "rows": s_rows,
+        "n_value_groups_on_pair_side": int(gstats.n_groups),
+        "max_rank_window_task_rows": int(gstats.max_group),
+        "pair_volume": "distinct-value pairs per cell — duplication-"
+        "invariant; member pass linear (rank window per multi-member "
+        "group)",
+    }
+
     sec, n_rows = _timed(S.knn_join(spark, big))
     out["sim_knn_join"] = {
         "sec": sec,

@@ -73,6 +73,10 @@ HEADLINE = [
     "dedup_video_fingerprint",
     "sim_topk_sq8",
     "sim_topk_ivf_sq8",
+    # r7 session 3: cluster-bounded semantic dedup (shuffle volume is the
+    # salted within-cell pair evidence) + PQ (codebook build aggregates)
+    "dedup_semantic_clusters",
+    "sim_topk_pq",
 ]
 
 
