@@ -95,6 +95,13 @@ def main() -> None:
         # they scale with SF unlike the fixture-backed modality queries)
         "dedup_semantic_clusters",
         "sim_topk_pq",
+        # session 4: the IVF-PQ composition, the bigram-LM perplexity
+        # filter (two corpus shuffles + a window pass over the bigram
+        # frame) and the iterative BPE merge loop (one corpus shuffle +
+        # six vocab-sized rounds) — all SF-scaling
+        "sim_topk_ivf_pq",
+        "text_lm_perplexity",
+        "train_bpe_merges",
     ]
     headline = core22 + r6_added + r7_added
     queries = all_queries()

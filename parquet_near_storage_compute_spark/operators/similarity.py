@@ -1323,6 +1323,106 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ shape, by_residual=false): the coarse
+    inverted file bounds WHAT is scanned (the query's cell, exactly
+    `sim_topk_ivf`'s assignment step) and the product-quantized codes
+    bound the BANDWIDTH of scanning it (16× smaller codes, exactly
+    `sim_topk_pq`'s codebook/encode/ADC algebra over the raw vectors —
+    residual coding would trade the bit-exact oracle for recall, same
+    call as IVF-SQ8). The query stays unquantized (asymmetric/ADC): its
+    exact lattice vector scores against reconstructed candidate codes,
+    all integer dots, so the in-cell ranking — ties included — is
+    bit-deterministic across engines and partitionings.
+
+    The persisted frames are the two artifacts a billion-vector IVFPQ
+    deployment materializes: the cell assignment (partition key) and the
+    PQ code table (the scan target, 16 bytes/vector here)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb)
+    v = fan_out(emb).select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    scored_cells = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cell",
+        (
+            dot(F.col("v"), F.col("centroid"))
+            / (F.col("nrm") * norm(F.col("centroid")))
+        ).alias("cell_cos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
+    # persisted: the assignment feeds the code build AND the query side
+    assigned = (
+        scored_cells.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "cell")
+        .persist()
+    )
+    # persisted: the PQ encode (codebook + nearest-codeword argmin) is the
+    # expensive pass; without the cache the candidate side would re-run it
+    codes = (
+        _pq_recon(assigned.select("vec_id", "v"))
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+        .persist()
+    )
+    q = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn(
+            "qr",
+            F.expr(
+                f"transform(v, x -> "
+                f"CAST(floor(x * {PQ_GRID}.0D + 0.5D) AS BIGINT))"
+            ),
+        )
+        .withColumn("qn2", F.expr("aggregate(qr, 0L, (acc, x) -> acc + x * x)"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "qr",
+            "qn2",
+            F.col("cell").alias("qcell"),
+        )
+    )
+    c = codes.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("r").alias("cr"),
+        F.col("n2").alias("cn2"),
+        F.col("cell").alias("ccell"),
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qr, cr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("qcell") == F.col("ccell"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.when((F.col("qn2") == 0) | (F.col("cn2") == 0), F.lit(-2.0))
+            .otherwise(
+                idot.cast("double")
+                / F.sqrt(
+                    F.col("qn2").cast("double") * F.col("cn2").cast("double")
+                )
+            )
+            .alias("cos_pq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_pq").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cos_pq", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
     "sim_dedup_decisions": embedding_dedup_decisions,
@@ -1331,6 +1431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": topk_ivf,
     "sim_topk_sq8": topk_sq8,
     "sim_topk_ivf_sq8": topk_ivf_sq8,
+    "sim_topk_ivf_pq": topk_ivf_pq,
     "sim_lsh_bucket_histogram": bucket_histogram,
     "sim_label_centroid": label_centroid_cosine,
     "sim_knn_join": knn_join,
@@ -1749,6 +1850,114 @@ ORACLE_SQL: dict[str, str] = {
                            / sqrt(CAST(a.qn2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
                    END DESC, b.vec_id) AS rk
           FROM qn a JOIN n b ON b.vec_id != a.vec_id
+        ) WHERE rk <= {TOP_K}
+    """,
+    # IVF-PQ: sim_topk_ivf's assignment CTEs + sim_topk_pq's codebook/
+    # encode/ADC chain, joined within the query's cell — integer-exact,
+    # asserted bit-for-bit like its two parents.
+    "sim_topk_ivf_pq": f"""
+        WITH pos AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings
+        ),
+        cent AS (SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+        cvec AS (
+          SELECT label AS cell, list(c ORDER BY pos) AS centroid
+          FROM cent GROUP BY label
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT v.vec_id, v.v, c.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.v, c.centroid)
+                              / (sqrt(list_dot_product(v.v, v.v))
+                                 * sqrt(list_dot_product(c.centroid, c.centroid)))
+                              DESC, c.cell) AS crk
+            FROM v CROSS JOIN cvec c
+          ) WHERE crk = 1
+        ),
+        vi AS (
+          SELECT vec_id, cell,
+                 list_transform(v, x ->
+                   CAST(floor(x * {PQ_GRID}.0 + 0.5) AS BIGINT)) AS vi
+          FROM assigned
+        ),
+        sub AS (
+          SELECT vec_id, t.s,
+                 vi[t.s * {PQ_SUB} + 1 : t.s * {PQ_SUB} + {PQ_SUB}] AS sv
+          FROM vi, range({PQ_M}) t(s)
+        ),
+        subo AS (
+          SELECT vec_id, s, sv,
+                 CAST(list_sum(list_transform(sv, (x, i) ->
+                   (CASE WHEN x >= 0 THEN 1 ELSE 0 END
+                    + CASE WHEN abs(x) >= {PQ_TMAG} THEN 2 ELSE 0 END)
+                   * CAST(power(4, i - 1) AS BIGINT))) AS BIGINT) AS orth
+          FROM sub
+        ),
+        px AS (
+          SELECT s, orth, generate_subscripts(sv, 1) - 1 AS posn,
+                 unnest(sv) AS x
+          FROM subo
+        ),
+        cw AS (
+          SELECT s, orth, posn,
+                 CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS c
+          FROM px GROUP BY s, orth, posn
+        ),
+        book AS (
+          SELECT s, orth, list(c ORDER BY posn) AS cw
+          FROM cw GROUP BY s, orth
+        ),
+        enc AS (
+          SELECT vec_id, so.s, b.orth AS co, b.cw,
+                 list_dot_product(so.sv::DOUBLE[], so.sv::DOUBLE[])
+                 + list_dot_product(b.cw::DOUBLE[], b.cw::DOUBLE[])
+                 - 2 * list_dot_product(so.sv::DOUBLE[], b.cw::DOUBLE[])
+                   AS d2
+          FROM subo so JOIN book b USING (s)
+        ),
+        best AS (
+          SELECT vec_id, s, cw FROM (
+            SELECT vec_id, s, cw,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, co) AS rk
+            FROM enc
+          ) WHERE rk = 1
+        ),
+        recon AS (
+          SELECT vec_id, flatten(list(cw ORDER BY s)) AS r
+          FROM best GROUP BY vec_id
+        ),
+        n AS (
+          SELECT recon.vec_id, recon.r, vi.cell,
+                 CAST(list_dot_product(r::DOUBLE[], r::DOUBLE[]) AS BIGINT)
+                   AS n2
+          FROM recon JOIN vi USING (vec_id)
+        ),
+        qn AS (
+          SELECT vec_id, cell, vi AS qr,
+                 CAST(list_dot_product(vi::DOUBLE[], vi::DOUBLE[]) AS BIGINT)
+                   AS qn2
+          FROM vi WHERE vec_id < {N_QUERIES}
+        )
+        SELECT query_id, cand_id, cos_pq, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 CASE WHEN a.qn2 = 0 OR b.n2 = 0 THEN -2.0
+                      ELSE list_dot_product(a.qr::DOUBLE[], b.r::DOUBLE[])
+                           / sqrt(CAST(a.qn2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                 END AS cos_pq,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY CASE WHEN a.qn2 = 0 OR b.n2 = 0 THEN -2.0
+                      ELSE list_dot_product(a.qr::DOUBLE[], b.r::DOUBLE[])
+                           / sqrt(CAST(a.qn2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+                   END DESC, b.vec_id) AS rk
+          FROM qn a JOIN n b ON a.cell = b.cell AND b.vec_id != a.vec_id
         ) WHERE rk <= {TOP_K}
     """,
     "sim_lsh_bucket_histogram": f"""

@@ -426,8 +426,111 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_margins(load_table(spark, sf_dir, "documents"))
 
 
+#: Fixed-point scale for per-bigram log-probs: lp·2^20 is an EXACT double
+#: operation (pure exponent shift), so quantization adds no arithmetic
+#: error — the only cross-engine hazard is ln's own last-ulp wobble
+#: landing exactly on a floor boundary, and the measured distance to the
+#: nearest boundary is ~12 orders of magnitude wider (see
+#: tests/test_lm_perplexity.py).
+LM_SCALE = 1 << 20
+
+#: Keep gate on per-doc average negative log-likelihood (nats/bigram)
+#: under the corpus bigram LM, in LM_SCALE fixed point (3.5 nats — the
+#: measured sf0.01 avg_nll distribution spans ~3.26..3.61, so the gate
+#: cuts the surprising tail). 3.5·2^20 is exact; the keep decision is a
+#: pure integer comparison, so it cannot flip across engines.
+LM_NLL_KEEP_FP = 3670016  # = 3.5 * LM_SCALE, exact
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filter (the CCNet recipe): score every
+    document by its average negative log-likelihood under a bigram LM
+    trained on THE CORPUS ITSELF, then gate on the score — documents the
+    corpus-level LM finds surprising are the quality outliers. The third
+    quality rung beside the heuristic features (`text_quality_scores`) and
+    the hashed linear model (`text_quality_classifier`).
+
+    Model: add-one-smoothed conditional MLE, P(w2|w1) =
+    (c(w1,w2) + 1) / (c(w1·) + V) with c(w1·) the bigram-history count and
+    V the corpus vocabulary size. Both counts are window aggregations over
+    the corpus bigram frame — the "LM" is never a driver-side table, so
+    the op is three hash exchanges of the bigram frame ((w1,w2) → (w1) →
+    doc_id), each map-side combinable, plus one tiny distinct-vocab
+    aggregate broadcast back. That IS the distributed CCNet shape at
+    100 TB (production would persist the count frames as the reusable LM).
+
+    Cross-engine exactness: JVM and libm ln() disagree in the last ulp on
+    some inputs (observed directly on this corpus), so each bigram's
+    log-prob is quantized to LM_SCALE fixed point — floor(lp·2^20), where
+    the scaling is an exact exponent shift and the floor sits a measured
+    ~1e5 ulps from the nearest boundary (tests/test_lm_perplexity.py).
+    Everything downstream is integer algebra: the per-doc score is a plain
+    BIGINT sum (order-free, map-side combinable — no sorted-fold needed),
+    avg_nll re-derives from the integers via exact power-of-two division,
+    and the keep gate compares integers, so the decision cannot flip
+    across engines or partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = fan_out(docs).select("doc_id", words("text").alias("ws")).persist()
+    vsz = base.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("vsz")
+    )
+    big = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    from pyspark.sql import Window
+
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    lp = F.log(
+        (F.col("c2") + 1).cast("double")
+        / (F.col("c1") + F.col("vsz")).cast("double")
+    )
+    terms = (
+        big.withColumn("c2", c2)
+        .withColumn("c1", c1)
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.floor(lp * F.lit(float(LM_SCALE))).cast("bigint").alias("lq"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lq").alias("sq"),
+    )
+    avg_nll = (
+        (-F.col("sq")).cast("double") / F.lit(float(LM_SCALE))
+    ) / F.col("n_bigrams").cast("double")
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(avg_nll, F.lit(0.0)).alias("avg_nll"),
+            F.when(
+                F.col("sq").isNotNull()
+                & (-F.col("sq") <= F.lit(LM_NLL_KEEP_FP) * F.col("n_bigrams")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": quality_classifier,
+    "text_lm_perplexity": lm_perplexity,
     "text_quality_scores": quality_scores,
     "text_quality_filter": quality_filter,
     "text_language_id": language_id,
@@ -487,6 +590,47 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality_classifier": f"""
         WITH {_QC_GRAMS_CTE}
         SELECT doc_id, n_features, margin, quality_bucket FROM buckets
+    """,
+    # Bigram-LM perplexity: per-term log-probs quantized to LM_SCALE fixed
+    # point (floor margin measured); everything downstream is integer
+    # algebra, so the compare is bit-for-bit.
+    "text_lm_perplexity": f"""
+        WITH b0 AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        uni AS (
+          SELECT COUNT(DISTINCT w) AS vsz
+          FROM (SELECT unnest(ws) AS w FROM b0)
+        ),
+        big AS (
+          SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+            FROM b0
+          )
+        ),
+        cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+        ch AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        terms AS (
+          SELECT big.doc_id,
+                 CAST(floor(ln(CAST(cb.c2 + 1 AS DOUBLE)
+                               / CAST(ch.c1 + uni.vsz AS DOUBLE))
+                            * {LM_SCALE}.0) AS BIGINT) AS lq
+          FROM big JOIN cb USING (w1, w2) JOIN ch USING (w1) CROSS JOIN uni
+        ),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(lq) AS BIGINT) AS sq
+          FROM terms GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(CAST(-a.sq AS DOUBLE) / {LM_SCALE}.0 / a.n_bigrams,
+                        0.0) AS avg_nll,
+               CASE WHEN a.sq IS NOT NULL
+                         AND -a.sq <= {LM_NLL_KEEP_FP} * a.n_bigrams
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
     "text_dedup_segments": f"""
         WITH segs AS (

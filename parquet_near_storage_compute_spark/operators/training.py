@@ -476,6 +476,183 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Merge rounds the BPE trainer unrolls (contract-pinned; production runs
+#: thousands of rounds with the identical per-round dataflow).
+BPE_MERGE_ROUNDS = 6
+
+#: Per-token wrappers inside the packed token-string representation
+#: (``<a><b><c>``). Distinct open/close brackets matter: a shared
+#: single separator (``|a|a|``) makes consecutive merges steal each
+#:  other's boundary character — ``|a|a|a|a|`` would merge once, not
+#: twice — while wrapped tokens never share characters, so literal
+#: left-to-right replace IS BPE's greedy within-word merge. Neither
+#: bracket is in the corpus alphabet; both engines strip them from words
+#: defensively so the semantics stay total on arbitrary text.
+BPE_L = "<"
+BPE_R = ">"
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, full merge loop (round 4 extension): run
+    BPE_MERGE_ROUNDS rounds of the byte-pair-encoding trainer and emit the
+    merge table — per round the argmax adjacent token pair (weighted by
+    word frequency, ties to the lexicographically smallest pair), the
+    merged token, and its occurrence count. This is the artifact a real
+    tokenizer trainer produces; ``train_bpe_pair_counts`` is its first
+    round's statistic.
+
+    Dataflow (the actual distributed-BPE shape): the corpus is touched
+    ONCE — a single word-count shuffle builds the distinct-word vocabulary
+    with counts; every merge round then runs over the vocab frame (orders
+    of magnitude smaller than the corpus at any scale). Words are packed
+    as wrapped token strings (``<a><b><c>``); a merge is a literal
+    ``replace`` of ``<l><r>`` with ``<lr>`` — both engines scan
+    left-to-right non-overlapping over non-sharing matches, which IS
+    BPE's greedy within-word merge order (``<a><a><a><a>`` merging
+    ``a a`` → ``<aa><aa>``; a shared-separator encoding gets this wrong,
+    see BPE_L). The per-round argmax is a 1-row frame brought back via a
+    broadcast cross join, so the loop stays fully declarative — no
+    driver-side data moves — with ``localCheckpoint`` truncating the
+    per-round lineage exactly like ``iter_kmeans_lite``. At 100 TB: one
+    corpus shuffle + R vocab-sized aggregations, the textbook distributed
+    BPE recipe."""
+    from parquet_near_storage_compute_spark.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("raw"))
+        .select(
+            F.translate(F.col("raw"), BPE_L + BPE_R, "").alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    toks = vocab.select(
+        "n",
+        F.regexp_replace(F.col("word"), "(.)", BPE_L + r"$1" + BPE_R).alias(
+            "t"
+        ),
+    ).localCheckpoint()
+
+    rounds: list[DataFrame] = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        # token list: strip the outer brackets, split on the '><' joints
+        # ('>' and '<' are not regex metacharacters, so the literal split
+        # pattern is safe)
+        parts = F.split(
+            F.expr("substring(t, 2, length(t) - 2)"), BPE_R + BPE_L
+        )
+        prs = (
+            toks.select("n", parts.alias("p"))
+            .select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("p", 1, F.size("p") - 1).alias("l"),
+                        F.slice(F.col("p"), 2, F.size("p") - 1).alias("r"),
+                    )
+                ).alias("pr"),
+            )
+            .select("n", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        )
+        best = (
+            prs.groupBy("l", "r")
+            .agg(F.sum("n").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint()
+        )
+        rounds.append(
+            best.select(
+                F.lit(rnd).alias("merge_round"),
+                F.col("l").alias("lhs"),
+                F.col("r").alias("rhs"),
+                F.concat("l", "r").alias("merged"),
+                "n_occurrences",
+            )
+        )
+        toks = (
+            toks.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(
+                "n",
+                F.replace(
+                    F.col("t"),
+                    F.concat(
+                        F.lit(BPE_L),
+                        "l",
+                        F.lit(BPE_R + BPE_L),
+                        "r",
+                        F.lit(BPE_R),
+                    ),
+                    F.concat(F.lit(BPE_L), "l", F.col("r"), F.lit(BPE_R)),
+                ).alias("t"),
+            )
+            .localCheckpoint()
+        )
+
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _bpe_merges_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """Unroll the fixed-round BPE merge loop into one DuckDB query —
+    mirrors ``bpe_merges`` stage for stage (same token-string packing,
+    same greedy literal replace, same argmax tie-break)."""
+    parts = [
+        f"""
+        WITH w AS (
+          SELECT translate(unnest(string_split(text, ' ')),
+                           '{BPE_L}{BPE_R}', '') AS word
+          FROM documents
+        ),
+        v AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+          FROM w WHERE length(word) >= 2 GROUP BY word
+        ),
+        t0 AS (
+          SELECT n, regexp_replace(word, '(.)', '{BPE_L}\\1{BPE_R}', 'g') AS t
+          FROM v
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        p{i} AS (
+          SELECT n, pr[1] AS l, pr[2] AS r FROM (
+            SELECT n,
+                   unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS pr
+            FROM (SELECT n,
+                         string_split(substring(t, 2, length(t) - 2),
+                                      '{BPE_R}{BPE_L}') AS tk
+                  FROM t{i - 1})
+          )
+        ),
+        b{i} AS (
+          SELECT l, r, CAST(SUM(n) AS BIGINT) AS n_occurrences
+          FROM p{i} GROUP BY l, r
+          ORDER BY n_occurrences DESC, l, r LIMIT 1
+        ),
+        t{i} AS (
+          SELECT tp.n,
+                 replace(tp.t,
+                         '{BPE_L}' || b.l || '{BPE_R}{BPE_L}' || b.r || '{BPE_R}',
+                         '{BPE_L}' || b.l || b.r || '{BPE_R}') AS t
+          FROM t{i - 1} tp, b{i} b
+        )"""
+        )
+    selects = [
+        f"SELECT {i} AS merge_round, l AS lhs, r AS rhs, l || r AS merged, "
+        f"n_occurrences FROM b{i}"
+        for i in range(1, rounds + 1)
+    ]
+    parts.append("\n        " + "\n        UNION ALL ".join(selects))
+    return "".join(parts)
+
+
 #: Shuffle seed baked into the shard hash — changing it is a full reshuffle.
 SHUFFLE_SEED = 42
 
@@ -529,6 +706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_mixture_sample": mixture_sample,
     "train_curriculum_order": curriculum_order,
     "train_bpe_pair_counts": bpe_pair_counts,
+    "train_bpe_merges": bpe_merges,
     "train_quality_resample": quality_resample,
 }
 
@@ -538,6 +716,9 @@ from parquet_near_storage_compute_spark.operators.textops import (  # noqa: E402
 )
 
 ORACLE_SQL: dict[str, str] = {
+    # Fixed-round BPE merge loop unrolls into plain SQL — see
+    # _bpe_merges_oracle_sql.
+    "train_bpe_merges": _bpe_merges_oracle_sql(),
     "train_quality_resample": f"""
         WITH {_QC_GRAMS_CTE},
         decided AS (

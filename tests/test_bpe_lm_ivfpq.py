@@ -1,0 +1,248 @@
+"""Round-7 session-4 operators: the iterative BPE merge loop
+(`train_bpe_merges`), the bigram-LM perplexity filter
+(`text_lm_perplexity`), and the IVF-PQ ANN composition
+(`sim_topk_ivf_pq`).
+
+The registry sweep (test_registry_oracle.py) already differentially
+checks all three on the committed corpora; these tests pin the parts a
+green sweep alone can't prove — the greedy within-word merge order, the
+fixed-point floor margins and integer keep gate, the degenerate-document
+path, and the cell-subsumption claim of the IVF composition.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_near_storage_compute_spark.operators import similarity as S
+from parquet_near_storage_compute_spark.operators import textops as TX
+from parquet_near_storage_compute_spark.operators import training as TR
+from tests.oracle import compare
+
+
+def _register(con, sf_dir):
+    for t in ("documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+
+@pytest.fixture()
+def tiny_docs(spark, tmp_path):
+    """Hand-sized corpus factory: fully hand-checkable merge trajectories,
+    including a bracket character inside one word (the defensive-strip
+    path)."""
+
+    def make(rows):
+        out = str(tmp_path / "corpus")
+        spark.createDataFrame(
+            [
+                (i, t, "en", "unit", len(t))
+                for i, t in enumerate(rows)
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        return out
+
+    return make
+
+
+def test_bpe_merges_hand_trajectory(spark, tiny_docs):
+    """Corpus 'aaa aaa ab': round 1 merges (a,a) n=4 (greedy left-to-right
+    inside 'aaa' yields 'aa'+'a', NOT three overlapping pairs merged),
+    round 2 (aa,a) n=2, round 3 (a,b) n=1, rounds 4-6 have no pairs left
+    and emit nothing."""
+    d = tiny_docs(["aaa aaa ab"])
+    rows = sorted(
+        tuple(r) for r in TR.bpe_merges(spark, d).collect()
+    )
+    assert rows == [
+        (1, "a", "a", "aa", 4),
+        (2, "aa", "a", "aaa", 2),
+        (3, "a", "b", "ab", 1),
+    ]
+
+
+def test_bpe_merges_oracle_on_adversarial_corpus(spark, tiny_docs):
+    """Spark and DuckDB agree on a corpus exercising the greedy-overlap
+    path ('aaaa'), the defensive bracket strip ('a<b>' → 'ab'), and
+    tie-breaks."""
+    d = tiny_docs(["aaaa aaaa baa", "a<b> ab ab", "zz zz zz"])
+    con = duckdb.connect()
+    _register(con, d)
+    compare(TR.bpe_merges(spark, d), con, TR.ORACLE_SQL["train_bpe_merges"])
+
+
+def test_bpe_merges_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    compare(
+        TR.bpe_merges(spark, sf_dir), con, TR.ORACLE_SQL["train_bpe_merges"]
+    )
+
+
+def test_bpe_first_round_consistent_with_pair_counts(spark, sf_dir):
+    """Round 1 of the merge loop must be exactly the argmax of
+    train_bpe_pair_counts (the first-round statistic contract)."""
+    top = TR.bpe_pair_counts(spark, sf_dir).limit(1).collect()[0]
+    r1 = [r for r in TR.bpe_merges(spark, sf_dir).collect() if r.merge_round == 1][0]
+    assert (r1.lhs + r1.rhs, r1.n_occurrences) == (
+        top.pair,
+        top.n_occurrences,
+    )
+
+
+def test_lm_perplexity_matches_oracle_bitwise(spark, sf_dir):
+    """The fixed-point design's whole point: raw doubles equal, no
+    normalization allowed."""
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    srows = sorted(tuple(r) for r in TX.lm_perplexity(spark, sf_dir).collect())
+    drows = sorted(
+        tuple(r)
+        for r in con.execute(TX.ORACLE_SQL["text_lm_perplexity"]).fetchall()
+    )
+    assert srows == drows
+
+
+def test_lm_perplexity_floor_margin(sf_dir):
+    """Every distinct per-bigram log-prob must sit far from its fixed-point
+    floor boundary relative to ln's last-ulp cross-engine wobble (observed
+    ~4e-16 relative ≈ 1e-9 in scaled units; demand ≥ 1e-6)."""
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    margin, n = con.execute(
+        f"""
+        WITH b0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        uni AS (SELECT COUNT(DISTINCT w) AS vsz
+                FROM (SELECT unnest(ws) AS w FROM b0)),
+        big AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM (
+          SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pr
+          FROM b0)),
+        cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+        ch AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+        x AS (SELECT DISTINCT
+                ln(CAST(cb.c2+1 AS DOUBLE)/CAST(ch.c1+uni.vsz AS DOUBLE))
+                  * {TX.LM_SCALE}.0 AS s
+              FROM big JOIN cb USING (w1, w2) JOIN ch USING (w1) CROSS JOIN uni)
+        SELECT MIN(LEAST(s - floor(s), ceil(s) - s)), COUNT(*) FROM x
+        """
+    ).fetchone()
+    assert n > 0
+    assert margin >= 1e-6, margin
+
+
+def test_lm_perplexity_gate_splits_and_is_integer_exact(spark, sf_dir):
+    """The gate must actually separate the corpus (both decisions occur)
+    and, being an integer comparison, must agree exactly with a Python
+    integer replay of -sq <= GATE * n."""
+    rows = TX.lm_perplexity(spark, sf_dir).collect()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        if r.n_bigrams == 0:
+            assert r.keep == 0 and r.avg_nll == 0.0
+            continue
+        sq = -round(r.avg_nll * TX.LM_SCALE * r.n_bigrams)
+        assert r.keep == int(-sq <= TX.LM_NLL_KEEP_FP * r.n_bigrams), r
+
+
+def test_lm_perplexity_degenerate_docs(spark, tiny_docs):
+    """Empty and single-word documents have no bigrams: n_bigrams=0,
+    avg_nll=0.0, keep=0 — and the oracle agrees on the same corpus."""
+    d = tiny_docs(["", "hello", "the cat sat on the mat", "the cat sat"])
+    con = duckdb.connect()
+    _register(con, d)
+    compare(
+        TX.lm_perplexity(spark, d), con, TX.ORACLE_SQL["text_lm_perplexity"]
+    )
+    rows = {r.doc_id: r for r in TX.lm_perplexity(spark, d).collect()}
+    assert rows[0].n_bigrams == 0 and rows[0].keep == 0
+    assert rows[1].n_bigrams == 0 and rows[1].keep == 0
+    assert rows[2].n_bigrams == 5 and rows[3].n_bigrams == 2
+
+
+def test_lm_perplexity_scores_are_plausible_nll(spark, sf_dir):
+    """avg_nll must equal -(Σ floor-quantized ln P)/n per doc — spot-check
+    magnitude: within [0, ln(V_max)] for any corpus (perplexity can never
+    exceed the smoothed event space)."""
+    rows = [r for r in TX.lm_perplexity(spark, sf_dir).collect() if r.n_bigrams]
+    assert rows
+    for r in rows:
+        assert 0.0 < r.avg_nll < math.log(10_000_000), r
+
+
+def test_ivf_pq_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    compare(
+        S.topk_ivf_pq(spark, sf_dir), con, S.ORACLE_SQL["sim_topk_ivf_pq"]
+    )
+
+
+def test_ivf_pq_bit_identical_and_subsumed_by_cells(spark, sf_dir):
+    """IVF-PQ = PQ's ADC scoring restricted to the query's coarse cell:
+    raw doubles must match the oracle bit-for-bit, and every returned
+    candidate must share the query's cell assignment."""
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    srows = sorted(tuple(r) for r in S.topk_ivf_pq(spark, sf_dir).collect())
+    drows = sorted(
+        tuple(r)
+        for r in con.execute(S.ORACLE_SQL["sim_topk_ivf_pq"]).fetchall()
+    )
+    assert srows == drows
+    cells = dict(
+        con.execute(
+            """
+            WITH pos AS (
+              SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding::DOUBLE[]) AS x
+              FROM embeddings
+            ),
+            cent AS (SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+            cvec AS (SELECT label AS cell, list(c ORDER BY pos) AS centroid
+                     FROM cent GROUP BY label),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, c.cell,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.v, c.centroid)
+                                / (sqrt(list_dot_product(v.v, v.v))
+                                   * sqrt(list_dot_product(c.centroid, c.centroid)))
+                                DESC, c.cell) AS crk
+              FROM v CROSS JOIN cvec c
+            ) WHERE crk = 1
+            """
+        ).fetchall()
+    )
+    for q, cand, _, _ in srows:
+        assert cells[q] == cells[cand], (q, cand)
+
+
+def test_ivf_pq_recall_is_cell_bound(spark, sf_dir):
+    """On this near-random corpus the composition's recall equals the IVF
+    parent's (measured: the single-probe cell restriction is the binding
+    loss; PQ distortion costs nothing additional at k=3) — pin that
+    IVF-PQ never recalls FEWER exact pairs than IVF-SQ8 minus slack, and
+    that all three IVF variants return exactly k rows per query."""
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in S.topk_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = {(r.query_id, r.cand_id) for r in S.topk_ivf(spark, sf_dir).collect()}
+    ivfpq = {
+        (r.query_id, r.cand_id) for r in S.topk_ivf_pq(spark, sf_dir).collect()
+    }
+    assert len(ivfpq) == len(ivf) == S.N_QUERIES * S.TOP_K
+    assert len(exact & ivfpq) >= len(exact & ivf) - 2

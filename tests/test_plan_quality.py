@@ -35,6 +35,15 @@ BNLJ_WHITELIST = {
     # PQ: the N_QUERIES-row lattice frame broadcasts against the code
     # scan, as sim_topk_sq8
     "sim_topk_pq",
+    # IVF-PQ: the ~k-row centroid codebook cross join, as sim_topk_ivf
+    # (the candidate scoring itself equi-joins on the cell key)
+    "sim_topk_ivf_pq",
+    # corpus-vocabulary constant: 1-row countDistinct frame broadcast
+    # onto the bigram term frame (the text_tfidf_topk shape)
+    "text_lm_perplexity",
+    # per-round argmax: the 1-row best-pair frame broadcasts onto the
+    # vocab-sized token frame, once per unrolled merge round
+    "train_bpe_merges",
     # SemDeDup: the ~k-row centroid codebook cross join for cell
     # assignment, as sim_topk_ivf (the pair work itself equi-joins on
     # the salted cell key)

@@ -6,7 +6,7 @@ Spark-vs-DuckDB oracle harness as the registry sweep. Catches data-shape
 assumptions that 165 green contracts on one corpus can't.
 
 r6 ran 26 contracts × 2 seeds (and caught a real oracle bug on first
-contact); r7 (VERDICT r6 #5) widens to 78 shape-sensitive contracts × 3
+contact); r7 (VERDICT r6 #5) widens to 81 shape-sensitive contracts × 3
 seeds, adding the previously untouched families: windows, the join
 surface, snowset, sketches, table maintenance, and similarity over a
 duplicate-heavy random embedding corpus.
@@ -104,6 +104,9 @@ CONTRACTS = [
     # centroid-cosine BITWISE, so the (cc equal → vec_id) priority tie
     # branch fires — the fixed corpus never ties
     "dedup_semantic_clusters",
+    # IVF-PQ on the same corpus: identical vectors share cell AND code,
+    # so exact ADC ties resolve through the cand_id break within a cell
+    "sim_topk_ivf_pq",
     "dedup_embedding_lsh",
     "dedup_key",
     "dedup_minhash_lsh",
@@ -113,6 +116,11 @@ CONTRACTS = [
     "text_quality_filter",
     "train_chunk_documents",
     "train_contamination_check",
+    # bigram-LM + BPE on the random corpus: empty documents, single-word
+    # documents (no bigrams), a 15% exact-duplicate cluster (hot bigram
+    # counts) and three languages' worth of shared vocabulary
+    "text_lm_perplexity",
+    "train_bpe_merges",
     "agg_cube",
     "agg_grouping_sets",
     "agg_min_max_by",
