@@ -102,6 +102,8 @@ def main() -> None:
         "sim_topk_ivf_pq",
         "text_lm_perplexity",
         "train_bpe_merges",
+        "sim_topk_ivf_mp",
+        "train_bpe_encode",
     ]
     headline = core22 + r6_added + r7_added
     queries = all_queries()

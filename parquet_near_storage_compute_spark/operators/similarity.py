@@ -1423,12 +1423,94 @@ def topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Coarse cells a multiprobe query searches (`sim_topk_ivf_mp`). nprobe is
+#: THE recall/latency lever of a deployed IVF index: cells are the
+#: partition key at 100 TB, so nprobe = the number of partitions a query
+#: touches. The probe-set boundary (cell rank NPROBE vs NPROBE+1) is a
+#: float ranking — its measured margin on this corpus is asserted ≫
+#: cross-engine drift in tests/test_ivf_multiprobe.py.
+NPROBE = 2
+
+
+def topk_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe IVF ANN: identical to `sim_topk_ivf` except the QUERY
+    probes its NPROBE nearest coarse cells instead of one — the standard
+    recall dial of an inverted-file deployment (FAISS `nprobe`).
+    Candidates keep their single home cell (the inverted-file layout is
+    unchanged; only the query-side fan-out grows), so each (query,
+    candidate) pair arises at most once and no dedup step is needed.
+    Scoring within the probed cells is the exact cosine, rank per query
+    across ALL probed cells. Recall can only improve over single-probe:
+    the candidate set is a superset, so the exact top-k within it is at
+    least as close to the brute-force answer (pinned by test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(emb)
+    v = fan_out(emb).select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    scored_cells = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cell",
+        (
+            dot(F.col("v"), F.col("centroid"))
+            / (F.col("nrm") * norm(F.col("centroid")))
+        ).alias("cell_cos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
+    # persisted: the ranked assignment feeds both the probe list (crk <=
+    # NPROBE, query side) and the inverted file (crk == 1, candidate side)
+    ranked = (
+        scored_cells.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= NPROBE)
+        .select("vec_id", "v", "nrm", "cell", "crk")
+        .persist()
+    )
+    q = ranked.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cell").alias("qcell"),
+    )
+    c = ranked.filter(F.col("crk") == 1).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("cell").alias("ccell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("qcell") == F.col("ccell"))
+            & (F.col("query_id") != F.col("cand_id")),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cos_sim", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
     "sim_dedup_decisions": embedding_dedup_decisions,
     "sim_topk_numpy": topk_numpy,
     "sim_topk_lsh": topk_lsh,
     "sim_topk_ivf": topk_ivf,
+    "sim_topk_ivf_mp": topk_ivf_mp,
     "sim_topk_sq8": topk_sq8,
     "sim_topk_ivf_sq8": topk_ivf_sq8,
     "sim_topk_ivf_pq": topk_ivf_pq,
@@ -1850,6 +1932,43 @@ ORACLE_SQL: dict[str, str] = {
                            / sqrt(CAST(a.qn2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
                    END DESC, b.vec_id) AS rk
           FROM qn a JOIN n b ON b.vec_id != a.vec_id
+        ) WHERE rk <= {TOP_K}
+    """,
+    # Multiprobe IVF: sim_topk_ivf's CTEs with the query side widened to
+    # its NPROBE nearest cells; candidates keep their single home cell.
+    "sim_topk_ivf_mp": f"""
+        WITH pos AS (
+          SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+                 unnest(embedding::DOUBLE[]) AS x
+          FROM embeddings
+        ),
+        cent AS (SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+        cvec AS (
+          SELECT label AS cell, list(c ORDER BY pos) AS centroid
+          FROM cent GROUP BY label
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ranked AS (
+          SELECT vec_id, v, cell, crk FROM (
+            SELECT v.vec_id, v.v, c.cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY list_dot_product(v.v, c.centroid)
+                              / (sqrt(list_dot_product(v.v, v.v))
+                                 * sqrt(list_dot_product(c.centroid, c.centroid)))
+                              DESC, c.cell) AS crk
+            FROM v CROSS JOIN cvec c
+          ) WHERE crk <= {NPROBE}
+        )
+        SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                 {_COS} AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {_COS} DESC, b.vec_id) AS rk
+          FROM ranked a
+          JOIN ranked b ON a.cell = b.cell AND b.crk = 1
+                        AND b.vec_id != a.vec_id
+          WHERE a.vec_id < {N_QUERIES}
         ) WHERE rk <= {TOP_K}
     """,
     # IVF-PQ: sim_topk_ivf's assignment CTEs + sim_topk_pq's codebook/

@@ -452,12 +452,19 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Model: add-one-smoothed conditional MLE, P(w2|w1) =
     (c(w1,w2) + 1) / (c(w1·) + V) with c(w1·) the bigram-history count and
-    V the corpus vocabulary size. Both counts are window aggregations over
-    the corpus bigram frame — the "LM" is never a driver-side table, so
-    the op is three hash exchanges of the bigram frame ((w1,w2) → (w1) →
-    doc_id), each map-side combinable, plus one tiny distinct-vocab
-    aggregate broadcast back. That IS the distributed CCNet shape at
-    100 TB (production would persist the count frames as the reusable LM).
+    V the corpus vocabulary size. The "LM" is never a driver-side table —
+    it is the DISTINCT-bigram frame with its log-prob column (exactly the
+    count table production would persist as the reusable LM): the corpus
+    collapses once to per-(doc, bigram) multiplicities (map-side
+    combinable, so a hot bigram partial-aggregates per mapper instead of
+    flooding one task — the reason this is groupBy+join and NOT a window
+    over partitionBy(w1), which would put every occurrence of the hottest
+    history word into a single window task at 100 TB), the conditional
+    counts re-aggregate from THAT frame (two distinct-bigram-sized
+    exchanges), and the scored LM joins back per (w1, w2) — skew there is
+    bounded by per-doc multiplicities already being collapsed, and AQE
+    splits any residual hot key. One tiny distinct-vocab aggregate
+    broadcasts V.
 
     Cross-engine exactness: JVM and libm ln() disagree in the last ulp on
     some inputs (observed directly on this corpus), so each bigram's
@@ -486,26 +493,37 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    from pyspark.sql import Window
-
-    c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
-    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    # per-(doc, bigram) multiplicities: the corpus' one full-width shuffle.
+    # persisted — it feeds the conditional-count build AND the score join;
+    # uncached, both consumers would re-shuffle the corpus
+    bg = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
+    )
+    # conditional counts re-aggregate from bg (distinct-bigram-sized work)
+    cb = bg.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    ch = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
     lp = F.log(
         (F.col("c2") + 1).cast("double")
         / (F.col("c1") + F.col("vsz")).cast("double")
     )
-    terms = (
-        big.withColumn("c2", c2)
-        .withColumn("c1", c1)
+    lm = (
+        cb.join(ch, "w1")
         .crossJoin(F.broadcast(vsz))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.floor(lp * F.lit(float(LM_SCALE))).cast("bigint").alias("lq"),
         )
     )
-    scored = terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("lq").alias("sq"),
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("lq")).alias("sq"),
+        )
     )
     avg_nll = (
         (-F.col("sq")).cast("double") / F.lit(float(LM_SCALE))

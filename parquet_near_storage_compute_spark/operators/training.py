@@ -492,6 +492,80 @@ BPE_L = "<"
 BPE_R = ">"
 
 
+def _bpe_pack(word_col: str = "word"):
+    """word → bracket-wrapped token string (``abc`` → ``<a><b><c>``)."""
+    return F.regexp_replace(F.col(word_col), "(.)", BPE_L + r"$1" + BPE_R)
+
+
+def _bpe_loop(toks: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """Run BPE_MERGE_ROUNDS greedy merge rounds over a packed vocab frame
+    ``(word, n, t)``; returns (per-round 1-row best frames, final frame).
+
+    Each best frame always has EXACTLY one row — the argmax is a global
+    ``min(struct(-n, l, r))`` aggregate (n desc, then lexicographically
+    smallest pair), whose fields are NULL once the vocabulary is fully
+    merged — so the replace pass can guard with ``coalesce`` and the loop
+    stays total: exhausted rounds are no-ops instead of emptying the
+    frame. ``localCheckpoint`` truncates per-round lineage exactly like
+    ``iter_kmeans_lite``."""
+    rounds: list[DataFrame] = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        # token list: strip the outer brackets, split on the '><' joints
+        # ('>' and '<' are not regex metacharacters, so the literal split
+        # pattern is safe)
+        parts = F.split(
+            F.expr("substring(t, 2, length(t) - 2)"), BPE_R + BPE_L
+        )
+        prs = (
+            toks.select("n", parts.alias("p"))
+            .select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("p", 1, F.size("p") - 1).alias("l"),
+                        F.slice(F.col("p"), 2, F.size("p") - 1).alias("r"),
+                    )
+                ).alias("pr"),
+            )
+            .select("n", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        )
+        best = (
+            prs.groupBy("l", "r")
+            .agg(F.sum("n").alias("n_occurrences"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n_occurrences")).alias("negn"), "l", "r"
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.lit(rnd).alias("merge_round"),
+                F.col("b.l").alias("l"),
+                F.col("b.r").alias("r"),
+                (-F.col("b.negn")).alias("n_occurrences"),
+            )
+            .localCheckpoint()
+        )
+        rounds.append(best)
+        pat = F.concat(
+            F.lit(BPE_L), "l", F.lit(BPE_R + BPE_L), "r", F.lit(BPE_R)
+        )
+        rep = F.concat(F.lit(BPE_L), "l", F.col("r"), F.lit(BPE_R))
+        toks = (
+            toks.crossJoin(F.broadcast(best.select("l", "r")))
+            .select(
+                "word",
+                "n",
+                F.coalesce(F.replace(F.col("t"), pat, rep), F.col("t")).alias(
+                    "t"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return rounds, toks
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer induction, full merge loop (round 4 extension): run
     BPE_MERGE_ROUNDS rounds of the byte-pair-encoding trainer and emit the
@@ -529,73 +603,162 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    toks = vocab.select(
-        "n",
-        F.regexp_replace(F.col("word"), "(.)", BPE_L + r"$1" + BPE_R).alias(
-            "t"
-        ),
-    ).localCheckpoint()
+    toks = vocab.select("word", "n", _bpe_pack().alias("t")).localCheckpoint()
 
-    rounds: list[DataFrame] = []
-    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
-        # token list: strip the outer brackets, split on the '><' joints
-        # ('>' and '<' are not regex metacharacters, so the literal split
-        # pattern is safe)
-        parts = F.split(
-            F.expr("substring(t, 2, length(t) - 2)"), BPE_R + BPE_L
-        )
-        prs = (
-            toks.select("n", parts.alias("p"))
-            .select(
-                "n",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("p", 1, F.size("p") - 1).alias("l"),
-                        F.slice(F.col("p"), 2, F.size("p") - 1).alias("r"),
-                    )
-                ).alias("pr"),
-            )
-            .select("n", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-        )
-        best = (
-            prs.groupBy("l", "r")
-            .agg(F.sum("n").alias("n_occurrences"))
-            .orderBy(F.col("n_occurrences").desc(), "l", "r")
-            .limit(1)
-            .localCheckpoint()
-        )
-        rounds.append(
-            best.select(
-                F.lit(rnd).alias("merge_round"),
-                F.col("l").alias("lhs"),
-                F.col("r").alias("rhs"),
-                F.concat("l", "r").alias("merged"),
-                "n_occurrences",
-            )
-        )
-        toks = (
-            toks.crossJoin(F.broadcast(best.select("l", "r")))
-            .select(
-                "n",
-                F.replace(
-                    F.col("t"),
-                    F.concat(
-                        F.lit(BPE_L),
-                        "l",
-                        F.lit(BPE_R + BPE_L),
-                        "r",
-                        F.lit(BPE_R),
-                    ),
-                    F.concat(F.lit(BPE_L), "l", F.col("r"), F.lit(BPE_R)),
-                ).alias("t"),
-            )
-            .localCheckpoint()
-        )
-
+    rounds, _ = _bpe_loop(toks)
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionAll(r)
-    return out
+    # exhausted rounds carry NULL pairs (the loop's total-function guard) —
+    # they are "no merge happened" and stay out of the merge table
+    return out.filter(F.col("l").isNotNull()).select(
+        "merge_round",
+        F.col("l").alias("lhs"),
+        F.col("r").alias("rhs"),
+        F.concat("l", "r").alias("merged"),
+        "n_occurrences",
+    )
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus — the other half of
+    the tokenizer loop (``train_bpe_merges`` trains it; this op measures
+    what the tokenizer DOES to the data): per document, the word count,
+    the post-merge token count, and the tokens-per-word ratio the packing
+    and context-length planners consume.
+
+    The merges are re-derived with the identical loop over the full
+    (length ≥ 1) vocabulary — 1-char words contribute no adjacent pairs,
+    so the trajectory is exactly ``train_bpe_merges``'s (pinned by test) —
+    and the encode itself is vocabulary-sized: tokens are counted per
+    DISTINCT word once, then joined back to the corpus word frame (a hash
+    join on the word key; at 100 TB the vocab is sublinear in the corpus,
+    the corpus is touched twice through one persisted narrow projection).
+    Exhausted merge rounds are no-ops (the loop's coalesce guard), so the
+    contract is total on any corpus."""
+    from parquet_near_storage_compute_spark.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    # persisted: feeds the vocabulary build AND the per-doc mapping
+    wordsf = (
+        fan_out(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("raw"))
+        .select(
+            "doc_id", F.translate(F.col("raw"), BPE_L + BPE_R, "").alias("word")
+        )
+        .filter(F.length("word") >= 1)
+        .persist()
+    )
+    vocab = wordsf.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    toks = vocab.select("word", "n", _bpe_pack().alias("t")).localCheckpoint()
+    _, final = _bpe_loop(toks)
+    word_tokens = final.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(t, 2, length(t) - 2)"), BPE_R + BPE_L)
+        ).alias("word_tokens"),
+    )
+    per_doc = (
+        wordsf.join(word_tokens, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.when(
+                F.col("n_words").isNotNull(),
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tokens_per_word"),
+        )
+    )
+
+
+def _bpe_encode_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """Unrolled encode chain: the merge rounds over the full (length ≥ 1)
+    vocabulary, each replace guarded by COALESCE over a scalar subquery so
+    an exhausted round is a no-op (mirroring the Spark loop's guard), then
+    the per-word token count joined back to the corpus word frame."""
+    parts = [
+        f"""
+        WITH w1 AS (
+          SELECT doc_id,
+                 translate(unnest(string_split(text, ' ')),
+                           '{BPE_L}{BPE_R}', '') AS word
+          FROM documents
+        ),
+        w AS (SELECT doc_id, word FROM w1 WHERE length(word) >= 1),
+        v AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word
+        ),
+        e0 AS (
+          SELECT word, n,
+                 regexp_replace(word, '(.)', '{BPE_L}\\1{BPE_R}', 'g') AS t
+          FROM v
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        p{i} AS (
+          SELECT n, pr[1] AS l, pr[2] AS r FROM (
+            SELECT n,
+                   unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS pr
+            FROM (SELECT n,
+                         string_split(substring(t, 2, length(t) - 2),
+                                      '{BPE_R}{BPE_L}') AS tk
+                  FROM e{i - 1})
+          )
+        ),
+        b{i} AS (
+          SELECT l, r, CAST(SUM(n) AS BIGINT) AS n_occurrences
+          FROM p{i} GROUP BY l, r
+          ORDER BY n_occurrences DESC, l, r LIMIT 1
+        ),
+        e{i} AS (
+          SELECT word, n,
+                 COALESCE(
+                   replace(t,
+                           (SELECT '{BPE_L}' || l || '{BPE_R}{BPE_L}' || r
+                                   || '{BPE_R}' FROM b{i}),
+                           (SELECT '{BPE_L}' || l || r || '{BPE_R}'
+                            FROM b{i})),
+                   t) AS t
+          FROM e{i - 1}
+        )"""
+        )
+    parts.append(
+        f""",
+        tok AS (
+          SELECT word,
+                 len(string_split(substring(t, 2, length(t) - 2),
+                                  '{BPE_R}{BPE_L}')) AS word_tokens
+          FROM e{rounds}
+        ),
+        pd AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                 CAST(SUM(word_tokens) AS BIGINT) AS n_tokens
+          FROM w JOIN tok USING (word) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(pd.n_words, 0) AS n_words,
+               COALESCE(pd.n_tokens, 0) AS n_tokens,
+               CASE WHEN pd.n_words IS NOT NULL
+                    THEN CAST(pd.n_tokens AS DOUBLE) / pd.n_words
+                    ELSE 0.0 END AS tokens_per_word
+        FROM documents d LEFT JOIN pd USING (doc_id)"""
+    )
+    return "".join(parts)
 
 
 def _bpe_merges_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
@@ -707,6 +870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_curriculum_order": curriculum_order,
     "train_bpe_pair_counts": bpe_pair_counts,
     "train_bpe_merges": bpe_merges,
+    "train_bpe_encode": bpe_encode,
     "train_quality_resample": quality_resample,
 }
 
@@ -719,6 +883,9 @@ ORACLE_SQL: dict[str, str] = {
     # Fixed-round BPE merge loop unrolls into plain SQL — see
     # _bpe_merges_oracle_sql.
     "train_bpe_merges": _bpe_merges_oracle_sql(),
+    # Encode chain: the same rounds over the full vocab with
+    # exhaustion-guarded replaces, then per-doc token accounting.
+    "train_bpe_encode": _bpe_encode_oracle_sql(),
     "train_quality_resample": f"""
         WITH {_QC_GRAMS_CTE},
         decided AS (

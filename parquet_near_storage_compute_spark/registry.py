@@ -13,13 +13,14 @@ the new-in-r3/r4 contracts plus the oldest r2 fill; round 5 the r2-only
 stragglers plus everything r5 modified; round 6 the 22 never-checked
 r5-third-session contracts + 3 modified + the 25 oldest r3 rows — all 50/50
 green, leaving 161 of 163 contracts driver-confirmed. Round 7's window
-(VERDICT r6 #1): the 2 deferred r6 contracts + 13 new + 3 modified lead,
+(VERDICT r6 #1): the 2 deferred r6 contracts + 15 new + 3 modified lead,
 then the 21 remaining r3-row contracts, then the oldest r4 rows as fill.
 After this window lands green, no live contract is unchecked and only
-ten driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
+twelve driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
 dedup_ngram_jaccard, events_retention_cohorts, mm_resize,
 source_csv_scan, source_partitioned_scan, stream_sliding_counts,
-train_bpe_pair_counts, train_curriculum_order — bumped by the window's
+train_bpe_pair_counts, train_contamination_check,
+train_curriculum_order, train_mixture_sample — bumped by the window's
 fixed 50 slots) are staler than round 5.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
@@ -83,8 +84,11 @@ DEFERRED_TO_R7 = [
 #: bandwidth of scanning it), the bigram-LM perplexity quality filter
 #: (the CCNet recipe, fixed-point integer keep gate) and the full BPE
 #: merge loop (the tokenizer-trainer artifact;
-#: ``train_bpe_pair_counts`` is its round 1) — never driver-checked,
-#: enter the window immediately.
+#: ``train_bpe_pair_counts`` is its round 1), the multiprobe IVF
+#: variant (nprobe — THE deployed recall/latency dial) and the BPE
+#: encode pass (the trained merges applied back to the corpus; closes
+#: the tokenizer loop) — never driver-checked, enter the window
+#: immediately.
 NEW_IN_R7 = [
     "dedup_image_phash",
     "dedup_audio_fingerprint",
@@ -99,6 +103,8 @@ NEW_IN_R7 = [
     "sim_topk_ivf_pq",
     "text_lm_perplexity",
     "train_bpe_merges",
+    "sim_topk_ivf_mp",
+    "train_bpe_encode",
 ]
 
 #: Contracts round 7 modifies that already carry driver rows — the change
@@ -115,17 +121,19 @@ MODIFIED_IN_R7 = [
 ]
 
 #: The round-7 driver correctness window (VERDICT r6 #1): the 2 deferred
-#: r6 contracts + 13 new + 3 modified lead; then every contract still on
+#: r6 contracts + 15 new + 3 modified lead; then every contract still on
 #: a round-3 driver row (21 — window_*, stream_* ×4, train_* ×4,
 #: iter_kmeans_lite, agg_min_max_by, agg_stats, agg_percentile); the
-#: remaining 11 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
+#: remaining 9 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
 #: order. After this window lands green, no live contract is unchecked
-#: and only ten driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
-#: dedup_ngram_jaccard, events_retention_cohorts, mm_resize,
-#: source_csv_scan, source_partitioned_scan, stream_sliding_counts,
-#: train_bpe_pair_counts, train_curriculum_order) are older than round
-#: 5 — they lost their slots to the r7 session-2/3/4 contracts
-#: (never-checked beats stale-r4) and lead the r8 rotation.
+#: and only twelve driver rows (dedup_blocked_jaccard,
+#: dedup_minhash_lsh, dedup_ngram_jaccard, events_retention_cohorts,
+#: mm_resize, source_csv_scan, source_partitioned_scan,
+#: stream_sliding_counts, train_bpe_pair_counts,
+#: train_contamination_check, train_curriculum_order,
+#: train_mixture_sample) are older than round 5 — they lost their slots
+#: to the r7 session-2/3/4 contracts (never-checked beats stale-r4) and
+#: lead the r8 rotation.
 _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     # the 21 round-3-row contracts, alphabetical
     "agg_min_max_by",
@@ -159,8 +167,6 @@ _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     "text_tfidf_topk",
     "text_pii_scrub",
     "train_chunk_documents",
-    "train_contamination_check",
-    "train_mixture_sample",
 ]
 
 

@@ -246,3 +246,78 @@ def test_ivf_pq_recall_is_cell_bound(spark, sf_dir):
     }
     assert len(ivfpq) == len(ivf) == S.N_QUERIES * S.TOP_K
     assert len(exact & ivfpq) >= len(exact & ivf) - 2
+
+
+def test_bpe_encode_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    compare(
+        TR.bpe_encode(spark, sf_dir), con, TR.ORACLE_SQL["train_bpe_encode"]
+    )
+
+
+def test_bpe_encode_hand_trajectory(spark, tiny_docs):
+    """'abcdefgh ij': the lexicographic tie-break cascades the merges down
+    one word (ab, abc, ..., abcdefg over 6 rounds), leaving 'abcdefgh' as
+    2 tokens and 'ij' unmerged at 2 — a PARTIAL encode, not the all-or-
+    nothing the sf corpora mostly produce. Empty docs count 0 words; a
+    1-char word is a single token (present in the encode vocabulary even
+    though it can never participate in a merge)."""
+    d = tiny_docs(["abcdefgh ij", "", "q"])
+    rows = {r.doc_id: r for r in TR.bpe_encode(spark, d).collect()}
+    assert (rows[0].n_words, rows[0].n_tokens, rows[0].tokens_per_word) == (
+        2,
+        4,
+        2.0,
+    )
+    assert (rows[1].n_words, rows[1].n_tokens, rows[1].tokens_per_word) == (
+        0,
+        0,
+        0.0,
+    )
+    assert (rows[2].n_words, rows[2].n_tokens, rows[2].tokens_per_word) == (
+        1,
+        1,
+        1.0,
+    )
+    con = duckdb.connect()
+    _register(con, d)
+    compare(TR.bpe_encode(spark, d), con, TR.ORACLE_SQL["train_bpe_encode"])
+
+
+def test_bpe_encode_trains_the_same_merges(spark, sf_dir):
+    """bpe_encode re-derives its merge table over the FULL (len >= 1)
+    vocabulary; train_bpe_merges trains on the len >= 2 subset. The
+    trajectories must be identical — 1-char words contribute no adjacent
+    pairs, so the filter is a row-count optimization, not a semantic
+    choice. This pins that equivalence (if it broke, encode would silently
+    tokenize with a different tokenizer than the published merge table)."""
+    import pyspark.sql.functions as F
+    from parquet_near_storage_compute_spark.tables import fan_out
+    from parquet_near_storage_compute_spark.operators.training import (
+        _bpe_loop,
+        _bpe_pack,
+        BPE_L,
+        BPE_R,
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("raw"))
+        .select(F.translate(F.col("raw"), BPE_L + BPE_R, "").alias("word"))
+    )
+    out = []
+    for min_len in (1, 2):
+        vocab = (
+            base.filter(F.length("word") >= min_len)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        toks = vocab.select(
+            "word", "n", _bpe_pack().alias("t")
+        ).localCheckpoint()
+        rounds, _ = _bpe_loop(toks)
+        out.append([tuple(r.collect()[0]) for r in rounds])
+    assert out[0] == out[1]

@@ -38,12 +38,17 @@ BNLJ_WHITELIST = {
     # IVF-PQ: the ~k-row centroid codebook cross join, as sim_topk_ivf
     # (the candidate scoring itself equi-joins on the cell key)
     "sim_topk_ivf_pq",
+    # multiprobe IVF: the same ~k-row codebook cross join; candidate
+    # search equi-joins on the cell key across the query's NPROBE cells
+    "sim_topk_ivf_mp",
     # corpus-vocabulary constant: 1-row countDistinct frame broadcast
     # onto the bigram term frame (the text_tfidf_topk shape)
     "text_lm_perplexity",
     # per-round argmax: the 1-row best-pair frame broadcasts onto the
     # vocab-sized token frame, once per unrolled merge round
     "train_bpe_merges",
+    # same loop inside the encode pass
+    "train_bpe_encode",
     # SemDeDup: the ~k-row centroid codebook cross join for cell
     # assignment, as sim_topk_ivf (the pair work itself equi-joins on
     # the salted cell key)

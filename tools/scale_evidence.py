@@ -381,6 +381,8 @@ def run(
     if skip_contamination:
         return _knn_section(spark, S, big, out)
 
+    _lm_bpe_section(spark, sf_dir, big, out)
+
     grams = docs.select(
         "doc_id",
         (F.col("doc_id") % T.EVAL_MOD == 0).alias("is_eval"),
@@ -407,6 +409,80 @@ def run(
     }
 
     return _knn_section(spark, S, big, out)
+
+
+def _lm_bpe_section(spark, sf_dir: str, big: str, out: dict) -> None:
+    """r7 session 4 scale laws, measured base vs REPS×:
+
+    - text_lm_perplexity: the LM (distinct-bigram) frame — the input to
+      the conditional-count aggregations and the build side of the score
+      join — must be ~flat under replication (replicas add only the
+      ' r{n}' suffix bigrams), while the corpus-side per-(doc, bigram)
+      frame grows linearly (it carries per-doc multiplicities, already
+      collapsed map-side, so no hot-key task ever sees raw occurrences).
+    - train_bpe_merges / train_bpe_encode: every merge round and the
+      token-count build run over the distinct-word vocabulary — also
+      ~flat under replication — so replication cost is confined to the
+      ONE corpus word-count shuffle and (for encode) the final per-doc
+      join."""
+    from parquet_near_storage_compute_spark.functions.text import words
+    from parquet_near_storage_compute_spark.operators import (
+        textops as TX,
+        training as T,
+    )
+    from parquet_near_storage_compute_spark.tables import fan_out, load_table
+
+    def _stats(d: str) -> dict:
+        docs = load_table(spark, d, "documents")
+        ws = fan_out(docs).select("doc_id", words("text").alias("ws"))
+        bg = (
+            ws.select(
+                "doc_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                        F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+                    )
+                ).alias("b"),
+            )
+            .select("doc_id", "b.w1", "b.w2")
+        )
+        return {
+            "corpus_doc_bigram_rows": bg.groupBy(
+                "doc_id", "w1", "w2"
+            ).count().count(),
+            "lm_distinct_bigrams": bg.select("w1", "w2").distinct().count(),
+            "bpe_vocab_words": ws.select(F.explode("ws").alias("w"))
+            .filter(F.length("w") >= 1)
+            .distinct()
+            .count(),
+        }
+
+    base_s, rep_s = _stats(sf_dir), _stats(big)
+    lm_sec, lm_rows = _timed(TX.lm_perplexity(spark, big))
+    bpe_sec = time.time()
+    bpe_rows = T.bpe_merges(spark, big).count()
+    bpe_sec = time.time() - bpe_sec
+    enc_sec, enc_rows = _timed(T.bpe_encode(spark, big))
+    out["text_lm_perplexity"] = {
+        "sec": lm_sec,
+        "rows": lm_rows,
+        "base": base_s,
+        "replicated": rep_s,
+        "law": "LM table ~flat (replicas add only suffix bigrams); "
+        "corpus side linear in collapsed (doc,bigram) rows",
+    }
+    out["train_bpe"] = {
+        "merges_sec_incl_rounds": bpe_sec,
+        "merge_rows": bpe_rows,
+        "encode_sec": enc_sec,
+        "encode_rows": enc_rows,
+        "base_vocab": base_s["bpe_vocab_words"],
+        "replicated_vocab": rep_s["bpe_vocab_words"],
+        "law": "per-round aggregations and token-count build are "
+        "vocab-sized (~flat); the corpus pays one word-count shuffle "
+        "+ encode's per-doc join",
+    }
 
 
 def _knn_section(spark, S, big: str, out: dict) -> dict:

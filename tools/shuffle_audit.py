@@ -77,6 +77,15 @@ HEADLINE = [
     # salted within-cell pair evidence) + PQ (codebook build aggregates)
     "dedup_semantic_clusters",
     "sim_topk_pq",
+    # r7 session 4: IVF-PQ (assignment + code-table builds), the
+    # bigram-LM gate (the bigram frame is the shuffle payload — three
+    # hash exchanges of it) and the BPE loop (one corpus word shuffle +
+    # six vocab-sized rounds)
+    "sim_topk_ivf_pq",
+    "text_lm_perplexity",
+    "train_bpe_merges",
+    "sim_topk_ivf_mp",
+    "train_bpe_encode",
 ]
 
 
