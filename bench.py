@@ -104,6 +104,10 @@ def main() -> None:
         "train_bpe_merges",
         "sim_topk_ivf_mp",
         "train_bpe_encode",
+        # duplicate-text accounting (Lee et al.) and the Matryoshka-style
+        # two-stage prefix re-rank — both SF-scaling
+        "text_duplicate_window_fraction",
+        "sim_topk_prefix_rerank",
     ]
     headline = core22 + r6_added + r7_added
     queries = all_queries()

@@ -1504,6 +1504,103 @@ def topk_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Dimensions of the cheap first stage in `sim_topk_prefix_rerank` — the
+#: Matryoshka-representation pattern: score candidates on the leading
+#: PREFIX_DIMS of the embedding (half the bandwidth at 32/64), keep
+#: RERANK_M, then re-rank the survivors with the exact full-width cosine.
+#: The operating point was MEASURED, not guessed: on this near-random
+#: corpus (prefix carries ~sqrt(PREFIX_DIMS/64) of the signal — the
+#: pattern's hard case) the (dims, M) sweep gave 16/10 → 30%, 32/32 →
+#: 73–80%, 32/64 → 83–93% recall@3 across SFs; 32/64 is the honest
+#: half-bandwidth configuration.
+PREFIX_DIMS = 32
+RERANK_M = 64
+
+
+def topk_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with a reduced-dimension prefilter (the MRL /
+    Matryoshka deployment shape, Kusupati et al. 2022): stage 1 ranks ALL
+    candidates by cosine over the first PREFIX_DIMS dimensions — a scan
+    that reads a quarter of the vector bytes — and keeps the RERANK_M
+    best per query; stage 2 re-scores only those with the exact
+    full-width cosine and emits the top k. The final ranking among the
+    survivors is EXACT; the approximation is confined to which RERANK_M
+    survive stage 1 (recall vs brute force pinned by test, and monotone
+    in RERANK_M by construction).
+
+    At 100 TB the stage-1 scan is the whole cost — it touches
+    PREFIX_DIMS/64 of the embedding bytes (a column of truncated vectors
+    a deployment would materialize), while stage 2 fetches full vectors
+    for queries × RERANK_M rows only. Recall is monotone in both knobs;
+    the committed 32/64 point is measured at 83–93% recall@3 (see
+    PREFIX_DIMS)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: the full-vector frame feeds the stage-1 prefix projection
+    # AND the stage-2 exact re-rank fetch
+    v = (
+        fan_out(emb)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .persist()
+    )
+    pv = v.select("vec_id", F.slice("v", 1, PREFIX_DIMS).alias("p"))
+    q1 = pv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+    )
+    s1 = (
+        F.broadcast(q1)
+        .join(
+            pv.select(F.col("vec_id").alias("cand_id"), "p"),
+            F.col("query_id") != F.col("cand_id"),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                dot(F.col("qp"), F.col("p"))
+                / (norm(F.col("qp")) * norm(F.col("p")))
+            ).alias("cos_prefix"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_prefix").desc(), "cand_id"
+    )
+    survivors = (
+        s1.withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= RERANK_M)
+        .select("query_id", "cand_id")
+    )
+    qa = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    rerank = (
+        survivors.join(
+            v.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
+            "cand_id",
+        )
+        .join(F.broadcast(qa), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * norm(F.col("cv")))
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    return (
+        rerank.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "cand_id", "cos_sim", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
     "sim_dedup_decisions": embedding_dedup_decisions,
@@ -1511,6 +1608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_lsh": topk_lsh,
     "sim_topk_ivf": topk_ivf,
     "sim_topk_ivf_mp": topk_ivf_mp,
+    "sim_topk_prefix_rerank": topk_prefix_rerank,
     "sim_topk_sq8": topk_sq8,
     "sim_topk_ivf_sq8": topk_ivf_sq8,
     "sim_topk_ivf_pq": topk_ivf_pq,
@@ -1932,6 +2030,35 @@ ORACLE_SQL: dict[str, str] = {
                            / sqrt(CAST(a.qn2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
                    END DESC, b.vec_id) AS rk
           FROM qn a JOIN n b ON b.vec_id != a.vec_id
+        ) WHERE rk <= {TOP_K}
+    """,
+    # Two-stage prefix re-rank: nested ROW_NUMBERs — prefix cosine over
+    # v[1:PREFIX_DIMS] keeps RERANK_M per query, exact cosine ranks the
+    # survivors.
+    "sim_topk_prefix_rerank": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT vec_id, v[1:{PREFIX_DIMS}] AS p FROM v),
+        s1 AS (
+          SELECT query_id, cand_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY list_dot_product(a.p, b.p)
+                              / (sqrt(list_dot_product(a.p, a.p))
+                                 * sqrt(list_dot_product(b.p, b.p)))
+                              DESC, b.vec_id) AS prk
+            FROM p a JOIN p b ON b.vec_id != a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+          ) WHERE prk <= {RERANK_M}
+        )
+        SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+          SELECT s1.query_id, s1.cand_id,
+                 {_COS} AS cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY s1.query_id
+                                    ORDER BY {_COS} DESC, s1.cand_id) AS rk
+          FROM s1
+          JOIN v a ON a.vec_id = s1.query_id
+          JOIN v b ON b.vec_id = s1.cand_id
         ) WHERE rk <= {TOP_K}
     """,
     # Multiprobe IVF: sim_topk_ivf's CTEs with the query side widened to

@@ -546,9 +546,74 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Window length (in words) for duplicate-text accounting — the
+#: exact-substring dedup statistic of Lee et al. 2022 (arXiv:2107.06499,
+#: "Deduplicating Training Data Makes Language Models Better"): a window
+#: is duplicated if the same word sequence occurs anywhere else in the
+#: corpus (another doc, or again in the same doc).
+TEXT_DUP_WINDOW = 8
+
+
+def duplicate_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-text accounting: per document, how much of it
+    is text that exists elsewhere in the corpus — the fraction of its
+    TEXT_DUP_WINDOW-word rolling windows whose word sequence occurs ≥ 2
+    times corpus-wide. This is the measurement half of exact-substring
+    dedup (Lee et al. 2022): pairwise dedup (`dedup_*`) decides which DOC
+    to drop; this scores how much duplicated TEXT each doc carries, the
+    signal used to trim rather than drop.
+
+    Shape (the lm_perplexity discipline): windows hash to md5 (16-byte
+    shuffle keys instead of W-word strings), the corpus collapses once to
+    per-(doc, hash) multiplicities (persisted; map-side combinable, so a
+    boilerplate window repeated millions of times partial-aggregates per
+    mapper), corpus occurrence counts re-aggregate from that frame
+    (distinct-window-sized), and the flagged counts join back per hash.
+    A within-doc repeat (m ≥ 2) is itself a duplicate — occ ≥ 2 subsumes
+    it, so the flag needs no special case."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = fan_out(docs).select(
+        "doc_id",
+        F.explode(shingles(words("text"), TEXT_DUP_WINDOW)).alias("gm"),
+    ).select("doc_id", F.md5("gm").alias("h"))
+    per_doc_h = (
+        wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("m")).persist()
+    )
+    occ = per_doc_h.groupBy("h").agg(F.sum("m").alias("occ"))
+    dup = (
+        per_doc_h.join(occ, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_windows"),
+            F.sum(
+                F.when(F.col("occ") >= 2, F.col("m")).otherwise(F.lit(0))
+            ).alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows").isNotNull(),
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": quality_classifier,
     "text_lm_perplexity": lm_perplexity,
+    "text_duplicate_window_fraction": duplicate_window_fraction,
     "text_quality_scores": quality_scores,
     "text_quality_filter": quality_filter,
     "text_language_id": language_id,
@@ -649,6 +714,46 @@ ORACLE_SQL: dict[str, str] = {
                          AND -a.sq <= {LM_NLL_KEEP_FP} * a.n_bigrams
                     THEN 1 ELSE 0 END AS keep
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    # Duplicate-window accounting: md5 window keys, per-(doc, hash)
+    # multiplicities, corpus occurrence counts, flagged-count join-back —
+    # the SQL mirror of the Spark chain stage for stage.
+    "text_duplicate_window_fraction": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        g AS (
+          SELECT doc_id, md5(gm) AS h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     CASE WHEN len(ws) >= {TEXT_DUP_WINDOW}
+                          THEN range(len(ws) - {TEXT_DUP_WINDOW - 1})
+                          ELSE [] END,
+                     i -> array_to_string(
+                            ws[i + 1 : i + {TEXT_DUP_WINDOW}], ' ')))
+                     AS gm
+            FROM t
+          )
+        ),
+        ph AS (
+          SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS m
+          FROM g GROUP BY doc_id, h
+        ),
+        occ AS (SELECT h, CAST(SUM(m) AS BIGINT) AS occ FROM ph GROUP BY h),
+        pd AS (
+          SELECT doc_id,
+                 CAST(SUM(m) AS BIGINT) AS n_windows,
+                 CAST(SUM(CASE WHEN occ >= 2 THEN m ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows
+          FROM ph JOIN occ USING (h) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(pd.n_windows, 0) AS n_windows,
+               COALESCE(pd.n_dup_windows, 0) AS n_dup_windows,
+               CASE WHEN pd.n_windows IS NOT NULL
+                    THEN CAST(pd.n_dup_windows AS DOUBLE) / pd.n_windows
+                    ELSE 0.0 END AS dup_fraction
+        FROM documents d LEFT JOIN pd USING (doc_id)
     """,
     "text_dedup_segments": f"""
         WITH segs AS (

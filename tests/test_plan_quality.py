@@ -49,6 +49,10 @@ BNLJ_WHITELIST = {
     "train_bpe_merges",
     # same loop inside the encode pass
     "train_bpe_encode",
+    # two-stage retrieval: stage 1 is the deliberate brute prefix scan
+    # (broadcast queries × candidate prefixes, the sim_topk_bruteforce
+    # shape at half bandwidth); stage 2 equi-joins on cand_id/query_id
+    "sim_topk_prefix_rerank",
     # SemDeDup: the ~k-row centroid codebook cross join for cell
     # assignment, as sim_topk_ivf (the pair work itself equi-joins on
     # the salted cell key)

@@ -86,6 +86,8 @@ HEADLINE = [
     "train_bpe_merges",
     "sim_topk_ivf_mp",
     "train_bpe_encode",
+    "text_duplicate_window_fraction",
+    "sim_topk_prefix_rerank",
 ]
 
 
