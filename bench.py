@@ -96,9 +96,10 @@ def main() -> None:
         "dedup_semantic_clusters",
         "sim_topk_pq",
         # session 4: the IVF-PQ composition, the bigram-LM perplexity
-        # filter (two corpus shuffles + a window pass over the bigram
-        # frame) and the iterative BPE merge loop (one corpus shuffle +
-        # six vocab-sized rounds) — all SF-scaling
+        # filter (one corpus collapse + distinct-bigram-sized count
+        # builds joined back — groupBy+join, deliberately not windows)
+        # and the iterative BPE merge loop (one corpus shuffle + six
+        # vocab-sized rounds) — all SF-scaling
         "sim_topk_ivf_pq",
         "text_lm_perplexity",
         "train_bpe_merges",

@@ -291,14 +291,15 @@ def _label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest coarse centroid
-    (broadcast codebook, one narrow pass), then search only within the
-    query's cell. At scale this is the inverted-file layout: cells are the
-    partition key, the probe touches 1/k of the data."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _ranked_cells(emb: DataFrame, max_rank: int = 1) -> DataFrame:
+    """The IVF family's shared coarse-assignment step (`sim_topk_ivf*`,
+    `dedup_semantic_clusters`): every vector scored against the broadcast
+    label-centroid codebook in one narrow pass, cells ranked per vector by
+    (cosine desc, cell id). Columns: vec_id, v, nrm, cell, cell_cos, crk
+    (≤ max_rank); callers select what they carry — Catalyst prunes the
+    rest. ONE implementation so a fix to the tie-break or the cosine can
+    never leave the five consumers divergent."""
     cents = _label_centroids(emb)
-
     v = fan_out(emb).select(
         "vec_id", as_double("embedding").alias("v")
     ).withColumn("nrm", norm(F.col("v")))
@@ -307,19 +308,26 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         "nrm",
         "cell",
-        (dot(F.col("v"), F.col("centroid")) / (F.col("nrm") * norm(F.col("centroid")))).alias(
-            "cell_cos"
-        ),
+        (
+            dot(F.col("v"), F.col("centroid"))
+            / (F.col("nrm") * norm(F.col("centroid")))
+        ).alias("cell_cos"),
     )
     wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
+    return scored_cells.withColumn("crk", F.row_number().over(wc)).filter(
+        F.col("crk") <= max_rank
+    )
+
+
+def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid
+    (broadcast codebook, one narrow pass), then search only within the
+    query's cell. At scale this is the inverted-file layout: cells are the
+    partition key, the probe touches 1/k of the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
     # persisted (r7): both join sides consume the assignment — without the
     # cache each side re-scans the corpus and re-runs the codebook pass
-    assigned = (
-        scored_cells.withColumn("crk", F.row_number().over(wc))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "nrm", "cell")
-        .persist()
-    )
+    assigned = _ranked_cells(emb).select("vec_id", "v", "nrm", "cell").persist()
 
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -363,25 +371,7 @@ def topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw vectors, not centroid residuals) is what keeps scoring
     integer-exact; residual coding would trade that for recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _label_centroids(emb)
-    v = fan_out(emb).select(
-        "vec_id", as_double("embedding").alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    scored_cells = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "cell",
-        (
-            dot(F.col("v"), F.col("centroid"))
-            / (F.col("nrm") * norm(F.col("centroid")))
-        ).alias("cell_cos"),
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
-    assigned = (
-        scored_cells.withColumn("crk", F.row_number().over(wc))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "cell")
-    )
+    assigned = _ranked_cells(emb).select("vec_id", "v", "cell")
     # persisted (r7): the code table feeds both join sides — without the
     # cache each side re-scans the corpus and re-runs the centroid
     # assignment + quantization (8 corpus scans in the executed plan);
@@ -1001,24 +991,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-priority witness that dropped it (NULL if kept), and the
     witness count."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _label_centroids(emb)
-    v = fan_out(emb).select(
-        "vec_id", as_double("embedding").alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    scored_cells = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "nrm",
-        "cell",
-        (
-            dot(F.col("v"), F.col("centroid"))
-            / (F.col("nrm") * norm(F.col("centroid")))
-        ).alias("cell_cos"),
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
     assigned = (
-        scored_cells.withColumn("crk", F.row_number().over(wc))
-        .filter(F.col("crk") == 1)
+        _ranked_cells(emb)
         .select("vec_id", "v", "nrm", "cell", "cell_cos")
         .persist()
     )
@@ -1144,6 +1118,17 @@ PQ_GRID = 1024
 PQ_TMAG = 120
 
 
+def _lattice_expr(src: str = "v") -> str:
+    """The PQ lattice quantizer as a SQL expression: x·PQ_GRID is an exact
+    double op and floor(x + 0.5) spells half-up identically on both
+    engines. ONE definition — `_pq_recon`, `topk_pq` and `topk_ivf_pq`
+    must quantize identically or codes and queries silently diverge."""
+    return (
+        f"transform({src}, x -> "
+        f"CAST(floor(x * {PQ_GRID}.0D + 0.5D) AS BIGINT))"
+    )
+
+
 def _pq_recon(v: DataFrame) -> DataFrame:
     """Product-quantization encode + reconstruct, all-integer.
 
@@ -1173,12 +1158,7 @@ def _pq_recon(v: DataFrame) -> DataFrame:
     vector (here M=16 codes into a ≤256-word codebook — 16 bytes against
     256 B of float32), scored via codeword dot products; the codebook
     (≤ PQ_M·4^PQ_SUB rows) broadcasts for free."""
-    vi = v.withColumn(
-        "vi",
-        F.expr(
-            f"transform(v, x -> CAST(floor(x * {PQ_GRID}.0D + 0.5D) AS BIGINT))"
-        ),
-    )
+    vi = v.withColumn("vi", F.expr(_lattice_expr()))
     sub = vi.select(
         "vec_id",
         F.explode(
@@ -1275,13 +1255,7 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_recon(v).persist()
     q = (
         v.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn(
-            "qr",
-            F.expr(
-                f"transform(v, x -> "
-                f"CAST(floor(x * {PQ_GRID}.0D + 0.5D) AS BIGINT))"
-            ),
-        )
+        .withColumn("qr", F.expr(_lattice_expr()))
         .withColumn(
             "qn2",
             F.expr("aggregate(qr, 0L, (acc, x) -> acc + x * x)"),
@@ -1339,27 +1313,8 @@ def topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment materializes: the cell assignment (partition key) and the
     PQ code table (the scan target, 16 bytes/vector here)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _label_centroids(emb)
-    v = fan_out(emb).select(
-        "vec_id", as_double("embedding").alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    scored_cells = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "cell",
-        (
-            dot(F.col("v"), F.col("centroid"))
-            / (F.col("nrm") * norm(F.col("centroid")))
-        ).alias("cell_cos"),
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
     # persisted: the assignment feeds the code build AND the query side
-    assigned = (
-        scored_cells.withColumn("crk", F.row_number().over(wc))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "cell")
-        .persist()
-    )
+    assigned = _ranked_cells(emb).select("vec_id", "v", "cell").persist()
     # persisted: the PQ encode (codebook + nearest-codeword argmin) is the
     # expensive pass; without the cache the candidate side would re-run it
     codes = (
@@ -1369,13 +1324,7 @@ def topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn(
-            "qr",
-            F.expr(
-                f"transform(v, x -> "
-                f"CAST(floor(x * {PQ_GRID}.0D + 0.5D) AS BIGINT))"
-            ),
-        )
+        .withColumn("qr", F.expr(_lattice_expr()))
         .withColumn("qn2", F.expr("aggregate(qr, 0L, (acc, x) -> acc + x * x)"))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -1444,26 +1393,10 @@ def topk_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set is a superset, so the exact top-k within it is at
     least as close to the brute-force answer (pinned by test)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _label_centroids(emb)
-    v = fan_out(emb).select(
-        "vec_id", as_double("embedding").alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    scored_cells = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "nrm",
-        "cell",
-        (
-            dot(F.col("v"), F.col("centroid"))
-            / (F.col("nrm") * norm(F.col("centroid")))
-        ).alias("cell_cos"),
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
     # persisted: the ranked assignment feeds both the probe list (crk <=
     # NPROBE, query side) and the inverted file (crk == 1, candidate side)
     ranked = (
-        scored_cells.withColumn("crk", F.row_number().over(wc))
-        .filter(F.col("crk") <= NPROBE)
+        _ranked_cells(emb, NPROBE)
         .select("vec_id", "v", "nrm", "cell", "crk")
         .persist()
     )
@@ -1521,7 +1454,7 @@ def topk_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval with a reduced-dimension prefilter (the MRL /
     Matryoshka deployment shape, Kusupati et al. 2022): stage 1 ranks ALL
     candidates by cosine over the first PREFIX_DIMS dimensions — a scan
-    that reads a quarter of the vector bytes — and keeps the RERANK_M
+    that reads half of the vector bytes — and keeps the RERANK_M
     best per query; stage 2 re-scores only those with the exact
     full-width cosine and emits the top k. The final ranking among the
     survivors is EXACT; the approximation is confined to which RERANK_M
@@ -1535,30 +1468,41 @@ def topk_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the committed 32/64 point is measured at 83–93% recall@3 (see
     PREFIX_DIMS)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # persisted: the full-vector frame feeds the stage-1 prefix projection
+    # persisted: the full-vector frame (with its norms precomputed once per
+    # vector, never per joined pair) feeds the stage-1 prefix projection
     # AND the stage-2 exact re-rank fetch
     v = (
         fan_out(emb)
         .select("vec_id", as_double("embedding").alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
         .persist()
     )
-    pv = v.select("vec_id", F.slice("v", 1, PREFIX_DIMS).alias("p"))
+    pv = v.select(
+        "vec_id", F.slice("v", 1, PREFIX_DIMS).alias("p")
+    ).withColumn("pn", norm(F.col("p")))
     q1 = pv.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+        F.col("vec_id").alias("query_id"),
+        F.col("p").alias("qp"),
+        F.col("pn").alias("qpn"),
     )
+    # -2.0 sentinel on a zero prefix (legal input: the first PREFIX_DIMS
+    # dims may all be zero while the tail is not) — without it the cosine
+    # is 0/0 = NaN, which sorts ABOVE every real score under DESC in both
+    # engines and would displace genuine survivors
     s1 = (
         F.broadcast(q1)
         .join(
-            pv.select(F.col("vec_id").alias("cand_id"), "p"),
+            pv.select(F.col("vec_id").alias("cand_id"), "p", "pn"),
             F.col("query_id") != F.col("cand_id"),
         )
         .select(
             "query_id",
             "cand_id",
-            (
-                dot(F.col("qp"), F.col("p"))
-                / (norm(F.col("qp")) * norm(F.col("p")))
-            ).alias("cos_prefix"),
+            F.when((F.col("qpn") == 0) | (F.col("pn") == 0), F.lit(-2.0))
+            .otherwise(
+                dot(F.col("qp"), F.col("p")) / (F.col("qpn") * F.col("pn"))
+            )
+            .alias("cos_prefix"),
         )
     )
     w1 = Window.partitionBy("query_id").orderBy(
@@ -1572,21 +1516,26 @@ def topk_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qa = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        norm(F.col("v")).alias("qn"),
+        F.col("nrm").alias("qn"),
     )
     rerank = (
         survivors.join(
-            v.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
+            v.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ),
             "cand_id",
         )
         .join(F.broadcast(qa), "query_id")
         .select(
             "query_id",
             "cand_id",
-            (
-                dot(F.col("qv"), F.col("cv"))
-                / (F.col("qn") * norm(F.col("cv")))
-            ).alias("cos_sim"),
+            F.when((F.col("qn") == 0) | (F.col("cn") == 0), F.lit(-2.0))
+            .otherwise(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            )
+            .alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -2043,19 +1992,29 @@ ORACLE_SQL: dict[str, str] = {
             SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
                    ROW_NUMBER() OVER (
                      PARTITION BY a.vec_id
-                     ORDER BY list_dot_product(a.p, b.p)
-                              / (sqrt(list_dot_product(a.p, a.p))
-                                 * sqrt(list_dot_product(b.p, b.p)))
-                              DESC, b.vec_id) AS prk
+                     ORDER BY CASE
+                       WHEN list_dot_product(a.p, a.p) = 0
+                         OR list_dot_product(b.p, b.p) = 0 THEN -2.0
+                       ELSE list_dot_product(a.p, b.p)
+                            / (sqrt(list_dot_product(a.p, a.p))
+                               * sqrt(list_dot_product(b.p, b.p)))
+                     END DESC, b.vec_id) AS prk
             FROM p a JOIN p b ON b.vec_id != a.vec_id
             WHERE a.vec_id < {N_QUERIES}
           ) WHERE prk <= {RERANK_M}
         )
         SELECT query_id, cand_id, cos_sim, CAST(rk AS INT) AS rk FROM (
           SELECT s1.query_id, s1.cand_id,
-                 {_COS} AS cos_sim,
+                 CASE WHEN list_dot_product(a.v, a.v) = 0
+                        OR list_dot_product(b.v, b.v) = 0 THEN -2.0
+                      ELSE {_COS} END AS cos_sim,
                  ROW_NUMBER() OVER (PARTITION BY s1.query_id
-                                    ORDER BY {_COS} DESC, s1.cand_id) AS rk
+                                    ORDER BY CASE
+                                      WHEN list_dot_product(a.v, a.v) = 0
+                                        OR list_dot_product(b.v, b.v) = 0
+                                        THEN -2.0
+                                      ELSE {_COS} END DESC,
+                                    s1.cand_id) AS rk
           FROM s1
           JOIN v a ON a.vec_id = s1.query_id
           JOIN v b ON b.vec_id = s1.cand_id

@@ -494,7 +494,13 @@ BPE_R = ">"
 
 def _bpe_pack(word_col: str = "word"):
     """word → bracket-wrapped token string (``abc`` → ``<a><b><c>``)."""
-    return F.regexp_replace(F.col(word_col), "(.)", BPE_L + r"$1" + BPE_R)
+    # (?s): without DOTALL, Java regex skips \r/\n/\u2028... and RE2 skips
+    # \n — the engines would wrap different characters (and an unwrapped
+    # char breaks the brackets-never-shared invariant). Both engines
+    # accept the inline flag.
+    return F.regexp_replace(
+        F.col(word_col), "(?s)(.)", BPE_L + r"$1" + BPE_R
+    )
 
 
 def _bpe_loop(toks: DataFrame) -> tuple[list[DataFrame], DataFrame]:
@@ -703,7 +709,7 @@ def _bpe_encode_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
         ),
         e0 AS (
           SELECT word, n,
-                 regexp_replace(word, '(.)', '{BPE_L}\\1{BPE_R}', 'g') AS t
+                 regexp_replace(word, '(?s)(.)', '{BPE_L}\\1{BPE_R}', 'g') AS t
           FROM v
         )"""
     ]
@@ -777,7 +783,7 @@ def _bpe_merges_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
           FROM w WHERE length(word) >= 2 GROUP BY word
         ),
         t0 AS (
-          SELECT n, regexp_replace(word, '(.)', '{BPE_L}\\1{BPE_R}', 'g') AS t
+          SELECT n, regexp_replace(word, '(?s)(.)', '{BPE_L}\\1{BPE_R}', 'g') AS t
           FROM v
         )"""
     ]

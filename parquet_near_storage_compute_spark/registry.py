@@ -160,7 +160,7 @@ _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     "window_rank_dense_rank",
     "window_running_total",
     "window_topk_per_group",
-    # oldest round-4 rows, CORRECTNESS_r04 key order (23)
+    # oldest round-4 rows, CORRECTNESS_r04 key order (7)
     "time_gap_fill",
     "events_funnel",
     "agg_histogram",

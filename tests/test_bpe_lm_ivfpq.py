@@ -74,12 +74,23 @@ def test_bpe_merges_hand_trajectory(spark, tiny_docs):
 
 def test_bpe_merges_oracle_on_adversarial_corpus(spark, tiny_docs):
     """Spark and DuckDB agree on a corpus exercising the greedy-overlap
-    path ('aaaa'), the defensive bracket strip ('a<b>' → 'ab'), and
-    tie-breaks."""
-    d = tiny_docs(["aaaa aaaa baa", "a<b> ab ab", "zz zz zz"])
+    path ('aaaa'), the defensive bracket strip ('a<b>' → 'ab'),
+    tie-breaks, and words containing line terminators — without the
+    (?s) DOTALL flag on the packing regex, Java regex skips \\r (and
+    RE2 keeps it), so the engines would wrap different characters and
+    the '\\r' in 'x\\ry' would break the brackets-never-shared
+    invariant."""
+    d = tiny_docs(
+        ["aaaa aaaa baa", "a<b> ab ab", "zz zz zz", "x\ry x\ry a\nb"]
+    )
     con = duckdb.connect()
     _register(con, d)
     compare(TR.bpe_merges(spark, d), con, TR.ORACLE_SQL["train_bpe_merges"])
+    compare(TR.bpe_encode(spark, d), con, TR.ORACLE_SQL["train_bpe_encode"])
+    # the \r word must tokenize as 3 chars → with (x, \r) or (\r, y)
+    # mergeable like any pair; doc 3 has 3 words, all length-3 or -2
+    rows = {r.doc_id: r for r in TR.bpe_encode(spark, d).collect()}
+    assert rows[3].n_words == 3
 
 
 def test_bpe_merges_matches_oracle(spark, sf_dir):

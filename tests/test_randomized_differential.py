@@ -128,6 +128,13 @@ CONTRACTS = [
     # every window of those docs corpus-duplicated; short/empty docs have
     # no windows at all
     "text_duplicate_window_fraction",
+    # DELIBERATELY absent: sim_topk_ivf_mp and sim_topk_prefix_rerank
+    # (like sim_topk_ivf / sim_topk_lsh / sim_topk_bruteforce) rank on
+    # raw float cosines, whose cut boundaries (probe rank NPROBE|+1,
+    # stage-1 rank RERANK_M|+1) carry measured margins only on the
+    # committed corpora — on random data a last-ulp cross-engine tie at
+    # the boundary is possible and would flake; the integer-exact ANN
+    # variants (sq8/pq/ivf_sq8/ivf_pq) are the random-corpus proxies
     "agg_cube",
     "agg_grouping_sets",
     "agg_min_max_by",
