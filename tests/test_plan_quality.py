@@ -49,6 +49,8 @@ BNLJ_WHITELIST = {
     "train_bpe_merges",
     # same loop inside the encode pass
     "train_bpe_encode",
+    # and inside the pack-by-BPE composition
+    "train_pack_bpe",
     # two-stage retrieval: stage 1 is the deliberate brute prefix scan
     # (broadcast queries × candidate prefixes, the sim_topk_bruteforce
     # shape at half bandwidth); stage 2 equi-joins on cand_id/query_id
@@ -144,6 +146,7 @@ GLOBAL_SORT_DECLARED = {
     "train_curriculum_order",
     "train_global_shuffle",
     "train_mixture_sample",
+    "train_pack_bpe",
     "train_pack_sequences",
     "train_profile_columns",
     "train_quality_resample",

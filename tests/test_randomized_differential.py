@@ -6,7 +6,7 @@ Spark-vs-DuckDB oracle harness as the registry sweep. Catches data-shape
 assumptions that 165 green contracts on one corpus can't.
 
 r6 ran 26 contracts × 2 seeds (and caught a real oracle bug on first
-contact); r7 (VERDICT r6 #5) widens to 83 shape-sensitive contracts × 3
+contact); r7 (VERDICT r6 #5) widens to 84 shape-sensitive contracts × 3
 seeds, adding the previously untouched families: windows, the join
 surface, snowset, sketches, table maintenance, and similarity over a
 duplicate-heavy random embedding corpus.
@@ -124,6 +124,9 @@ CONTRACTS = [
     # encode over the same shapes (empty docs → 0 tokens; 1-char words →
     # single tokens; the duplicate cluster dominates the merge table)
     "train_bpe_encode",
+    # packing on the encode counts: integer bin algebra over the same
+    # degenerate shapes (0-token docs keep their bookkeeping row)
+    "train_pack_bpe",
     # duplicate-window accounting: the 15% exact-duplicate cluster makes
     # every window of those docs corpus-duplicated; short/empty docs have
     # no windows at all

@@ -88,6 +88,7 @@ HEADLINE = [
     "train_bpe_encode",
     "text_duplicate_window_fraction",
     "sim_topk_prefix_rerank",
+    "train_pack_bpe",
 ]
 
 
