@@ -112,6 +112,7 @@ def main() -> None:
         # packing on the trained tokenizer's counts (the bpe_encode +
         # pack_sequences composition)
         "train_pack_bpe",
+        "train_uniform_sample",
     ]
     headline = core22 + r6_added + r7_added
     queries = all_queries()

@@ -895,6 +895,39 @@ def _bpe_merges_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
     return "".join(parts)
 
 
+#: Rows kept by the fixed-SIZE deterministic sample (`train_uniform_sample`).
+SAMPLE_N = 200
+
+
+def uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE deterministic uniform sample: rank documents by
+    md5('u:' || doc_id) and keep the SAMPLE_N smallest. The hash IS the
+    random order, so the sample is a pure function of the keys — stable
+    under re-runs, repartitioning, and engine choice (pinned by test) —
+    and mergeable (the n smallest hashes of a union are computable from
+    each part's n smallest: the KMV device). Complements the fixed-RATE
+    draws (`train_test_split`, `train_stratified_sample`,
+    `train_quality_resample`): rate sampling scales the output with the
+    corpus, size sampling pins it — the eval-subset / debugging-slice op.
+
+    At 100 TB this executes as TakeOrderedAndProject — a per-partition
+    top-n heap plus a driver merge of n rows per partition — never a
+    range-partitioned global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("u:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            _ws_tokens().alias("tokens"),
+            h.alias("draw"),
+        )
+        .orderBy("draw")
+        .limit(SAMPLE_N)
+    )
+
+
 #: Shuffle seed baked into the shard hash — changing it is a full reshuffle.
 SHUFFLE_SEED = 42
 
@@ -951,6 +984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_bpe_merges": bpe_merges,
     "train_bpe_encode": bpe_encode,
     "train_pack_bpe": pack_bpe,
+    "train_uniform_sample": uniform_sample,
     "train_quality_resample": quality_resample,
 }
 
@@ -968,6 +1002,14 @@ ORACLE_SQL: dict[str, str] = {
     "train_bpe_encode": _bpe_encode_oracle_sql(),
     # Encode chain + the packing cumsum: pack on the tokenizer's counts.
     "train_pack_bpe": _bpe_pack_oracle_sql(),
+    # Fixed-size deterministic sample: hash ranking, n smallest draws.
+    "train_uniform_sample": f"""
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+               md5('u:' || CAST(doc_id AS VARCHAR)) AS draw
+        FROM documents
+        ORDER BY draw LIMIT {SAMPLE_N}
+    """,
     "train_quality_resample": f"""
         WITH {_QC_GRAMS_CTE},
         decided AS (

@@ -13,16 +13,17 @@ the new-in-r3/r4 contracts plus the oldest r2 fill; round 5 the r2-only
 stragglers plus everything r5 modified; round 6 the 22 never-checked
 r5-third-session contracts + 3 modified + the 25 oldest r3 rows — all 50/50
 green, leaving 161 of 163 contracts driver-confirmed. Round 7's window
-(VERDICT r6 #1): the 2 deferred r6 contracts + 18 new + 3 modified lead,
+(VERDICT r6 #1): the 2 deferred r6 contracts + 19 new + 3 modified lead,
 then the 21 remaining r3-row contracts, then the oldest r4 rows as fill.
 After this window lands green, no live contract is unchecked and only
-fifteen driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
+sixteen driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
 dedup_ngram_jaccard, events_retention_cohorts, mm_resize,
 source_csv_scan, source_partitioned_scan, stream_sliding_counts,
-text_pii_scrub, text_tfidf_topk, train_bpe_pair_counts,
-train_chunk_documents, train_contamination_check,
-train_curriculum_order, train_mixture_sample — bumped by the window's
-fixed 50 slots) are staler than round 5.
+text_pii_scrub, text_repetition_filter, text_tfidf_topk,
+train_bpe_pair_counts, train_chunk_documents,
+train_contamination_check, train_curriculum_order,
+train_mixture_sample — bumped by the window's fixed 50 slots) are
+staler than round 5.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -109,6 +110,7 @@ NEW_IN_R7 = [
     "text_duplicate_window_fraction",
     "sim_topk_prefix_rerank",
     "train_pack_bpe",
+    "train_uniform_sample",
 ]
 
 #: Contracts round 7 modifies that already carry driver rows — the change
@@ -125,16 +127,16 @@ MODIFIED_IN_R7 = [
 ]
 
 #: The round-7 driver correctness window (VERDICT r6 #1): the 2 deferred
-#: r6 contracts + 18 new + 3 modified lead; then every contract still on
+#: r6 contracts + 19 new + 3 modified lead; then every contract still on
 #: a round-3 driver row (21 — window_*, stream_* ×4, train_* ×4,
 #: iter_kmeans_lite, agg_min_max_by, agg_stats, agg_percentile); the
-#: remaining 6 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
+#: remaining 5 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
 #: order. After this window lands green, no live contract is unchecked
-#: and only fifteen driver rows (dedup_blocked_jaccard,
+#: and only sixteen driver rows (dedup_blocked_jaccard,
 #: dedup_minhash_lsh, dedup_ngram_jaccard, events_retention_cohorts,
 #: mm_resize, source_csv_scan, source_partitioned_scan,
-#: stream_sliding_counts, text_pii_scrub, text_tfidf_topk,
-#: train_bpe_pair_counts, train_chunk_documents,
+#: stream_sliding_counts, text_pii_scrub, text_repetition_filter,
+#: text_tfidf_topk, train_bpe_pair_counts, train_chunk_documents,
 #: train_contamination_check, train_curriculum_order,
 #: train_mixture_sample) are older than round 5 — they lost their slots
 #: to the r7 session-2/3/4 contracts (never-checked beats stale-r4) and
@@ -162,13 +164,12 @@ _PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
     "window_rank_dense_rank",
     "window_running_total",
     "window_topk_per_group",
-    # oldest round-4 rows, CORRECTNESS_r04 key order (6)
+    # oldest round-4 rows, CORRECTNESS_r04 key order (5)
     "time_gap_fill",
     "events_funnel",
     "agg_histogram",
     "window_range_frame",
     "text_ngram_topk",
-    "text_repetition_filter",
 ]
 
 

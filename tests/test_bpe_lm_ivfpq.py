@@ -357,3 +357,38 @@ def test_pack_bpe_consistent_with_encode(spark, sf_dir):
     ws = TR.pack_sequences(spark, sf_dir).collect()
     assert {r.bin_id for r in packed} is not None
     assert sum(r.n_docs for r in packed) == sum(r.n_docs for r in ws)
+
+
+def test_uniform_sample_matches_oracle(spark, sf_dir):
+    con = duckdb.connect()
+    _register(con, sf_dir)
+    compare(
+        TR.uniform_sample(spark, sf_dir),
+        con,
+        TR.ORACLE_SQL["train_uniform_sample"],
+    )
+
+
+def test_uniform_sample_partition_invariant_and_heap_planned(spark, sf_dir):
+    """The sample must be a pure function of the keys (identical under a
+    different partitioning) and must execute as TakeOrderedAndProject —
+    a per-partition top-n heap — never a range-partitioned global sort."""
+    a = sorted(tuple(r) for r in TR.uniform_sample(spark, sf_dir).collect())
+    df = TR.uniform_sample(spark, sf_dir)
+    assert len(a) == min(
+        TR.SAMPLE_N,
+        TR.load_table(spark, sf_dir, "documents").count(),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    import re
+
+    assert not re.search(r"Sort \[[^\]]*\], true, 0", plan), plan
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = sorted(
+            tuple(r) for r in TR.uniform_sample(spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert a == b

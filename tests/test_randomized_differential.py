@@ -6,7 +6,7 @@ Spark-vs-DuckDB oracle harness as the registry sweep. Catches data-shape
 assumptions that 165 green contracts on one corpus can't.
 
 r6 ran 26 contracts × 2 seeds (and caught a real oracle bug on first
-contact); r7 (VERDICT r6 #5) widens to 84 shape-sensitive contracts × 3
+contact); r7 (VERDICT r6 #5) widens to 85 shape-sensitive contracts × 3
 seeds, adding the previously untouched families: windows, the join
 surface, snowset, sketches, table maintenance, and similarity over a
 duplicate-heavy random embedding corpus.
@@ -127,6 +127,9 @@ CONTRACTS = [
     # packing on the encode counts: integer bin algebra over the same
     # degenerate shapes (0-token docs keep their bookkeeping row)
     "train_pack_bpe",
+    # fixed-size hash-ranked sample: SAMPLE_N < corpus here, so the cut
+    # is exercised; md5 of distinct ids cannot tie
+    "train_uniform_sample",
     # duplicate-window accounting: the 15% exact-duplicate cluster makes
     # every window of those docs corpus-duplicated; short/empty docs have
     # no windows at all

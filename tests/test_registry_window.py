@@ -1,9 +1,9 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
 contract. Round 7's window (VERDICT r6 #1) = the 2 contracts deferred from
-round 6 + 18 new in round 7 + the 3 contracts round 7 modifies, then every
+round 6 + 19 new in round 7 + the 3 contracts round 7 modifies, then every
 contract still on a round-3 driver row (21), then the oldest round-4 rows as
-fill (6). After this window lands green, no live contract is unchecked and
+fill (5). After this window lands green, no live contract is unchecked and
 none is staler than round 4."""
 
 from __future__ import annotations

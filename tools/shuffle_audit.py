@@ -89,6 +89,7 @@ HEADLINE = [
     "text_duplicate_window_fraction",
     "sim_topk_prefix_rerank",
     "train_pack_bpe",
+    "train_uniform_sample",
 ]
 
 
