@@ -33,11 +33,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return scan_filter_agg(spark, SMOKE_SF_DIR, LADDER["p50"])
 
 
+def _fresh_cache(fn: Callable[[SparkSession, str], DataFrame]):
+    """Drop frames persisted by PREVIOUS contracts before building the
+    next one (ADVICE r7: operators persist their reused intermediates —
+    the code table, the group frame — but a long-lived driver session
+    sweeping all 183 contracts would otherwise accumulate every cached
+    frame; MEMORY_AND_DISK eviction prevents failure but adds memory
+    pressure and spill churn). Clearing between contracts changes no
+    result: each query (re)builds and (re)persists what it needs."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from parquet_near_storage_compute_spark.registry import all_queries
 
-    return all_queries()
+    return {n: _fresh_cache(f) for n, f in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

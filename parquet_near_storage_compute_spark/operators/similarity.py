@@ -1032,8 +1032,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("salt") == F.col("bsalt"))
         & (F.col("gid_a") != F.col("gid_b")),
     ).filter(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        >= SEMDEDUP_EPS
+        # zero-norm guard (ADVICE r7): 0/0 = NaN, which Spark compares
+        # false but DuckDB ORDERs above all values — requiring na,nb > 0
+        # on BOTH engines keeps the contract total on arbitrary vectors.
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & (
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= SEMDEDUP_EPS
+        )
     )
     # strict-priority witness groups: every member of H qualifies against
     # every member of the target group
@@ -1116,6 +1123,17 @@ PQ_GRID = 1024
 #: 2-bit-per-dim codebook seeding; picked by a measured recall sweep
 #: (t ∈ {120..320}: 120 best at every SF — see NOTES_r7).
 PQ_TMAG = 120
+#: Lloyd refinement rounds on the lattice codebook (VERDICT r7 #3 —
+#: trained codebooks, the FAISS IndexPQ per-subspace k-means): the
+#: 2-bit-cell floor-means SEED k-means, then each round reassigns every
+#: subvector to its integer-L2-nearest codeword (ties by codeword id)
+#: and refits each codeword as the lattice floor-mean of its assigned
+#: subvectors (codewords that lose all members keep their previous
+#: position). Every step is the same exact-integer / floor(Σx/n)
+#: algebra as the seed, so the DuckDB oracle unrolls the rounds as CTEs
+#: and still matches BIT-FOR-BIT. Rounds picked by measured recall
+#: sweep (tools/pq_train_sweep.py, NOTES_r8).
+PQ_ITERS = 3
 
 
 def _lattice_expr(src: str = "v") -> str:
@@ -1127,6 +1145,56 @@ def _lattice_expr(src: str = "v") -> str:
         f"transform({src}, x -> "
         f"CAST(floor(x * {PQ_GRID}.0D + 0.5D) AS BIGINT))"
     )
+
+
+def _pq_train_ctes(iters: int = PQ_ITERS) -> str:
+    """DuckDB CTE text for the unrolled Lloyd rounds (mirrors the
+    `_pq_recon` training loop stage for stage): expects `subo` (vec_id,
+    s, sv) and the seed codebook `book0` (s, orth, cw) to be in scope;
+    emits asg/fit/nb/book{t} per round and a final `book` alias. Every
+    step is exact-integer (d2 argmin with ties by codeword id,
+    floor(Σx/n) refit, empty codewords keep their previous position), so
+    the unroll stays bit-for-bit with the Spark loop."""
+    parts = []
+    prev = "book0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+        asg{t} AS (
+          SELECT s, co, sv FROM (
+            SELECT so.s, so.sv, b.orth AS co,
+                   ROW_NUMBER() OVER (PARTITION BY so.vec_id, so.s
+                     ORDER BY list_dot_product(so.sv::DOUBLE[], so.sv::DOUBLE[])
+                            + list_dot_product(b.cw::DOUBLE[], b.cw::DOUBLE[])
+                            - 2 * list_dot_product(so.sv::DOUBLE[],
+                                                   b.cw::DOUBLE[]),
+                              b.orth) AS rk
+            FROM subo so JOIN {prev} b USING (s)
+          ) WHERE rk = 1
+        ),
+        fit{t} AS (
+          SELECT s, co AS orth, posn,
+                 CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+          FROM (SELECT s, co, generate_subscripts(sv, 1) - 1 AS posn,
+                       unnest(sv) AS x
+                FROM asg{t})
+          GROUP BY s, co, posn
+        ),
+        nb{t} AS (
+          SELECT s, orth, list(c ORDER BY posn) AS cw FROM fit{t}
+          GROUP BY s, orth
+        ),
+        book{t} AS (
+          SELECT b.s, b.orth, COALESCE(n.cw, b.cw) AS cw
+          FROM {prev} b LEFT JOIN nb{t} n ON n.s = b.s AND n.orth = b.orth
+        )"""
+        )
+        prev = f"book{t}"
+    parts.append(
+        f""",
+        book AS (SELECT s, orth, cw FROM {prev})"""
+    )
+    return "".join(parts)
 
 
 def _pq_recon(v: DataFrame) -> DataFrame:
@@ -1207,12 +1275,49 @@ def _pq_recon(v: DataFrame) -> DataFrame:
         "0L, (acc, x) -> acc + x)"
     )
     wbest = Window.partitionBy("vec_id", "s").orderBy("d2", "cw_orth")
-    best = (
-        subo.join(F.broadcast(book), "s")
-        .withColumn("d2", d2)
-        .withColumn("rk", F.row_number().over(wbest))
-        .filter(F.col("rk") == 1)
-    )
+
+    def _assign(bk: DataFrame) -> DataFrame:
+        return (
+            subo.join(F.broadcast(bk), "s")
+            .withColumn("d2", d2)
+            .withColumn("rk", F.row_number().over(wbest))
+            .filter(F.col("rk") == 1)
+        )
+
+    # Lloyd training (PQ_ITERS rounds): assign → floor-mean refit.
+    # localCheckpoint truncates the per-round lineage the way
+    # iter_kmeans_lite does — the book is ≤ PQ_M·4^PQ_SUB rows.
+    for _ in range(PQ_ITERS):
+        refit = (
+            _assign(book)
+            .select("s", "cw_orth", F.posexplode("sv").alias("posn", "x"))
+            .groupBy("s", "cw_orth", "posn")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("bigint")
+                .alias("c")
+            )
+            .groupBy("s", "cw_orth")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("posn", "c"))).alias("pc")
+            )
+            .select(
+                "s",
+                "cw_orth",
+                F.transform("pc", lambda x: x.getField("c")).alias("ncw"),
+            )
+        )
+        book = (
+            book.join(refit, ["s", "cw_orth"], "left")
+            .select(
+                "s", "cw_orth", F.coalesce("ncw", "cw").alias("cw")
+            )
+            .localCheckpoint()
+        )
+
+    best = _assign(book)
     return (
         best.groupBy("vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("s", "cw"))).alias("sc"))
@@ -1236,16 +1341,19 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, 16×), trading recall for bandwidth the way billion-vector
     deployments do (FAISS PQ / IVFPQ).
 
-    Codebooks are per-(subspace, 2-bit-cell) mean subvectors snapped to
-    an integer lattice (see `_pq_recon` — up to 256 codewords per
-    subspace, the classic PQ size); the query side is its exact lattice
-    vector.  Encoding (integer L2 argmin) and ADC scoring (lattice·
-    codeword dots — exact longs) are integer algebra end to end, so like
-    SQ8 the DuckDB oracle matches BIT-FOR-BIT, rank ties included.
-    Recall vs exact cosine is fixture-measured in
+    Codebooks are TRAINED (r8): per-(subspace, 2-bit-cell) lattice
+    floor-means seed PQ_ITERS Lloyd rounds of per-subspace k-means (see
+    `_pq_recon` — up to 256 codewords per subspace, the classic PQ
+    size); the query side is its exact lattice vector.  Encoding
+    (integer L2 argmin), training refits (floor-mean) and ADC scoring
+    (lattice·codeword dots — exact longs) are integer algebra end to
+    end, so like SQ8 the DuckDB oracle matches BIT-FOR-BIT, rank ties
+    included.  Recall vs exact cosine is fixture-measured in
     tests/test_semdedup_pq.py (the geometry was picked by measured
-    sweep: sign-only M=8 ~33%, +ADC ~50%, 2-bit M=16 53–70% across SFs —
-    this corpus is near-random, PQ's hard case, so the numbers quantify
+    sweep: sign-only M=8 ~33%, +ADC ~50%, 2-bit M=16 53–70% across SFs;
+    PQ_ITERS=3 training lifts that to 57–80%, beating the untrained
+    lattice at every SF — tools/pq_train_sweep.py, NOTES_r8.  This
+    corpus is near-random, PQ's hard case, so the numbers quantify
     the 16×-compression trade honestly rather than flattering it).  The
     reconstructed-code table feeds both join sides, so it is persisted —
     at scale it IS the materialized PQ code table (the 32×-smaller scan
@@ -1881,7 +1989,9 @@ ORACLE_SQL: dict[str, str] = {
                  COUNT(*) AS n
           FROM assigned a JOIN assigned b
             ON a.cell = b.cell AND a.vec_id != b.vec_id
-          WHERE {_COS} >= {SEMDEDUP_EPS}
+          WHERE list_dot_product(a.v, a.v) > 0
+            AND list_dot_product(b.v, b.v) > 0
+            AND {_COS} >= {SEMDEDUP_EPS}
             AND (b.cc < a.cc OR (b.cc = a.cc AND b.vec_id < a.vec_id))
           GROUP BY a.vec_id
         )
@@ -1930,10 +2040,10 @@ ORACLE_SQL: dict[str, str] = {
                    AS c
           FROM px GROUP BY s, orth, posn
         ),
-        book AS (
+        book0 AS (
           SELECT s, orth, list(c ORDER BY posn) AS cw
           FROM cw GROUP BY s, orth
-        ),
+        ){_pq_train_ctes()},
         enc AS (
           SELECT vec_id, so.s, b.orth AS co, b.cw,
                  list_dot_product(so.sv::DOUBLE[], so.sv::DOUBLE[])
@@ -2114,10 +2224,10 @@ ORACLE_SQL: dict[str, str] = {
                    AS c
           FROM px GROUP BY s, orth, posn
         ),
-        book AS (
+        book0 AS (
           SELECT s, orth, list(c ORDER BY posn) AS cw
           FROM cw GROUP BY s, orth
-        ),
+        ){_pq_train_ctes()},
         enc AS (
           SELECT vec_id, so.s, b.orth AS co, b.cw,
                  list_dot_product(so.sv::DOUBLE[], so.sv::DOUBLE[])

@@ -610,10 +610,89 @@ def duplicate_window_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span trimming (VERDICT r7 #7 — the ACTION half of
+    `text_duplicate_window_fraction`'s measurement): keep the document,
+    excise every word covered by a corpus-duplicated
+    TEXT_DUP_WINDOW-word window (the exact-substring dedup of Lee et al.
+    2022, arXiv:2107.06499 — production pipelines trim the duplicated
+    span rather than drop the doc), with before/after token accounting
+    and an md5 of the trimmed text for member-level verification (the
+    `text_pii_scrub` scrubbed-hash pattern).
+
+    Shape: the corpus collapses once to per-(doc, window-hash)
+    multiplicities (map-side combinable — the same shuffle as
+    duplicate_window_fraction); corpus occurrence counts re-aggregate
+    from that collapsed frame; dup flags join back to window STARTS by
+    hash; a word is trimmed iff some dup window starts within the
+    preceding W-1 positions — a single rolling-max window pass over the
+    per-doc position frame (positions are dense, so a ROWS frame is the
+    range), NOT a W× explode of covered spans. The only per-word state
+    is the one-row-per-token frame every token op already carries."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = fan_out(docs).select("doc_id", words("text").alias("ws"))
+    wins = base.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("ws"), TEXT_DUP_WINDOW)).alias("i", "gm"),
+    ).select("doc_id", (F.col("i") + 1).alias("p"), F.md5("gm").alias("h"))
+    per_doc_h = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("m"))
+    occ = per_doc_h.groupBy("h").agg(F.sum("m").alias("occ"))
+    dup_starts = (
+        wins.join(occ.filter(F.col("occ") >= 2), "h")
+        .select("doc_id", "p")
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    wpos = base.select(
+        "doc_id", F.posexplode("ws").alias("i", "word")
+    ).select("doc_id", (F.col("i") + 1).alias("p"), "word")
+    roll = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(TEXT_DUP_WINDOW - 1), 0)
+    )
+    marked = wpos.join(dup_starts, ["doc_id", "p"], "left").withColumn(
+        "trim", F.max(F.coalesce("flag", F.lit(0))).over(roll)
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("trim").cast("bigint").alias("n_trimmed_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("trim") == 0, F.struct("p", "word"))
+                        )
+                    ),
+                    lambda x: x.getField("word"),
+                ),
+            )
+        ).alias("kept_hash"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.col("n_trimmed_words"))
+        .cast("bigint")
+        .alias("n_kept_words"),
+        "n_trimmed_words",
+        (
+            (F.col("n_words") - F.col("n_trimmed_words")).cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("kept_fraction"),
+        "kept_hash",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": quality_classifier,
     "text_lm_perplexity": lm_perplexity,
     "text_duplicate_window_fraction": duplicate_window_fraction,
+    "text_dedup_trim": dedup_trim,
     "text_quality_scores": quality_scores,
     "text_quality_filter": quality_filter,
     "text_language_id": language_id,
@@ -754,6 +833,56 @@ ORACLE_SQL: dict[str, str] = {
                     THEN CAST(pd.n_dup_windows AS DOUBLE) / pd.n_windows
                     ELSE 0.0 END AS dup_fraction
         FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    # member-level: the kept-text md5 pins the exact excised spans, not
+    # just the counts (the text_pii_scrub scrubbed-hash pattern)
+    "text_dedup_trim": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        g AS (
+          SELECT doc_id, i + 1 AS p,
+                 md5(array_to_string(
+                       ws[i + 1 : i + {TEXT_DUP_WINDOW}], ' ')) AS h
+          FROM (
+            SELECT doc_id, ws,
+                   unnest(CASE WHEN len(ws) >= {TEXT_DUP_WINDOW}
+                               THEN range(len(ws) - {TEXT_DUP_WINDOW - 1})
+                               ELSE [] END) AS i
+            FROM t
+          )
+        ),
+        ph AS (
+          SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS m
+          FROM g GROUP BY doc_id, h
+        ),
+        occ AS (SELECT h, CAST(SUM(m) AS BIGINT) AS occ FROM ph GROUP BY h),
+        ds AS (
+          SELECT DISTINCT g.doc_id, g.p
+          FROM g JOIN occ USING (h) WHERE occ >= 2
+        ),
+        wpos AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS p, unnest(ws) AS word
+          FROM t
+        ),
+        mk AS (
+          SELECT w.doc_id, w.p, w.word,
+                 MAX(CASE WHEN d.p IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY w.doc_id ORDER BY w.p
+                         ROWS BETWEEN {TEXT_DUP_WINDOW - 1} PRECEDING
+                         AND CURRENT ROW) AS trim
+          FROM wpos w LEFT JOIN ds d ON d.doc_id = w.doc_id AND d.p = w.p
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(*) - SUM(trim) AS BIGINT) AS n_kept_words,
+               CAST(SUM(trim) AS BIGINT) AS n_trimmed_words,
+               CAST(COUNT(*) - SUM(trim) AS DOUBLE) / COUNT(*)
+                 AS kept_fraction,
+               md5(COALESCE(array_to_string(
+                     list(word ORDER BY p) FILTER (WHERE trim = 0), ' '),
+                     '')) AS kept_hash
+        FROM mk GROUP BY doc_id
     """,
     "text_dedup_segments": f"""
         WITH segs AS (

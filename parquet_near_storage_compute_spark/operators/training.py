@@ -816,7 +816,12 @@ def _bpe_encode_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
 
 def _bpe_pack_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
     """The encode chain's per-doc token counts fed through the packing
-    cumsum — the same bin algebra as train_pack_sequences' oracle."""
+    cumsum — the same bin algebra as train_pack_sequences' oracle.
+
+    bin_id uses DuckDB integer division ``//`` (not double FLOOR) so the
+    oracle shares the Spark side's exact-integer bin algebra past 2^53
+    (ADVICE r7: double division could round differently at extreme
+    cumulative token counts)."""
     return (
         _bpe_encode_ctes(rounds)
         + f""",
@@ -830,7 +835,7 @@ def _bpe_pack_oracle_sql(rounds: int = BPE_MERGE_ROUNDS) -> str:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM tk2
         )
-        SELECT CAST(FLOOR((cum - tokens) / {PACK_CAPACITY}.0) AS BIGINT)
+        SELECT CAST((cum - tokens) // {PACK_CAPACITY} AS BIGINT)
                  AS bin_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(tokens) AS BIGINT) AS total_tokens,
@@ -1071,7 +1076,7 @@ ORACLE_SQL: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM t
         )
-        SELECT CAST(FLOOR((cum - tokens) / {PACK_CAPACITY}.0) AS BIGINT)
+        SELECT CAST((cum - tokens) // {PACK_CAPACITY} AS BIGINT)
                  AS bin_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(tokens) AS BIGINT) AS total_tokens,

@@ -11,19 +11,18 @@ iteration order. Round 1 verified the core v1/snowset/join/agg/window surface
 r1-era core plus the never-checked train_/stream_/kmeans contracts; round 4
 the new-in-r3/r4 contracts plus the oldest r2 fill; round 5 the r2-only
 stragglers plus everything r5 modified; round 6 the 22 never-checked
-r5-third-session contracts + 3 modified + the 25 oldest r3 rows — all 50/50
-green, leaving 161 of 163 contracts driver-confirmed. Round 7's window
-(VERDICT r6 #1): the 2 deferred r6 contracts + 19 new + 3 modified lead,
-then the 21 remaining r3-row contracts, then the oldest r4 rows as fill.
-After this window lands green, no live contract is unchecked and only
-sixteen driver rows (dedup_blocked_jaccard, dedup_minhash_lsh,
-dedup_ngram_jaccard, events_retention_cohorts, mm_resize,
-source_csv_scan, source_partitioned_scan, stream_sliding_counts,
-text_pii_scrub, text_repetition_filter, text_tfidf_topk,
-train_bpe_pair_counts, train_chunk_documents,
-train_contamination_check, train_curriculum_order,
-train_mixture_sample — bumped by the window's fixed 50 slots) are
-staler than round 5.
+r5-third-session contracts + 3 modified + the 25 oldest r3 rows; round 7 the
+2 deferred + 19 new + 3 modified + all 21 remaining r3-row contracts + the
+5 oldest r4 rows — all 50/50 green, so every live contract now has a green
+driver row and none is staler than round 4.
+
+Round 8's window (VERDICT r7 #1): 1 new contract + 5 modified lead, then
+ALL **37** contracts whose newest driver row is CORRECTNESS_r04 (the r7
+docstring undercounted this backlog as 16 — the correct list is computed
+from the r0*.json history exactly as tests/test_registry_window.py does,
+and the window retires it in full), then the 7 oldest round-5 rows in
+CORRECTNESS_r05 key order as fill. After this window lands green, no live
+contract's newest driver row is older than round 5.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -60,116 +59,86 @@ _MODULES = [
 ]
 
 
-#: New in round 6, deliberately NOT in the round-6 window (it was fully
-#: booked by the 22 never-checked + 3 modified + 26 stalest rows): the
-#: model-based quality scoring / resampling pair. Locally oracle-verified
-#: every test run (tests/test_registry_oracle.py); they lead the round-7
-#: window (VERDICT r6 #1).
-DEFERRED_TO_R7 = [
-    "text_quality_classifier",
-    "train_quality_resample",
+#: New in round 8: the duplicate-span trimming operator (VERDICT r7 #7 —
+#: the action half of text_duplicate_window_fraction's Lee-et-al
+#: measurement: keep the doc, excise the corpus-duplicated windows, with
+#: before/after token accounting and a member-level kept-text md5
+#: oracle). Never driver-checked, enters the window immediately.
+NEW_IN_R8 = [
+    "text_dedup_trim",
 ]
 
-#: New in round 7: DCT perceptual-hash image dedup (VERDICT r6 #3), its
-#: audio sibling (spectral-fingerprint dedup), the video sibling
-#: (sampled-frame pHash SIGNATURES — the fifth modality, completing the
-#: near-dup matrix), the cross-modality dedup report composite that
-#: re-verifies all five decision pipelines through one hash, and the int8
-#: scalar-quantized top-k (SQ8 flat scan — integer scoring, bit-exact
-#: oracle) plus its IVF composition and the streaming perceptual-ingest
-#: bridge (sequential recursive-CTE oracle), the decode-quarantine
-#: robustness contract, the SemDeDup-style semantic dedup
-#: (cluster-bounded embedding dedup — the curation op the literal/
-#: near-literal dedup ladder can't express) and the product-quantized
-#: ANN (ADC scoring, integer-exact oracle); session 4 adds the IVF-PQ
-#: composition (coarse cell bounds WHAT is scanned, PQ codes bound the
-#: bandwidth of scanning it), the bigram-LM perplexity quality filter
-#: (the CCNet recipe, fixed-point integer keep gate) and the full BPE
-#: merge loop (the tokenizer-trainer artifact;
-#: ``train_bpe_pair_counts`` is its round 1), the multiprobe IVF
-#: variant (nprobe — THE deployed recall/latency dial) and the BPE
-#: encode pass (the trained merges applied back to the corpus; closes
-#: the tokenizer loop) — never driver-checked, enter the window
-#: immediately.
-NEW_IN_R7 = [
-    "dedup_image_phash",
-    "dedup_audio_fingerprint",
-    "dedup_video_fingerprint",
-    "pipeline_modality_dedup_report",
-    "sim_topk_sq8",
-    "sim_topk_ivf_sq8",
-    "stream_phash_ingest",
-    "mm_decode_quarantine",
-    "dedup_semantic_clusters",
+#: Contracts round 8 modifies that already carry driver rows — the change
+#: invalidates the old row, so they re-enter the window:
+#: sim_topk_pq / sim_topk_ivf_pq gain TRAINED codebooks (VERDICT r7 #3:
+#: PQ_ITERS Lloyd rounds on the lattice seed, integer-exact, recall beats
+#: the untrained lattice at every SF — tools/pq_train_sweep.py);
+#: dedup_semantic_clusters gains the zero-norm eps guard on both engines
+#: (ADVICE r7: 0/0 = NaN ordered differently by Spark and DuckDB);
+#: train_pack_bpe / train_pack_sequences oracles switch to DuckDB integer
+#: division for bin_id (ADVICE r7: double FLOOR could round differently
+#: past 2^53).
+MODIFIED_IN_R8 = [
     "sim_topk_pq",
     "sim_topk_ivf_pq",
-    "text_lm_perplexity",
-    "train_bpe_merges",
-    "sim_topk_ivf_mp",
-    "train_bpe_encode",
-    "text_duplicate_window_fraction",
-    "sim_topk_prefix_rerank",
+    "dedup_semantic_clusters",
     "train_pack_bpe",
-    "train_uniform_sample",
-]
-
-#: Contracts round 7 modifies that already carry driver rows — the change
-#: invalidates the old row, so they re-enter the window:
-#: sim_knn_join's oracle gains the own-group duplicate candidate branch
-#: (ADVICE r6: Spark and oracle diverged in the over-cap pilot regime);
-#: sim_range_search and dedup_connected_components drop their terminal
-#: presentational global sorts (VERDICT r6 #2 — plan shape only, but a
-#: contract change is a contract change).
-MODIFIED_IN_R7 = [
-    "sim_knn_join",
-    "sim_range_search",
-    "dedup_connected_components",
-]
-
-#: The round-7 driver correctness window (VERDICT r6 #1): the 2 deferred
-#: r6 contracts + 19 new + 3 modified lead; then every contract still on
-#: a round-3 driver row (21 — window_*, stream_* ×4, train_* ×4,
-#: iter_kmeans_lite, agg_min_max_by, agg_stats, agg_percentile); the
-#: remaining 5 slots take the OLDEST round-4 rows in CORRECTNESS_r04 key
-#: order. After this window lands green, no live contract is unchecked
-#: and only sixteen driver rows (dedup_blocked_jaccard,
-#: dedup_minhash_lsh, dedup_ngram_jaccard, events_retention_cohorts,
-#: mm_resize, source_csv_scan, source_partitioned_scan,
-#: stream_sliding_counts, text_pii_scrub, text_repetition_filter,
-#: text_tfidf_topk, train_bpe_pair_counts, train_chunk_documents,
-#: train_contamination_check, train_curriculum_order,
-#: train_mixture_sample) are older than round 5 — they lost their slots
-#: to the r7 session-2/3/4 contracts (never-checked beats stale-r4) and
-#: lead the r8 rotation.
-_PRIORITY = DEFERRED_TO_R7 + NEW_IN_R7 + MODIFIED_IN_R7 + [
-    # the 21 round-3-row contracts, alphabetical
-    "agg_min_max_by",
-    "agg_percentile",
-    "agg_stats",
-    "iter_kmeans_lite",
-    "stream_dedup_exact",
-    "stream_stateful_user_stats",
-    "stream_stream_join",
-    "stream_windowed_counts",
     "train_pack_sequences",
-    "train_profile_columns",
-    "train_stratified_sample",
-    "train_test_split",
-    "window_first_last_nth",
-    "window_lag_lead",
-    "window_mode_per_group",
-    "window_moving_sum",
-    "window_ntile",
-    "window_percent_rank_cume",
-    "window_rank_dense_rank",
-    "window_running_total",
-    "window_topk_per_group",
-    # oldest round-4 rows, CORRECTNESS_r04 key order (5)
-    "time_gap_fill",
-    "events_funnel",
-    "agg_histogram",
-    "window_range_frame",
-    "text_ngram_topk",
+]
+
+#: The round-8 driver correctness window (VERDICT r7 #1): the 1 new + 5
+#: modified contracts lead; then all 37 contracts whose newest driver row
+#: is CORRECTNESS_r04 (alphabetical); the remaining 7 slots take the
+#: OLDEST round-5 rows in CORRECTNESS_r05 key order. After this window
+#: lands green, no live contract's newest driver row is older than
+#: round 5.
+_PRIORITY = NEW_IN_R8 + MODIFIED_IN_R8 + [
+    # the 37 round-4-row contracts, alphabetical
+    "dedup_blocked_jaccard",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_key",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "dedup_simhash",
+    "events_anomaly_mad",
+    "events_cumulative_users",
+    "events_retention_cohorts",
+    "minhash_dedup_decisions",
+    "mm_resize",
+    "relational_lateral_topn",
+    "sim_label_centroid",
+    "sim_lsh_bucket_histogram",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "sim_topk_numpy",
+    "source_csv_scan",
+    "source_partitioned_scan",
+    "stream_append_closed_windows",
+    "stream_sliding_counts",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_quality_filter",
+    "text_quality_scores",
+    "text_repetition_filter",
+    "text_tfidf_topk",
+    "text_token_counts",
+    "train_bpe_pair_counts",
+    "train_chunk_documents",
+    "train_contamination_check",
+    "train_curriculum_order",
+    "train_mixture_sample",
+    "udtf_tokenize",
+    # oldest round-5 rows, CORRECTNESS_r05 key order (7)
+    "agg_approx_distinct",
+    "agg_collect",
+    "agg_reaggregate",
+    "mm_binary_metadata",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "pipeline_training_data",
 ]
 
 

@@ -54,6 +54,38 @@ def test_admission_semantics(spark, sf_dir):
     assert not any(1000 <= i <= 1023 for i in rows)
 
 
+def test_fixture_near_pairs_are_band_reachable():
+    """Band-reachability precondition (ADVICE r7): Spark's admission
+    generates candidates via 4×16-bit bands — approximate, since with
+    PHASH_HAMMING=10 the differing bits can spread across all 4 bands and
+    miss the band join — while the oracle replays admission with exact
+    all-pairs Hamming. The contract is total only because every near pair
+    in THIS fixture shares a clean band; assert that (the
+    `_banding_recall_holds` discipline from test_sig_decisions_random) so
+    regenerating the image fixture cannot silently flip the contract."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT img_id, payload FROM read_parquet('{M.IMG_DEDUP_FIXTURE}')"
+    ).fetchall()
+    ph = {i: M.phash64(M.decode_image(bytes(p))) for i, p in rows}
+
+    def band_keys(h):
+        return {(b, (h >> (16 * b)) & 0xFFFF) for b in range(M.PHASH_BANDS)}
+
+    ids = sorted(ph)
+    near_pairs = 0
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            if bin(ph[a] ^ ph[b]).count("1") <= M.PHASH_HAMMING:
+                near_pairs += 1
+                assert band_keys(ph[a]) & band_keys(ph[b]), (
+                    f"near pair ({a}, {b}) shares no 16-bit band — the "
+                    "banded Spark admission would miss it while the exact "
+                    "oracle replay finds it"
+                )
+    assert near_pairs >= 2  # the fixture plants real near pairs
+
+
 def test_within_batch_rule_equals_greedy():
     """The batch-local rule (drop any state-survivor with a smaller
     state-surviving same-batch row within threshold) equals TRUE

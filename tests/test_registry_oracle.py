@@ -26,6 +26,9 @@ def con(sf_dir):
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, con):
+    # drop the previous contract's persisted frames (ADVICE r7) — the
+    # sweep otherwise accumulates every operator's cache in one session
+    spark.catalog.clearCache()
     df = _QUERIES[name](spark, sf_dir)
     compare(df, con, _ORACLES[name])
 

@@ -256,6 +256,40 @@ def test_pq_recall_floor(sf_dir):
     assert len(exact & pq) / len(exact) >= 0.5
 
 
+def _pq_recall_at(sf: str, iters: int) -> float:
+    """Oracle-side recall@TOP_K vs exact cosine for a given number of
+    Lloyd rounds (splices the unrolled-training CTE text, so iters=0 is
+    the untrained lattice codebook)."""
+    con = duckdb_con(sf)
+    sql = S.ORACLE_SQL["sim_topk_pq"].replace(
+        S._pq_train_ctes(), S._pq_train_ctes(iters)
+    )
+    exact = set(
+        map(
+            tuple,
+            con.execute(S.ORACLE_SQL["sim_topk_bruteforce"])
+            .df()[["query_id", "cand_id"]]
+            .values.tolist(),
+        )
+    )
+    pq = set(
+        map(
+            tuple,
+            con.execute(sql).df()[["query_id", "cand_id"]].values.tolist(),
+        )
+    )
+    return len(exact & pq) / len(exact)
+
+
+def test_pq_trained_beats_lattice(sf_dir, sf_oracle_dir):
+    """VERDICT r7 #3's done-criterion: the trained codebook's measured
+    recall beats the untrained lattice floor-means at every test SF
+    (full sweep incl. sf0.1 in tools/pq_train_sweep.py / NOTES_r8:
+    0.667→0.700, 0.700→0.800, 0.533→0.567 at PQ_ITERS=3)."""
+    for sf in {sf_dir, sf_oracle_dir}:
+        assert _pq_recall_at(sf, S.PQ_ITERS) > _pq_recall_at(sf, 0), sf
+
+
 def test_pq_codebook_floor_margin(sf_dir):
     """The one inexact step in the codebook: floor(Σx/n) on the lattice
     means.  Σx and n are exact; IEEE division is correctly rounded; the
@@ -282,7 +316,8 @@ def test_pq_codebook_floor_margin(sf_dir):
 
 
 def _np_pq_recon(V: np.ndarray) -> np.ndarray:
-    """Third-engine (numpy) re-derivation of the full PQ pipeline."""
+    """Third-engine (numpy) re-derivation of the full PQ pipeline,
+    including the PQ_ITERS Lloyd training rounds (r8)."""
     VI = np.floor(V * float(S.PQ_GRID) + 0.5).astype(np.int64)
     recon = np.zeros_like(VI)
     for s in range(S.PQ_M):
@@ -301,6 +336,20 @@ def _np_pq_recon(V: np.ndarray) -> np.ndarray:
                 for kk in cells
             ]
         )
+        # Lloyd rounds: reassign to nearest codeword (argmin returns the
+        # first minimum = smallest codeword id, matching the engines'
+        # tie rule since `cells` is sorted ascending), refit floor-means,
+        # empty codewords keep their previous position
+        for _ in range(S.PQ_ITERS):
+            d2 = ((sv[:, None, :] - codes[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            codes = codes.copy()
+            for j in range(len(cells)):
+                m = a == j
+                if m.any():
+                    codes[j] = np.floor(
+                        sv[m].sum(axis=0).astype(float) / m.sum()
+                    ).astype(np.int64)
         d2 = ((sv[:, None, :] - codes[None, :, :]) ** 2).sum(axis=2)
         # argmin with ties by cell id: cells is sorted ascending and
         # argmin returns the first minimum, which is the smallest cell id
