@@ -341,6 +341,41 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level canonical selection (r8): `dedup_connected_components`
+    says WHICH documents form a duplicate cluster; this op decides WHICH
+    MEMBER SURVIVES. Production pipelines keep the best-QUALITY member of
+    each near-dup cluster — not the arbitrary smallest id — so the corpus
+    keeps the longest/cleanest copy of every duplicated document. Quality
+    here is the table's n_chars (ties to the smallest doc_id — total
+    order, deterministic on both engines).
+
+    Shape: the same LSH-candidate graph and min-label propagation as
+    connected components (bounded rounds, no driver-side graph); the
+    winner per cluster is one max_by aggregate over the #clustered-docs
+    label frame (tiny relative to the corpus), broadcast-joined back.
+    Output is a per-doc SET keyed by doc_id (no terminal sort — the
+    contract compare is order-insensitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _lsh_candidates(_minhash_signatures(docs)).localCheckpoint()
+    comp = propagate_min_labels(edges)
+    q = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = q.groupBy("cluster_rep").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("nd")),
+        ).alias("best_doc"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return q.join(F.broadcast(best), "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "best_doc",
+        (F.col("doc_id") == F.col("best_doc")).cast("int").alias("keep"),
+    )
+
+
 def lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overflow accounting for the hot-bucket guard: one row per over-cap
     bucket (band, bh, exact n_docs, smallest member id — carried as a
@@ -624,6 +659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
     "dedup_connected_components": connected_components,
+    "dedup_keep_best": keep_best,
     "dedup_incremental": incremental_dedup,
     "minhash_dedup_decisions": lambda spark, sf_dir: (
         minhash_dedup_decisions(load_table(spark, sf_dir, "documents"))
@@ -866,6 +902,46 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN over_keepers os ON d.doc_id = os.doc_id
         LEFT JOIN pair_winners pw ON d.doc_id = pw.doc_id
         ORDER BY d.doc_id
+    """,
+    # keep-best: the CC oracle's recursive reach + a quality argmax per
+    # component (n_chars desc, doc_id asc) — member-level keep flags
+    "dedup_keep_best": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION ALL
+          SELECT doc_b, doc_a FROM cand
+        ),
+        reach AS (
+          SELECT src AS node, src AS lbl FROM edges
+          UNION
+          SELECT e.dst AS node, r.lbl
+          FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_rep
+          FROM reach GROUP BY node
+        ),
+        q AS (
+          SELECT c.doc_id, c.cluster_rep, d.n_chars
+          FROM comp c JOIN documents d USING (doc_id)
+        ),
+        best AS (
+          SELECT cluster_rep, doc_id AS best_doc FROM (
+            SELECT cluster_rep, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM q
+          ) WHERE rk = 1
+        ),
+        sizes AS (
+          SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM q GROUP BY cluster_rep
+        )
+        SELECT q.doc_id, q.cluster_rep, s.cluster_size, b.best_doc,
+               CAST(CASE WHEN q.doc_id = b.best_doc THEN 1 ELSE 0 END AS INT)
+                 AS keep
+        FROM q JOIN best b USING (cluster_rep) JOIN sizes s USING (cluster_rep)
     """,
     "dedup_connected_components": f"""
         WITH RECURSIVE {_SHINGLE_CTE},

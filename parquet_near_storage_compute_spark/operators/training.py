@@ -250,6 +250,95 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _contamination_report(fan_out(docs))
 
 
+def decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval-set decontamination (r8) — the ACTION half of
+    `train_contamination_check`: the report says WHICH train documents
+    overlap the held-out set; this op EXCISES the overlapping spans (the
+    industry decontamination recipe: drop the span, keep the document —
+    the same trim algebra as `text_dedup_trim`, with the duplicated-
+    window predicate swapped for eval-gram membership). A train-doc word
+    is trimmed iff some CONTAM_NGRAM-word window covering it matches a
+    gram that occurs ANYWHERE in the eval split (doc_id % EVAL_MOD == 0).
+
+    No rare-gram cap here, by design: the check's CONTAM_MAX_DF bounds
+    the per-key fan-out of reporting WHICH eval docs matched; trimming
+    needs only EXISTENCE — a semi-join of train window hashes against
+    the DISTINCT eval-gram frame, at most one flag per (doc, position)
+    no matter how common the gram is on the eval side (boilerplate grams
+    trim aggressively, which is the conservative direction for
+    decontamination). Scale shape is `text_dedup_trim`'s: md5 window
+    hashes as shuffle keys, flags join back to window starts, coverage
+    is one rolling-max window over the dense per-doc position frame.
+    Output: train docs only, with before/after token accounting and the
+    member-level kept-text md5."""
+    from parquet_near_storage_compute_spark.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = fan_out(docs).select(
+        "doc_id",
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+        words("text").alias("ws"),
+    )
+    train = base.filter(~F.col("is_eval"))
+    ev_grams = (
+        base.filter("is_eval")
+        .select(F.explode(shingles(F.col("ws"), CONTAM_NGRAM)).alias("gm"))
+        .select(F.md5("gm").alias("h"))
+        .distinct()
+    )
+    wins = train.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("ws"), CONTAM_NGRAM)).alias("i", "gm"),
+    ).select("doc_id", (F.col("i") + 1).alias("p"), F.md5("gm").alias("h"))
+    hit_starts = (
+        wins.join(ev_grams, "h", "left_semi")
+        .select("doc_id", "p")
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    wpos = train.select(
+        "doc_id", F.posexplode("ws").alias("i", "word")
+    ).select("doc_id", (F.col("i") + 1).alias("p"), "word")
+    roll = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(CONTAM_NGRAM - 1), 0)
+    )
+    marked = wpos.join(hit_starts, ["doc_id", "p"], "left").withColumn(
+        "trim", F.max(F.coalesce("flag", F.lit(0))).over(roll)
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("trim").cast("bigint").alias("n_trimmed_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("trim") == 0, F.struct("p", "word"))
+                        )
+                    ),
+                    lambda x: x.getField("word"),
+                ),
+            )
+        ).alias("kept_hash"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.col("n_trimmed_words"))
+        .cast("bigint")
+        .alias("n_kept_words"),
+        "n_trimmed_words",
+        (
+            (F.col("n_words") - F.col("n_trimmed_words")).cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("kept_fraction"),
+        "kept_hash",
+    )
+
+
 def _contamination_report(docs: DataFrame) -> DataFrame:
     """Core of contamination_check over an arbitrary (doc_id, text) frame —
     split out so adversarial tests can feed synthetic corpora."""
@@ -983,6 +1072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_profile_columns": profile_columns,
     "train_chunk_documents": chunk_documents,
     "train_contamination_check": contamination_check,
+    "train_decontaminate_trim": decontaminate_trim,
     "train_mixture_sample": mixture_sample,
     "train_curriculum_order": curriculum_order,
     "train_bpe_pair_counts": bpe_pair_counts,
@@ -1131,6 +1221,64 @@ ORACLE_SQL: dict[str, str] = {
                  ws[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' '))
                  AS chunk_hash
         FROM c ORDER BY doc_id, chunk_idx
+    """,
+    # span-level decontamination: text_dedup_trim's trim algebra with the
+    # dup predicate swapped for eval-gram membership (existence semi-join —
+    # no fan-out, no rare cap; see the operator docstring)
+    "train_decontaminate_trim": f"""
+        WITH t AS (
+          SELECT doc_id, doc_id % {EVAL_MOD} = 0 AS is_eval,
+                 string_split(text, ' ') AS ws
+          FROM documents
+        ),
+        evg AS (
+          SELECT DISTINCT md5(gm) AS h FROM (
+            SELECT unnest(list_transform(
+                     CASE WHEN len(ws) >= {CONTAM_NGRAM}
+                          THEN range(len(ws) - {CONTAM_NGRAM - 1}) ELSE [] END,
+                     i -> array_to_string(
+                            ws[i + 1 : i + {CONTAM_NGRAM}], ' '))) AS gm
+            FROM t WHERE is_eval
+          )
+        ),
+        g AS (
+          SELECT doc_id, i + 1 AS p,
+                 md5(array_to_string(
+                       ws[i + 1 : i + {CONTAM_NGRAM}], ' ')) AS h
+          FROM (
+            SELECT doc_id, ws,
+                   unnest(CASE WHEN len(ws) >= {CONTAM_NGRAM}
+                               THEN range(len(ws) - {CONTAM_NGRAM - 1})
+                               ELSE [] END) AS i
+            FROM t WHERE NOT is_eval
+          )
+        ),
+        ds AS (
+          SELECT DISTINCT g.doc_id, g.p FROM g
+          WHERE EXISTS (SELECT 1 FROM evg WHERE evg.h = g.h)
+        ),
+        wpos AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS p, unnest(ws) AS word
+          FROM t WHERE NOT is_eval
+        ),
+        mk AS (
+          SELECT w.doc_id, w.p, w.word,
+                 MAX(CASE WHEN d.p IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY w.doc_id ORDER BY w.p
+                         ROWS BETWEEN {CONTAM_NGRAM - 1} PRECEDING
+                         AND CURRENT ROW) AS trim
+          FROM wpos w LEFT JOIN ds d ON d.doc_id = w.doc_id AND d.p = w.p
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(*) - SUM(trim) AS BIGINT) AS n_kept_words,
+               CAST(SUM(trim) AS BIGINT) AS n_trimmed_words,
+               CAST(COUNT(*) - SUM(trim) AS DOUBLE) / COUNT(*)
+                 AS kept_fraction,
+               md5(COALESCE(array_to_string(
+                     list(word ORDER BY p) FILTER (WHERE trim = 0), ' '),
+                     '')) AS kept_hash
+        FROM mk GROUP BY doc_id
     """,
     "train_contamination_check": f"""
         WITH g AS (

@@ -16,11 +16,11 @@ r5-third-session contracts + 3 modified + the 25 oldest r3 rows; round 7 the
 5 oldest r4 rows — all 50/50 green, so every live contract now has a green
 driver row and none is staler than round 4.
 
-Round 8's window (VERDICT r7 #1): 1 new contract + 5 modified lead, then
+Round 8's window (VERDICT r7 #1): 3 new contracts + 5 modified lead, then
 ALL **37** contracts whose newest driver row is CORRECTNESS_r04 (the r7
 docstring undercounted this backlog as 16 — the correct list is computed
 from the r0*.json history exactly as tests/test_registry_window.py does,
-and the window retires it in full), then the 7 oldest round-5 rows in
+and the window retires it in full), then the 5 oldest round-5 rows in
 CORRECTNESS_r05 key order as fill. After this window lands green, no live
 contract's newest driver row is older than round 5.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
@@ -59,13 +59,22 @@ _MODULES = [
 ]
 
 
-#: New in round 8: the duplicate-span trimming operator (VERDICT r7 #7 —
-#: the action half of text_duplicate_window_fraction's Lee-et-al
-#: measurement: keep the doc, excise the corpus-duplicated windows, with
-#: before/after token accounting and a member-level kept-text md5
-#: oracle). Never driver-checked, enters the window immediately.
+#: New in round 8 — three composition operators over verified machinery,
+#: never driver-checked, enter the window immediately:
+#: text_dedup_trim (VERDICT r7 #7): the action half of
+#: text_duplicate_window_fraction's Lee-et-al measurement — keep the doc,
+#: excise the corpus-duplicated windows, with before/after token
+#: accounting and a member-level kept-text md5 oracle;
+#: train_decontaminate_trim: the action half of train_contamination_check
+#: — excise eval-set CONTAM_NGRAM overlaps from train docs (existence
+#: semi-join, no fan-out, no rare cap) with the same trim algebra;
+#: dedup_keep_best: cluster-level canonical selection — the CC label
+#: frame + a quality argmax (n_chars desc, doc_id asc) so each near-dup
+#: cluster keeps its best member, not the arbitrary min id.
 NEW_IN_R8 = [
     "text_dedup_trim",
+    "train_decontaminate_trim",
+    "dedup_keep_best",
 ]
 
 #: Contracts round 8 modifies that already carry driver rows — the change
@@ -86,9 +95,9 @@ MODIFIED_IN_R8 = [
     "train_pack_sequences",
 ]
 
-#: The round-8 driver correctness window (VERDICT r7 #1): the 1 new + 5
+#: The round-8 driver correctness window (VERDICT r7 #1): the 3 new + 5
 #: modified contracts lead; then all 37 contracts whose newest driver row
-#: is CORRECTNESS_r04 (alphabetical); the remaining 7 slots take the
+#: is CORRECTNESS_r04 (alphabetical); the remaining 5 slots take the
 #: OLDEST round-5 rows in CORRECTNESS_r05 key order. After this window
 #: lands green, no live contract's newest driver row is older than
 #: round 5.
@@ -131,14 +140,12 @@ _PRIORITY = NEW_IN_R8 + MODIFIED_IN_R8 + [
     "train_curriculum_order",
     "train_mixture_sample",
     "udtf_tokenize",
-    # oldest round-5 rows, CORRECTNESS_r05 key order (7)
+    # oldest round-5 rows, CORRECTNESS_r05 key order (5)
     "agg_approx_distinct",
     "agg_collect",
     "agg_reaggregate",
     "mm_binary_metadata",
     "mm_feature_extract",
-    "mm_frame_sample",
-    "pipeline_training_data",
 ]
 
 
