@@ -114,7 +114,15 @@ def main() -> None:
         "train_pack_bpe",
         "train_uniform_sample",
     ]
-    headline = core22 + r6_added + r7_added
+    #: round-8 additions: the trim family (duplicate-span + eval-span
+    #: excision — both SF-scaling over documents) and keep-best cluster
+    #: dedup (the CC label frame + broadcast winner join).
+    r8_added = [
+        "text_dedup_trim",
+        "train_decontaminate_trim",
+        "dedup_keep_best",
+    ]
+    headline = core22 + r6_added + r7_added + r8_added
     queries = all_queries()
 
     # Build every plan once up front: timing then covers pure execution
@@ -436,6 +444,7 @@ def main() -> None:
         "core22_total_sec": core22_total,
         "r6_added_queries": r6_added,
         "r7_added_queries": r7_added,
+        "r8_added_queries": r8_added,
         "per_query_spread_pct_best_of_3_interleaved": spread_pct,
         # plan construction, timed separately from execution: nonzero
         # jobs here = eager statistics probes (see the dfs-build comment)

@@ -90,6 +90,12 @@ HEADLINE = [
     "sim_topk_prefix_rerank",
     "train_pack_bpe",
     "train_uniform_sample",
+    # r8: trim ops (shuffle volume = the collapsed (doc, window-hash)
+    # frame + the per-doc position frame through the rolling-max window)
+    # and keep-best (the CC label frame + the broadcast winner join)
+    "text_dedup_trim",
+    "train_decontaminate_trim",
+    "dedup_keep_best",
 ]
 
 
