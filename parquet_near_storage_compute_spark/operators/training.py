@@ -290,8 +290,10 @@ def decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(shingles(F.col("ws"), CONTAM_NGRAM)).alias("i", "gm"),
     ).select("doc_id", (F.col("i") + 1).alias("p"), F.md5("gm").alias("h"))
+    # the eval-gram frame is benchmark-sized at any corpus scale —
+    # broadcast the semi join explicitly
     hit_starts = (
-        wins.join(ev_grams, "h", "left_semi")
+        wins.join(F.broadcast(ev_grams), "h", "left_semi")
         .select("doc_id", "p")
         .distinct()
         .withColumn("flag", F.lit(1))
