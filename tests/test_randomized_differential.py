@@ -134,6 +134,16 @@ CONTRACTS = [
     # every window of those docs corpus-duplicated; short/empty docs have
     # no windows at all
     "text_duplicate_window_fraction",
+    # r8 trim family on the same shapes: the dup cluster trims to the
+    # empty string (md5('') branch), short/empty docs have no windows and
+    # keep everything, and eval docs (doc_id % 20 == 0) inside the dup
+    # cluster contaminate their train-side copies end to end
+    "text_dedup_trim",
+    "train_decontaminate_trim",
+    # keep-best on the dup cluster: exact duplicates share n_chars
+    # BITWISE, so the quality tie falls through to the doc_id break in
+    # every cluster — the fixed corpus rarely ties
+    "dedup_keep_best",
     # DELIBERATELY absent: sim_topk_ivf_mp and sim_topk_prefix_rerank
     # (like sim_topk_ivf / sim_topk_lsh / sim_topk_bruteforce) rank on
     # raw float cosines, whose cut boundaries (probe rank NPROBE|+1,
