@@ -117,8 +117,33 @@ def main(argv: list[str] | None = None) -> int:
     pruning_pred = _parse_filter_for_pruning(filter_expr)
 
     if args.mode == "metadata":
-        # v2: no execution at all — footer + surviving chunk accounting
+        # v2: no execution at all — footer + surviving chunk accounting.
+        # --columns (the v1 -cc axis) applies here too (r8, VERDICT r7
+        # #4): the accounted scan set is the first N schema columns, read
+        # footer-only — the v2 half of the projection-width experiment.
         cols = [args.column] if args.column else None
+        if args.columns is not None:
+            import pyarrow.parquet as _pq
+
+            meta = _pq.ParquetFile(args.path).metadata
+            names = [
+                meta.schema.column(i).name for i in range(meta.num_columns)
+            ]
+            cols = names[: args.columns]
+            missing = sorted(
+                {c for c, _, _ in pruning_pred} - set(cols)
+            )
+            if missing:
+                print(
+                    json.dumps(
+                        {
+                            "error": "columns outside --columns window: "
+                            f"{missing}"
+                        }
+                    ),
+                    file=sys.stderr,
+                )
+                return 2
         planned = planned_scan_bytes(args.path, cols, pruning_pred)
         total = dataset_size([args.path])
         print(

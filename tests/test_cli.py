@@ -79,3 +79,38 @@ def test_tasks_and_read_size_axes():
     res = _run("--path", LI, "--workload", "p50",
                "--tasks", "2", "--read-size-mib", "1")
     assert res["result"][0]["count_price"] > 0
+
+
+WIDE = "/root/repo/fixtures/wide92.parquet"
+
+
+def test_columns_reference_width_on_wide92():
+    """The reference's projection experiment runs to 92 columns
+    (v1/src/main.rs:103-109,1700-1793); drive the CLI's -cc axis over the
+    committed snowset-shaped fixture at reference width (VERDICT r7 #4):
+    metadata mode's planned bytes are strictly monotone in N and query
+    mode answers the same aggregate at any window wide enough to serve
+    it. memoryUsed is schema index 53, so windows 54/92 serve the v1
+    default filter/aggs while 23 must refuse."""
+    planned = []
+    for n in ("8", "23", "46", "92"):
+        res = _run("--path", WIDE, "--mode", "metadata", "--columns", n,
+                   "--column", "queryId", "--filter", "queryId >= 0")
+        planned.append(res["planned_bytes"])
+    assert planned == sorted(planned) and len(set(planned)) == 4
+    r54 = _run("--path", WIDE, "--workload", "p50", "--cpus", "4",
+               "--columns", "54", "--column", "memoryUsed")
+    r92 = _run("--path", WIDE, "--workload", "p50", "--cpus", "4",
+               "--columns", "92", "--column", "memoryUsed")
+    assert r54["result"] == r92["result"]
+    assert 0 < r54["bytes_read"] < r92["bytes_read"]
+    out = subprocess.run(
+        [sys.executable, "-m", "parquet_near_storage_compute_spark.cli",
+         "--path", WIDE, "--workload", "p50", "--cpus", "4",
+         "--columns", "23", "--column", "memoryUsed"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 2
+    assert "outside --columns window" in out.stderr
