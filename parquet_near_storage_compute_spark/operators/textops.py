@@ -620,14 +620,16 @@ def dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an md5 of the trimmed text for member-level verification (the
     `text_pii_scrub` scrubbed-hash pattern).
 
-    Shape: the corpus tokenizes and hashes ONCE — the per-(doc,
-    window-hash) collapse carries the start-position LIST alongside the
-    multiplicity (collect_list is bounded by within-doc repetition, so
-    the collapsed row stays small), corpus occurrence counts
-    re-aggregate from that frame, and dup window STARTS come back by
-    exploding the stored positions of the duplicated hashes — no second
-    shingle+md5 pass over the corpus. A word is trimmed iff some dup window starts within the
-    preceding W-1 positions — a single rolling-max window pass over the
+    Shape: the corpus collapses once to per-(doc, window-hash)
+    multiplicities (map-side combinable — the same shuffle as
+    duplicate_window_fraction); corpus occurrence counts re-aggregate
+    from that collapsed frame; dup flags join back to window STARTS by
+    re-deriving the (doc, position, hash) stream — MEASURED faster than
+    carrying collect_list(position) through the collapse (interleaved
+    best-of-5 at sf0.1: 1.97 s vs 2.17 s; the array payload on every
+    collapsed row costs more than re-tokenizing, NOTES_r8 §13); a word
+    is trimmed iff some dup window starts within the preceding W-1
+    positions — a single rolling-max window pass over the
     per-doc position frame (positions are dense, so a ROWS frame is the
     range), NOT a W× explode of covered spans. The only per-word state
     is the one-row-per-token frame every token op already carries."""
@@ -639,13 +641,11 @@ def dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(shingles(F.col("ws"), TEXT_DUP_WINDOW)).alias("i", "gm"),
     ).select("doc_id", (F.col("i") + 1).alias("p"), F.md5("gm").alias("h"))
-    per_doc_h = wins.groupBy("doc_id", "h").agg(
-        F.count(F.lit(1)).alias("m"), F.collect_list("p").alias("ps")
-    )
+    per_doc_h = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("m"))
     occ = per_doc_h.groupBy("h").agg(F.sum("m").alias("occ"))
     dup_starts = (
-        per_doc_h.join(occ.filter(F.col("occ") >= 2), "h")
-        .select("doc_id", F.explode("ps").alias("p"))
+        wins.join(occ.filter(F.col("occ") >= 2), "h")
+        .select("doc_id", "p")
         .distinct()
         .withColumn("flag", F.lit(1))
     )
