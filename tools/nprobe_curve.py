@@ -18,7 +18,10 @@ from __future__ import annotations
 
 import sys
 
+import os
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parquet_near_storage_compute_spark.operators import similarity as S
 
