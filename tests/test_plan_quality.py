@@ -179,6 +179,29 @@ def test_plan_is_scale_safe(name, spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
+    [
+        "dedup_connected_components",
+        "dedup_keep_best",
+        "train_decontaminate_trim",
+    ],
+)
+def test_corpus_coupled_frames_carry_no_broadcast_hint(name, spark, sf_dir):
+    """VERDICT r8 #1: these joins' small side is corpus-coupled — one row
+    per duplicate CLUSTER (tens of millions on a dense-duplication web
+    corpus) or one row per distinct EVAL gram (linear in the corpus under
+    the 5% eval split). An unconditional broadcast hint overrides AQE's
+    size guard and turns a working shuffle join into an OOM in exactly the
+    regime the operator exists for. The pin: their analyzed plans carry NO
+    join hint at all — broadcasting is AQE's measured runtime decision."""
+    df = _QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, (
+        f"{name}: unconditional join hint on a corpus-coupled frame:\n{plan}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
     ["join_broadcast_inner", "join_multiway", "snowset_selectivity_distribution"],
 )
 def test_dim_joins_broadcast(name, spark, sf_dir):
