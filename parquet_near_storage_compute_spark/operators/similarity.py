@@ -17,6 +17,7 @@ the DuckDB oracle (list_dot_product on DOUBLE[]) matches bitwise-to-epsilon.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1135,6 +1136,24 @@ PQ_TMAG = 120
 #: sweep (tools/pq_train_sweep.py, NOTES_r8).
 PQ_ITERS = 3
 
+#: Bounded deterministic TRAINING set for the PQ codebooks (VERDICT r8
+#: #3 — FAISS trains on a sample, not the corpus): the PQ_TRAIN_N
+#: vectors with the smallest md5('pq:' || vec_id) draw (the
+#: `train_uniform_sample` k-min device — a pure function of the keys,
+#: identical on both engines). Seeding and every Lloyd round run over
+#: this fixed-size frame, so codebook training costs ONE corpus scan
+#: (the sample semi-join) + PQ_ITERS jobs over ≤ PQ_TRAIN_N·PQ_M rows
+#: instead of ~4 full corpus scans; the full corpus is encoded exactly
+#: once against the finished book. 512 was picked by measured sweep
+#: (tools/pq_train_sweep.py --samples; SCALING.md r9 table): it covers
+#: the sf0.001/sf0.01 corpora outright (500 vectors — sampled training
+#: degenerates to the full-corpus codebooks there) and at sf0.1, where
+#: it genuinely binds (512 of 2000), recall is within one top-k pair of
+#: full training (0.533 vs 0.567 — noise on this near-random corpus,
+#: where n=256 even BEATS full at 0.633). At 100 TB it is the
+#: constant-size bound that makes training corpus-independent.
+PQ_TRAIN_N = 512
+
 
 def _lattice_expr(src: str = "v") -> str:
     """The PQ lattice quantizer as a SQL expression: x·PQ_GRID is an exact
@@ -1154,7 +1173,10 @@ def _pq_train_ctes(iters: int = PQ_ITERS) -> str:
     emits asg/fit/nb/book{t} per round and a final `book` alias. Every
     step is exact-integer (d2 argmin with ties by codeword id,
     floor(Σx/n) refit, empty codewords keep their previous position), so
-    the unroll stays bit-for-bit with the Spark loop."""
+    the unroll stays bit-for-bit with the Spark loop. Since r9 the
+    rounds assign `trainsub` (the PQ_TRAIN_N-vector sample emitted by
+    `_pq_sample_ctes`), not the full `subo` — mirroring the sampled
+    Spark training."""
     parts = []
     prev = "book0"
     for t in range(1, iters + 1):
@@ -1169,7 +1191,7 @@ def _pq_train_ctes(iters: int = PQ_ITERS) -> str:
                             - 2 * list_dot_product(so.sv::DOUBLE[],
                                                    b.cw::DOUBLE[]),
                               b.orth) AS rk
-            FROM subo so JOIN {prev} b USING (s)
+            FROM trainsub so JOIN {prev} b USING (s)
           ) WHERE rk = 1
         ),
         fit{t} AS (
@@ -1197,6 +1219,78 @@ def _pq_train_ctes(iters: int = PQ_ITERS) -> str:
     return "".join(parts)
 
 
+def _pq_sample_ctes(train_n: int = PQ_TRAIN_N) -> str:
+    """DuckDB CTE text for the bounded training sample (VERDICT r8 #3):
+    expects `vi` (one row per vector) and `subo` in scope; emits
+    `trainids` (the train_n smallest md5('pq:' || vec_id) draws — the
+    `train_uniform_sample` k-min device, a pure function of the keys) and
+    `trainsub` (the sample's subvector rows). Codebook seeding and every
+    Lloyd round consume `trainsub`; the final encode still runs over the
+    full `subo`."""
+    return f""",
+        trainids AS (
+          SELECT vec_id FROM vi
+          ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT {train_n}
+        ),
+        trainsub AS (
+          SELECT subo.* FROM subo JOIN trainids USING (vec_id)
+        )"""
+
+
+def _lloyd_book(
+    vecs: list[list[float]], iters: int = PQ_ITERS
+) -> list[tuple[int, int, list[int]]]:
+    """Driver-side PQ codebook training over the bounded sample — the
+    FAISS discipline (`index.train()` runs on one node over a sample;
+    only the encode is distributed). Exact int64 algebra end to end so
+    the result is bit-identical to the oracle's unrolled CTEs:
+
+    - lattice: floor(x·PQ_GRID + 0.5) — the same IEEE double ops as
+      `_lattice_expr`, then exact integers;
+    - seed: per (subspace, 2-bit cell) element-wise floor-mean, via
+      int64 floor-division (Σx // n == floor(double(Σx)/n): the double
+      quotient is correctly rounded and sits ≥ 1/n from any integer it
+      isn't — the test_semdedup_pq margin argument);
+    - Lloyd rounds: argmin of exact integer L2 with ties to the
+      smallest codeword id (np.argmin's first-minimum over ascending
+      ids), floor-mean refit, empty codewords keep their position.
+
+    ≤ PQ_TRAIN_N·PQ_M subvectors of PQ_SUB dims: microseconds of NumPy,
+    constant in the corpus size."""
+    import numpy as np
+
+    lat = np.array(
+        [[math.floor(x * float(PQ_GRID) + 0.5) for x in vec] for vec in vecs],
+        dtype=np.int64,
+    )
+    pw = 4 ** np.arange(PQ_SUB, dtype=np.int64)
+    out: list[tuple[int, int, list[int]]] = []
+    for s in range(PQ_M):
+        sv = lat[:, s * PQ_SUB : (s + 1) * PQ_SUB]
+        orth = (
+            (
+                (sv >= 0).astype(np.int64)
+                + 2 * (np.abs(sv) >= PQ_TMAG).astype(np.int64)
+            )
+            * pw
+        ).sum(axis=1)
+        book: dict[int, "np.ndarray"] = {}
+        for c in np.unique(orth):
+            m = sv[orth == c]
+            book[int(c)] = np.floor_divide(m.sum(axis=0), m.shape[0])
+        for _ in range(iters):
+            co = sorted(book)
+            cw = np.stack([book[c] for c in co])
+            d2 = ((sv[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j, c in enumerate(co):
+                m = sv[assign == j]
+                if m.shape[0]:
+                    book[c] = np.floor_divide(m.sum(axis=0), m.shape[0])
+        out.extend((s, c, [int(x) for x in book[c]]) for c in sorted(book))
+    return out
+
+
 def _pq_recon(v: DataFrame) -> DataFrame:
     """Product-quantization encode + reconstruct, all-integer.
 
@@ -1205,7 +1299,10 @@ def _pq_recon(v: DataFrame) -> DataFrame:
     2. Codebook: per (subspace, 2-bit-per-dim cell) the element-wise
        floor of the lattice mean over that cell's subvectors — a
        grid-seeded quantizer with up to 4^PQ_SUB = 256 data-dependent
-       codewords per subspace, the classic PQ codebook size.  The cell
+       codewords per subspace, the classic PQ codebook size. Seeding and
+       the Lloyd refits run over the bounded PQ_TRAIN_N k-min sample
+       (r9, the FAISS train-on-sample discipline); only the final encode
+       touches every corpus vector.  The cell
        key encodes sign and magnitude (|x| ≥ PQ_TMAG) per dim — measured
        recall doubled vs a sign-only 2^8-orthant key at 8 subspaces, and
        a per-label codebook of K=10 measured ~0 recall (far too coarse).
@@ -1253,75 +1350,63 @@ def _pq_recon(v: DataFrame) -> DataFrame:
             f"0L, (acc, y) -> acc + y)"
         ),
     )
-    px = subo.select("s", "orth", F.posexplode("sv").alias("posn", "x"))
-    cw = px.groupBy("s", "orth", "posn").agg(
-        F.floor(
-            F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+    # Bounded deterministic training set (VERDICT r8 #3): the PQ_TRAIN_N
+    # smallest md5('pq:' || vec_id) draws — the train_uniform_sample k-min
+    # device, a pure function of the keys so DuckDB re-derives the exact
+    # same sample. ONE TakeOrdered job ships the sample's raw vectors to
+    # the driver (≤ PQ_TRAIN_N·DIM doubles ≈ 256 KB — a bounded
+    # statistics probe in the _member_level_knn class, constant in the
+    # corpus size, NOT a corpus collect), `_lloyd_book` trains the
+    # codebook in exact int64 NumPy, and the finished ≤ PQ_M·4^PQ_SUB-row
+    # book is createDataFrame'd back and broadcast into the single
+    # full-corpus encode. This replaces r8's distributed Lloyd loop,
+    # whose ~4 corpus scans and 3 sequential eager checkpoints cost
+    # 8-9 s of plan-construction latency at sf0.1 for jobs that touch
+    # kilobytes — the FAISS split (sampled train on one node,
+    # distributed encode) is the 100 TB plan.
+    sample = (
+        v.select(
+            "vec_id",
+            F.md5(
+                F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))
+            ).alias("draw"),
+            "v",
         )
-        .cast("bigint")
-        .alias("c")
+        .orderBy("draw")
+        .limit(PQ_TRAIN_N)
+        .select("v")
+        .collect()
     )
-    book = (
-        cw.groupBy("s", "orth")
-        .agg(F.array_sort(F.collect_list(F.struct("posn", "c"))).alias("pc"))
-        .select(
-            "s",
-            F.col("orth").alias("cw_orth"),
-            F.transform("pc", lambda x: x.getField("c")).alias("cw"),
-        )
+    book = v.sparkSession.createDataFrame(
+        _lloyd_book([r["v"] for r in sample]),
+        "s INT, cw_orth BIGINT, cw ARRAY<BIGINT>",
     )
     d2 = F.expr(
         "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), "
         "0L, (acc, x) -> acc + x)"
     )
-    wbest = Window.partitionBy("vec_id", "s").orderBy("d2", "cw_orth")
 
-    def _assign(bk: DataFrame) -> DataFrame:
+    def _assign(bk: DataFrame, frame: DataFrame = subo) -> DataFrame:
+        # Nearest-codeword argmin as a PARTIAL-AGGREGATING min(struct) (r9):
+        # the broadcast join fans each subvector out to every codeword of
+        # its subspace (|frame|·≤256 rows), and a window argmin would
+        # shuffle that whole product before sorting it. min(struct(d2,
+        # cw_orth, …)) instead combines map-side — one surviving row per
+        # (vec_id, s) per partition crosses the wire. The (d2, cw_orth)
+        # prefix is a total order (cw_orth is unique per book row), so the
+        # argmin is unique and the carried cw matches the oracle's
+        # ROW_NUMBER() ORDER BY d2, co — bit-for-bit.
+        j = frame.join(F.broadcast(bk), "s").withColumn("d2", d2)
         return (
-            subo.join(F.broadcast(bk), "s")
-            .withColumn("d2", d2)
-            .withColumn("rk", F.row_number().over(wbest))
-            .filter(F.col("rk") == 1)
-        )
-
-    # Lloyd training (PQ_ITERS rounds): assign → floor-mean refit.
-    # EAGER localCheckpoint truncates the per-round lineage the way
-    # iter_kmeans_lite does (the book is ≤ PQ_M·4^PQ_SUB rows). The
-    # rounds' jobs therefore run at plan-CONSTRUCTION time — measured
-    # and accepted as inherent (NOTES_r8 §8 / VERDICT r7 #6): each
-    # round references the previous book twice (assign + empty-cell
-    # carry), so a lazy checkpoint doubles the analyzed tree per
-    # round (measured 13.1s analysis vs 10.5s eager training at
-    # sf0.1); the cost scales with ROUNDS x fixed job latency, not
-    # with data.
-    for _ in range(PQ_ITERS):
-        refit = (
-            _assign(book)
-            .select("s", "cw_orth", F.posexplode("sv").alias("posn", "x"))
-            .groupBy("s", "cw_orth", "posn")
-            .agg(
-                F.floor(
-                    F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
-                )
-                .cast("bigint")
-                .alias("c")
-            )
-            .groupBy("s", "cw_orth")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("posn", "c"))).alias("pc")
-            )
+            j.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d2", "cw_orth", "cw", "sv")).alias("m"))
             .select(
+                "vec_id",
                 "s",
-                "cw_orth",
-                F.transform("pc", lambda x: x.getField("c")).alias("ncw"),
+                F.col("m.cw_orth").alias("cw_orth"),
+                F.col("m.cw").alias("cw"),
+                F.col("m.sv").alias("sv"),
             )
-        )
-        book = (
-            book.join(refit, ["s", "cw_orth"], "left")
-            .select(
-                "s", "cw_orth", F.coalesce("ncw", "cw").alias("cw")
-            )
-            .localCheckpoint()
         )
 
     best = _assign(book)
@@ -2035,11 +2120,11 @@ ORACLE_SQL: dict[str, str] = {
                     + CASE WHEN abs(x) >= {PQ_TMAG} THEN 2 ELSE 0 END)
                    * CAST(power(4, i - 1) AS BIGINT))) AS BIGINT) AS orth
           FROM sub
-        ),
+        ){_pq_sample_ctes()},
         px AS (
           SELECT s, orth, generate_subscripts(sv, 1) - 1 AS posn,
                  unnest(sv) AS x
-          FROM subo
+          FROM trainsub
         ),
         cw AS (
           SELECT s, orth, posn,
@@ -2219,11 +2304,11 @@ ORACLE_SQL: dict[str, str] = {
                     + CASE WHEN abs(x) >= {PQ_TMAG} THEN 2 ELSE 0 END)
                    * CAST(power(4, i - 1) AS BIGINT))) AS BIGINT) AS orth
           FROM sub
-        ),
+        ){_pq_sample_ctes()},
         px AS (
           SELECT s, orth, generate_subscripts(sv, 1) - 1 AS posn,
                  unnest(sv) AS x
-          FROM subo
+          FROM trainsub
         ),
         cw AS (
           SELECT s, orth, posn,

@@ -7,6 +7,8 @@ The committed PQ_ITERS is the knee of this curve; NOTES_r8 records the
 table.
 
 Usage: python tools/pq_train_sweep.py [max_iters]
+       python tools/pq_train_sweep.py --samples   (train-sample-size sweep,
+       the PQ_TRAIN_N selection evidence — VERDICT r8 #3 / SCALING.md r9)
 """
 
 from __future__ import annotations
@@ -26,17 +28,21 @@ TABLES = [
 ]
 
 
-def recall(sf_dir: str, iters: int) -> float:
+def recall(
+    sf_dir: str,
+    iters: int = S.PQ_ITERS,
+    train_n: int = S.PQ_TRAIN_N,
+    emb: str | None = None,
+) -> float:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-    # splice the unrolled-training CTE text for `iters` in place of the
-    # committed PQ_ITERS version
+        src = emb if (t == "embeddings" and emb) else f"{sf_dir}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    # splice the unrolled-training / sample CTE text for (iters, train_n)
+    # in place of the committed PQ_ITERS / PQ_TRAIN_N versions
     sql = S.ORACLE_SQL["sim_topk_pq"].replace(
         S._pq_train_ctes(), S._pq_train_ctes(iters)
-    )
+    ).replace(S._pq_sample_ctes(), S._pq_sample_ctes(train_n))
     exact = set(
         map(
             tuple,
@@ -55,6 +61,42 @@ def recall(sf_dir: str, iters: int) -> float:
 
 
 def main() -> None:
+    emb = None
+    if "--emb" in sys.argv:
+        i = sys.argv.index("--emb")
+        emb = sys.argv[i + 1]
+        del sys.argv[i : i + 2]
+    if emb:
+        # clustered-fixture mode (VERDICT r8 #4): one corpus, the
+        # iters × samples grid that justifies PQ_ITERS / PQ_TRAIN_N there
+        print(f"recall@{S.TOP_K} on {emb}")
+        print("        " + "".join(f"  it={i}" for i in range(S.PQ_ITERS + 1)))
+        row = ["trained "]
+        for it in range(S.PQ_ITERS + 1):
+            row.append(f" {recall('/root/testdata/sf0.1', it, emb=emb):.3f}")
+        print("".join(row))
+        sizes = [64, 128, 256, 512, 10**9]
+        print("        " + "".join(
+            f"  n={'full' if n >= 10**9 else n}" for n in sizes))
+        row = ["samples "]
+        for n in sizes:
+            row.append(
+                f" {recall('/root/testdata/sf0.1', train_n=n, emb=emb):.3f}"
+            )
+        print("".join(row))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--samples":
+        sizes = [64, 128, 256, 512, 10**9]
+        print(f"recall@{S.TOP_K} vs exact cosine, by train-sample size "
+              f"(PQ_ITERS={S.PQ_ITERS}; committed PQ_TRAIN_N={S.PQ_TRAIN_N})")
+        print("sf      " + "".join(
+            f"  n={'full' if n >= 10**9 else n}" for n in sizes))
+        for sf in ["0.001", "0.01", "0.1"]:
+            row = [f"sf{sf:<6}"]
+            for n in sizes:
+                row.append(f" {recall(f'/root/testdata/sf{sf}', train_n=n):.3f}")
+            print("".join(row))
+        return
     max_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     print(f"recall@{S.TOP_K} vs exact cosine (PQ_M={S.PQ_M}, "
           f"grid={S.PQ_GRID}, tmag={S.PQ_TMAG})")
