@@ -32,7 +32,10 @@ from parquet_near_storage_compute_spark.functions.grammar import (
     parse_aggregations,
     parse_predicate,
 )
-from parquet_near_storage_compute_spark.tables import load_table
+from parquet_near_storage_compute_spark.tables import (
+    ensure_engine_confs,
+    load_table,
+)
 
 #: Selectivity ladder on l_extendedprice (min ~900, max ~105000) mirroring the
 #: named workloads of v1 (best-case/real/10/25/50/75/worst,
@@ -72,6 +75,47 @@ def scan_filter_agg(
     pred = parse_predicate(f"{column} > {threshold}")
     aggs = parse_aggregations(
         [(spec.replace("l_extendedprice", column), alias) for spec, alias in AGG_SPECS]
+    )
+    return df.filter(pred).agg(*aggs)
+
+
+import os as _os
+
+#: The committed 92-column snowset-shaped fixture (tools/gen_wide_fixture.py)
+#: — the reference's own projection-experiment schema
+#: (``v1/src/main.rs:103-109,1700-1793``).
+WIDE92_FIXTURE = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "fixtures",
+    "wide92.parquet",
+)
+
+
+def wide92_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 flagship at REFERENCE WIDTH (r9, VERDICT r8 #7): filter +
+    five streaming aggregates on ``memoryUsed`` — v1's actual fact column
+    (``v1/src/main.rs:218-225``) — over the committed 92-column
+    snowset-shaped fixture, i.e. the exact query shape v1 runs ON the
+    schema it runs it on (``:1700-1793``). Threshold 336 is the fixture's
+    memoryUsed median (the p50 ladder rung). Until r9 the wide92 surface
+    carried byte-accounting evidence only (planned-bytes monotone over
+    {1,8,23,46,92} columns); this contract adds the hash-verified DuckDB
+    oracle on the same file. ``sf_dir`` is unused (fixture-backed, the
+    text_pii_scrub pattern) — reference width doesn't exist in the
+    TPC-H-ish corpus."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(WIDE92_FIXTURE)
+    pred = parse_predicate("memoryUsed > 336")
+    aggs = parse_aggregations(
+        [
+            ("SUM(memoryUsed)", "sum_mem"),
+            ("AVG(memoryUsed)", "avg_mem"),
+            ("MIN(memoryUsed)", "min_mem"),
+            ("MAX(memoryUsed)", "max_mem"),
+            ("COUNT(memoryUsed)", "count_mem"),
+        ]
     )
     return df.filter(pred).agg(*aggs)
 
@@ -209,6 +253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "v1_grammar_extended": grammar_extended,
     "v1_count_semantics": count_semantics,
     "v1_projection_rows": projection_rows,
+    "v1_wide92_flagship": wide92_flagship,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -243,5 +288,14 @@ ORACLE_SQL: dict[str, str] = {
     "v1_projection_rows": """
         SELECT l_orderkey, l_linenumber, l_extendedprice
         FROM lineitem WHERE l_extendedprice > 104875.0
+    """,
+    "v1_wide92_flagship": f"""
+        SELECT CAST(SUM(memoryUsed) AS BIGINT) AS sum_mem,
+               CAST(AVG(memoryUsed) AS DOUBLE) AS avg_mem,
+               CAST(MIN(memoryUsed) AS BIGINT) AS min_mem,
+               CAST(MAX(memoryUsed) AS BIGINT) AS max_mem,
+               CAST(COUNT(memoryUsed) AS BIGINT) AS count_mem
+        FROM read_parquet('{WIDE92_FIXTURE}')
+        WHERE memoryUsed > 336
     """,
 }

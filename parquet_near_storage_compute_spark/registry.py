@@ -16,13 +16,18 @@ r5-third-session contracts + 3 modified + the 25 oldest r3 rows; round 7 the
 5 oldest r4 rows — all 50/50 green, so every live contract now has a green
 driver row and none is staler than round 4.
 
-Round 8's window (VERDICT r7 #1): 3 new contracts + 5 modified lead, then
-ALL **37** contracts whose newest driver row is CORRECTNESS_r04 (the r7
-docstring undercounted this backlog as 16 — the correct list is computed
-from the r0*.json history exactly as tests/test_registry_window.py does,
-and the window retires it in full), then the 5 oldest round-5 rows in
-CORRECTNESS_r05 key order as fill. After this window lands green, no live
-contract's newest driver row is older than round 5.
+Round 8 retired the full 37-contract r4 backlog (50/50 green), so after it
+no live contract's newest driver row is older than round 5; staleness by
+round is {r5: 41, r6: 49, r7: 45, r8: 50}.
+
+Round 9's window (VERDICT r8 #2): 1 new contract (`v1_wide92_flagship`,
+the hash-verified oracle over the 92-column reference-width fixture) + 5
+modified lead, then ALL **41** contracts whose newest driver row is
+CORRECTNESS_r05 (computed from the r0*.json history exactly as
+tests/test_registry_window.py does — never hand-counted), then the 3
+oldest round-6 rows in CORRECTNESS_r06 key order as fill. After this
+window lands green, no live contract's newest driver row is older than
+round 6.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -59,93 +64,85 @@ _MODULES = [
 ]
 
 
-#: New in round 8 — three composition operators over verified machinery,
-#: never driver-checked, enter the window immediately:
-#: text_dedup_trim (VERDICT r7 #7): the action half of
-#: text_duplicate_window_fraction's Lee-et-al measurement — keep the doc,
-#: excise the corpus-duplicated windows, with before/after token
-#: accounting and a member-level kept-text md5 oracle;
-#: train_decontaminate_trim: the action half of train_contamination_check
-#: — excise eval-set CONTAM_NGRAM overlaps from train docs (existence
-#: semi-join, no fan-out, no rare cap) with the same trim algebra;
-#: dedup_keep_best: cluster-level canonical selection — the CC label
-#: frame + a quality argmax (n_chars desc, doc_id asc) so each near-dup
-#: cluster keeps its best member, not the arbitrary min id.
-NEW_IN_R8 = [
-    "text_dedup_trim",
-    "train_decontaminate_trim",
-    "dedup_keep_best",
+#: New in round 9 — enters the window immediately:
+#: v1_wide92_flagship (VERDICT r8 #7): the v1 filter+5-agg flagship on
+#: memoryUsed over the committed 92-column reference-width fixture —
+#: until now the wide92 surface carried byte-accounting evidence only;
+#: this adds the hash-verified DuckDB oracle on the same file.
+NEW_IN_R9 = [
+    "v1_wide92_flagship",
 ]
 
-#: Contracts round 8 modifies that already carry driver rows — the change
+#: Contracts round 9 modifies that already carry driver rows — the change
 #: invalidates the old row, so they re-enter the window:
-#: sim_topk_pq / sim_topk_ivf_pq gain TRAINED codebooks (VERDICT r7 #3:
-#: PQ_ITERS Lloyd rounds on the lattice seed, integer-exact, recall beats
-#: the untrained lattice at every SF — tools/pq_train_sweep.py);
-#: dedup_semantic_clusters gains the zero-norm eps guard on both engines
-#: (ADVICE r7: 0/0 = NaN ordered differently by Spark and DuckDB);
-#: train_pack_bpe / train_pack_sequences oracles switch to DuckDB integer
-#: division for bin_id (ADVICE r7: double FLOOR could round differently
-#: past 2^53).
-MODIFIED_IN_R8 = [
+#: dedup_connected_components / dedup_keep_best / train_decontaminate_trim
+#: drop their corpus-coupled forced broadcasts (VERDICT r8 #1 — AQE sizes
+#: the joins at runtime; results unchanged, plans legitimately may);
+#: sim_topk_pq / sim_topk_ivf_pq switch codebook training to the bounded
+#: PQ_TRAIN_N k-min sample, trained driver-side in exact int64 NumPy
+#: (VERDICT r8 #3 — the FAISS train-on-sample discipline; oracles grew
+#: the matching trainids/trainsub CTEs, still bit-for-bit).
+MODIFIED_IN_R9 = [
+    "dedup_connected_components",
+    "dedup_keep_best",
+    "train_decontaminate_trim",
     "sim_topk_pq",
     "sim_topk_ivf_pq",
-    "dedup_semantic_clusters",
-    "train_pack_bpe",
-    "train_pack_sequences",
 ]
 
-#: The round-8 driver correctness window (VERDICT r7 #1): the 3 new + 5
-#: modified contracts lead; then all 37 contracts whose newest driver row
-#: is CORRECTNESS_r04 (alphabetical); the remaining 5 slots take the
-#: OLDEST round-5 rows in CORRECTNESS_r05 key order. After this window
-#: lands green, no live contract's newest driver row is older than
-#: round 5.
-_PRIORITY = NEW_IN_R8 + MODIFIED_IN_R8 + [
-    # the 37 round-4-row contracts, alphabetical
-    "dedup_blocked_jaccard",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "dedup_key",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "dedup_simhash",
-    "events_anomaly_mad",
-    "events_cumulative_users",
-    "events_retention_cohorts",
-    "minhash_dedup_decisions",
-    "mm_resize",
-    "relational_lateral_topn",
-    "sim_label_centroid",
-    "sim_lsh_bucket_histogram",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "sim_topk_numpy",
-    "source_csv_scan",
-    "source_partitioned_scan",
-    "stream_append_closed_windows",
-    "stream_sliding_counts",
-    "text_language_id",
-    "text_pii_scrub",
-    "text_quality_filter",
-    "text_quality_scores",
-    "text_repetition_filter",
-    "text_tfidf_topk",
-    "text_token_counts",
-    "train_bpe_pair_counts",
-    "train_chunk_documents",
-    "train_contamination_check",
-    "train_curriculum_order",
-    "train_mixture_sample",
-    "udtf_tokenize",
-    # oldest round-5 rows, CORRECTNESS_r05 key order (5)
-    "agg_approx_distinct",
-    "agg_collect",
-    "agg_reaggregate",
-    "mm_binary_metadata",
-    "mm_feature_extract",
+#: The round-9 driver correctness window (VERDICT r8 #2): the 1 new + 5
+#: modified contracts lead; then all 41 contracts whose newest driver row
+#: is CORRECTNESS_r05, in CORRECTNESS_r05 key order; the remaining 3
+#: slots take the OLDEST round-6 rows in CORRECTNESS_r06 key order.
+#: After this window lands green, no live contract's newest driver row
+#: is older than round 6.
+_PRIORITY = NEW_IN_R9 + MODIFIED_IN_R9 + [
+    # the 41 round-5-row contracts, CORRECTNESS_r05 key order
+    "mm_frame_sample",
+    "pipeline_training_data",
+    "relational_correlated_subquery",
+    "relational_distinct_rows",
+    "relational_pivot",
+    "relational_unpivot",
+    "scalar_arithmetic_chain",
+    "scalar_array_ops",
+    "scalar_case_bucket",
+    "scalar_string_ops",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "sort_limit_topk",
+    "source_glob_scan",
+    "time_datetime_parts",
+    "time_json_extract",
+    "time_session_window_native",
+    "time_sessionize",
+    "time_sliding_window",
+    "time_tumbling_hourly",
+    "types_unsigned_decimal",
+    "udaf_geomean",
+    "udf_grouped_map_zscore",
+    "udf_readability",
+    "udf_sql_surface",
+    "join_outer_full",
+    "text_dedup_segments",
+    "pipeline_curation_report",
+    "source_jsonl_scan",
+    "source_orc_scan",
+    "meta_stat_prefixes",
+    "snowset_retrieval_rate",
+    "snowset_selectivity_distribution_sql",
+    "mm_image_decode",
+    "mm_audio_decode",
+    "stream_session_windows",
+    "join_bucketed_colocated",
+    "source_python_datasource",
+    "sink_python_datasource",
+    "train_global_shuffle",
+    # oldest round-6 rows, CORRECTNESS_r06 key order (3)
+    "stream_python_datasource",
+    "types_variant_json",
+    "sketch_countmin",
 ]
 
 
