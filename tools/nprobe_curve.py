@@ -12,6 +12,11 @@ splice pattern as tools/pq_train_sweep.py), recording:
 - cells touched (= nprobe, by construction)
 
 Usage: python tools/nprobe_curve.py [max_nprobe]
+       python tools/nprobe_curve.py [max_nprobe] --emb PATH
+         (swap the embeddings view for a fixture — e.g.
+         fixtures/embeddings_clustered.parquet, the representative
+         clustered corpus of VERDICT r8 #4 — and sweep that instead
+         of the near-random testdata corpora)
 """
 
 from __future__ import annotations
@@ -31,18 +36,19 @@ TABLES = [
 ]
 
 
-def _con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+def _con(sf_dir: str, emb: str | None = None) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        src = emb if (t == "embeddings" and emb) else f"{sf_dir}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 
-def sweep_point(sf_dir: str, nprobe: int) -> tuple[float, float]:
+def sweep_point(
+    sf_dir: str, nprobe: int, emb: str | None = None
+) -> tuple[float, float]:
     """(recall@TOP_K, mean candidates scanned per query) at nprobe."""
-    con = _con(sf_dir)
+    con = _con(sf_dir, emb)
     base = S.ORACLE_SQL["sim_topk_ivf_mp"]
     needle = f"crk <= {S.NPROBE}"
     assert base.count(needle) == 1, base.count(needle)
@@ -80,9 +86,24 @@ def sweep_point(sf_dir: str, nprobe: int) -> tuple[float, float]:
 
 
 def main() -> None:
-    max_np = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if a != "--emb"]
+    emb = None
+    if "--emb" in sys.argv:
+        emb = sys.argv[sys.argv.index("--emb") + 1]
+        args.remove(emb)
+    max_np = int(args[0]) if args else 8
     print(f"recall@{S.TOP_K} and mean candidates/query vs nprobe "
           f"(committed NPROBE={S.NPROBE}, K_CLUSTERS cells)")
+    if emb:
+        n_vec = _con("/root/testdata/sf0.1", emb).execute(
+            "SELECT COUNT(*) FROM embeddings"
+        ).fetchone()[0]
+        print(f"{emb} ({n_vec} vectors):")
+        for np_ in range(1, max_np + 1):
+            r, c = sweep_point("/root/testdata/sf0.1", np_, emb)
+            print(f"  nprobe={np_}: recall={r:.3f} "
+                  f"candidates/query={c:.1f} ({100 * c / n_vec:.1f}% of corpus)")
+        return
     for sf in ["0.001", "0.01", "0.1"]:
         n_vec = _con(f"/root/testdata/sf{sf}").execute(
             "SELECT COUNT(*) FROM embeddings"
