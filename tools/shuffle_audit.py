@@ -96,6 +96,10 @@ HEADLINE = [
     "text_dedup_trim",
     "train_decontaminate_trim",
     "dedup_keep_best",
+    # r9: the reference-width flagship (pushed filter + 5-agg over the
+    # 92-column fixture — scan-only, the shuffle is one partial-agg row
+    # per task)
+    "v1_wide92_flagship",
 ]
 
 
