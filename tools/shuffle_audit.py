@@ -28,6 +28,7 @@ import time
 import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # runnable without PYTHONPATH, like dump_plans
 
 #: Same composition as bench.py's headline set (core22 + r6 additions).
 HEADLINE = [
