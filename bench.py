@@ -124,9 +124,13 @@ def main() -> None:
     ]
     #: round-9 additions: the v1 flagship at reference width over the
     #: committed 92-column fixture (constant-size input — tracks the
-    #: wide-scan path round-over-round).
+    #: wide-scan path round-over-round), domain capping (the salted
+    #: two-phase per-source k-min), and the Jaccard threshold curve
+    #: (one verify join, every threshold's duplicate volume).
     r9_added = [
         "v1_wide92_flagship",
+        "train_source_cap",
+        "dedup_threshold_curve",
     ]
     headline = core22 + r6_added + r7_added + r8_added + r9_added
     queries = all_queries()

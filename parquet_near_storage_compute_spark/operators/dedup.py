@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_near_storage_compute_spark.functions.text import (
@@ -432,6 +432,48 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold operating curve (r9): the report an operator reads
+    to PICK the near-dup threshold — for each Jaccard decile, how many
+    candidate pairs sit there and how many would be flagged at-or-above
+    it. One pass over the LSH candidates (the same cheap-candidates →
+    exact-verify shape as `dedup_ngram_jaccard`), bucketed by the exact
+    INTEGER decile (10·|A∩B|) div |A∪B| — integer division, so no float
+    boundary can flip a pair between engines. The cumulative column is a
+    window over ≤ 11 decile rows (dimension-sized by construction — the
+    declared-global-sort class, like the other report outputs).
+
+    At 100 TB this is the one-extra-aggregation answer to "what would
+    lowering the threshold cost": the expensive verify join runs ONCE and
+    every threshold's duplicate volume falls out of the bucketed counts —
+    instead of re-running the pipeline per candidate threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_minhash_signatures(docs))
+    sets = fan_out(docs).select(
+        "doc_id", F.array_distinct(shingles(words("text"), 3)).alias("sset")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
+    union = F.size(F.array_union("set_a", "set_b")).cast("bigint")
+    pairs = joined.select(
+        ((inter * 10).cast("bigint")).alias("i10"), union.alias("u")
+    ).select(F.expr("i10 div u").cast("int").alias("jaccard_decile"))
+    g = pairs.groupBy("jaccard_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    w = (
+        Window.orderBy(F.col("jaccard_decile").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "jaccard_decile",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_or_above"),
+    )
+
+
 #: Containment threshold as an exact integer ratio (7/10): the cut is an
 #: integer comparison (10·|A∩B| ≥ 7·min|A|,|B|), so no float division can
 #: flip a pair between engines.
@@ -666,6 +708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_key": key_dedup,
     "dedup_minhash_lsh": minhash_lsh,
     "dedup_ngram_jaccard": ngram_jaccard,
+    "dedup_threshold_curve": threshold_curve,
     "dedup_shingle_containment": shingle_containment,
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
@@ -779,6 +822,35 @@ ORACLE_SQL: dict[str, str] = {
           AND {CONTAINMENT_DEN} * len(list_intersect(a.sset, b.sset))
               >= {CONTAINMENT_NUM} * least(len(a.sset), len(b.sset))
         ORDER BY c.doc_a, c.doc_b
+    """,
+    "dedup_threshold_curve": f"""
+        WITH {_SHINGLE_CTE},
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   CASE WHEN len(ws) >= 3 THEN range(len(ws)-2) ELSE [] END,
+                   i -> array_to_string(ws[i+1:i+3], ' '))) AS sset
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        j AS (
+          SELECT (10 * len(list_intersect(a.sset, b.sset)))
+                   // len(list_distinct(list_concat(a.sset, b.sset)))
+                   AS jaccard_decile
+          FROM cand c
+          JOIN sets a ON c.doc_a = a.doc_id
+          JOIN sets b ON c.doc_b = b.doc_id
+        ),
+        g AS (
+          SELECT jaccard_decile, COUNT(*) AS n_pairs
+          FROM j GROUP BY jaccard_decile
+        )
+        SELECT CAST(jaccard_decile AS INT) AS jaccard_decile,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(SUM(n_pairs) OVER (
+                 ORDER BY jaccard_decile DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_pairs_at_or_above
+        FROM g
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLE_CTE},

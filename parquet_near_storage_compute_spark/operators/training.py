@@ -1070,7 +1070,52 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-source document cap (r9) — "domain capping", the web-curation rule
+#: that bounds any one domain's contribution to the training mix (a few
+#: boilerplate-heavy domains otherwise dominate a crawl). 15 binds at
+#: every tested SF (sources are uniform 25–2500 docs), so the contract
+#: exercises the capped branch everywhere.
+SOURCE_CAP = 15
+#: Salt width for the two-phase per-source k-min (the similarity-module
+#: device): phase 1 ranks within (source, salt) so a mega-domain never
+#: sorts in one task; phase 2 ranks the ≤ SALT·CAP survivors.
+SOURCE_CAP_SALT = 4
+
+
+def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: keep at most SOURCE_CAP documents per source,
+    deterministically — the SOURCE_CAP smallest md5('c:' || doc_id) draws
+    within each source (the `train_uniform_sample` k-min device applied
+    per key, so the kept set is a pure function of the keys and mergeable
+    across shards).
+
+    Scale shape: the naive plan is one row_number window partitioned by
+    source — which serializes a hot domain (a million-page boilerplate
+    site) into a single task. Here the rank runs in TWO phases (the
+    salted k-min of `similarity._value_groups`): phase 1 ranks within
+    (source, salt % SOURCE_CAP_SALT) and keeps ≤ CAP per slice (any doc
+    with true rank ≤ CAP has slice rank ≤ CAP), phase 2 ranks the
+    ≤ SALT·CAP survivors per source — so no task ever sorts more than a
+    bounded slice of any domain. Output: the kept docs with their final
+    per-source rank (rows = Σ min(CAP, n_s))."""
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.md5(F.concat(F.lit("c:"), F.col("doc_id").cast("string")))
+    d = docs.select("doc_id", "source", draw.alias("draw"))
+    wl = Window.partitionBy(
+        "source", F.pmod(F.hash("doc_id"), F.lit(SOURCE_CAP_SALT))
+    ).orderBy("draw")
+    wg = Window.partitionBy("source").orderBy("draw")
+    return (
+        d.withColumn("_l", F.row_number().over(wl))
+        .filter(F.col("_l") <= SOURCE_CAP)
+        .withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") <= SOURCE_CAP)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "train_source_cap": source_cap,
     "train_pack_sequences": pack_sequences,
     "train_global_shuffle": global_shuffle,
     "train_test_split": train_test_split,
@@ -1095,6 +1140,15 @@ from parquet_near_storage_compute_spark.operators.textops import (  # noqa: E402
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "train_source_cap": f"""
+        SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('c:' || CAST(doc_id AS VARCHAR))) AS rk
+          FROM documents
+        ) WHERE rk <= {SOURCE_CAP}
+    """,
     # Fixed-round BPE merge loop unrolls into plain SQL — see
     # _bpe_merges_oracle_sql.
     "train_bpe_merges": _bpe_merges_oracle_sql(),

@@ -20,14 +20,15 @@ Round 8 retired the full 37-contract r4 backlog (50/50 green), so after it
 no live contract's newest driver row is older than round 5; staleness by
 round is {r5: 41, r6: 49, r7: 45, r8: 50}.
 
-Round 9's window (VERDICT r8 #2): 1 new contract (`v1_wide92_flagship`,
-the hash-verified oracle over the 92-column reference-width fixture) + 5
-modified lead, then ALL **41** contracts whose newest driver row is
-CORRECTNESS_r05 (computed from the r0*.json history exactly as
-tests/test_registry_window.py does — never hand-counted), then the 3
-oldest round-6 rows in CORRECTNESS_r06 key order as fill. After this
-window lands green, no live contract's newest driver row is older than
-round 6.
+Round 9's window (VERDICT r8 #2): 3 new contracts (`v1_wide92_flagship`,
+the hash-verified oracle over the 92-column reference-width fixture;
+`train_source_cap`, domain capping; `dedup_threshold_curve`, the
+threshold-selection report) + 5 modified lead, then ALL **41** contracts
+whose newest driver row is CORRECTNESS_r05 (computed from the r0*.json
+history exactly as tests/test_registry_window.py does — never
+hand-counted), then the oldest round-6 row in CORRECTNESS_r06 key order
+as fill (1). After this window lands green, no live contract's newest
+driver row is older than round 6.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -64,13 +65,21 @@ _MODULES = [
 ]
 
 
-#: New in round 9 — enters the window immediately:
+#: New in round 9 — enter the window immediately:
 #: v1_wide92_flagship (VERDICT r8 #7): the v1 filter+5-agg flagship on
 #: memoryUsed over the committed 92-column reference-width fixture —
 #: until now the wide92 surface carried byte-accounting evidence only;
-#: this adds the hash-verified DuckDB oracle on the same file.
+#: this adds the hash-verified DuckDB oracle on the same file;
+#: train_source_cap: domain capping — keep the SOURCE_CAP smallest
+#: md5-draw docs per source via the salted two-phase k-min (no
+#: single-task mega-domain sort);
+#: dedup_threshold_curve: the Jaccard-decile operating curve over the
+#: LSH candidates (pairs per decile + cumulative at-or-above) — one
+#: verify join answers every candidate threshold.
 NEW_IN_R9 = [
     "v1_wide92_flagship",
+    "train_source_cap",
+    "dedup_threshold_curve",
 ]
 
 #: Contracts round 9 modifies that already carry driver rows — the change
@@ -90,12 +99,12 @@ MODIFIED_IN_R9 = [
     "sim_topk_ivf_pq",
 ]
 
-#: The round-9 driver correctness window (VERDICT r8 #2): the 1 new + 5
+#: The round-9 driver correctness window (VERDICT r8 #2): the 3 new + 5
 #: modified contracts lead; then all 41 contracts whose newest driver row
-#: is CORRECTNESS_r05, in CORRECTNESS_r05 key order; the remaining 3
-#: slots take the OLDEST round-6 rows in CORRECTNESS_r06 key order.
-#: After this window lands green, no live contract's newest driver row
-#: is older than round 6.
+#: is CORRECTNESS_r05, in CORRECTNESS_r05 key order; the remaining slot
+#: takes the OLDEST round-6 row in CORRECTNESS_r06 key order. After this
+#: window lands green, no live contract's newest driver row is older
+#: than round 6.
 _PRIORITY = NEW_IN_R9 + MODIFIED_IN_R9 + [
     # the 41 round-5-row contracts, CORRECTNESS_r05 key order
     "mm_frame_sample",
@@ -139,10 +148,8 @@ _PRIORITY = NEW_IN_R9 + MODIFIED_IN_R9 + [
     "source_python_datasource",
     "sink_python_datasource",
     "train_global_shuffle",
-    # oldest round-6 rows, CORRECTNESS_r06 key order (3)
+    # oldest round-6 row, CORRECTNESS_r06 key order (1)
     "stream_python_datasource",
-    "types_variant_json",
-    "sketch_countmin",
 ]
 
 

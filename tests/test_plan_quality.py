@@ -107,6 +107,9 @@ GLOBAL_SORT_DECLARED = {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_shingle_containment",
+    # ≤11-row decile report: the cumulative window is dimension-sized
+    # by construction
+    "dedup_threshold_curve",
     "events_anomaly_mad",
     "events_cumulative_users",
     "events_funnel",

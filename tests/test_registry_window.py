@@ -1,10 +1,10 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
-contract. Round 9's window (VERDICT r8 #2) = 1 new contract + the 5
+contract. Round 9's window (VERDICT r8 #2) = 3 new contracts + the 5
 contracts round 9 modifies, then ALL 41 contracts whose newest driver row
 is CORRECTNESS_r05 (the stale backlog, computed from the r0*.json history —
 never hand-counted; the r7 miscount is the cautionary tale), then the
-oldest round-6 rows as fill (3). After this window lands green, no live
+oldest round-6 row as fill (1). After this window lands green, no live
 contract's newest driver row is older than round 6."""
 
 from __future__ import annotations

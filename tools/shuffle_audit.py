@@ -99,8 +99,10 @@ HEADLINE = [
     "dedup_keep_best",
     # r9: the reference-width flagship (pushed filter + 5-agg over the
     # 92-column fixture — scan-only, the shuffle is one partial-agg row
-    # per task)
+    # per task), domain capping, and the threshold curve
     "v1_wide92_flagship",
+    "train_source_cap",
+    "dedup_threshold_curve",
 ]
 
 
