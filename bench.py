@@ -217,6 +217,9 @@ def main() -> None:
         # r8 table
         "text_dedup_trim": 2.1539, "train_decontaminate_trim": 1.8429,
         "dedup_keep_best": 0.2045,
+        # r9 table
+        "v1_wide92_flagship": 0.0808, "train_source_cap": 0.2012,
+        "dedup_threshold_curve": 1.5009,
     }
     bar_breaches = {
         name: {"sec": timings[name], "bar": BARS[name],
