@@ -140,6 +140,11 @@ CONTRACTS = [
     # cluster contaminate their train-side copies end to end
     "text_dedup_trim",
     "train_decontaminate_trim",
+    # r9: domain capping under a skewed-source corpus (hot sources are
+    # the two-phase k-min's whole reason) and the threshold curve under
+    # duplicate-heavy texts (mass in the top deciles)
+    "train_source_cap",
+    "dedup_threshold_curve",
     # keep-best on the dup cluster: exact duplicates share n_chars
     # BITWISE, so the quality tie falls through to the doc_id break in
     # every cluster — the fixed corpus rarely ties
