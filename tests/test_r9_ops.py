@@ -35,16 +35,19 @@ def test_source_cap_bounds_every_source(spark, sf_dir):
         assert sorted(rks) == list(range(1, len(rks) + 1)), src
 
 
-def test_source_cap_is_partition_invariant(spark, sf_dir):
-    """The kept set is a pure function of the keys: repartitioning the
-    input must not change a single row (the salted phase-1 window could
-    silently break this if the slices overlapped)."""
+def test_source_cap_is_partition_invariant(spark, sf_dir, tmp_path):
+    """The kept set is a pure function of the keys: rewriting the corpus
+    under a different physical layout (13 shuffled parquet parts instead
+    of one compact file) must not change a single kept row — the salted
+    phase-1 window could silently break this if slices overlapped."""
     base = sorted(map(tuple, source_cap(spark, sf_dir).collect()))
     from parquet_near_storage_compute_spark.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").repartition(13)
-    docs.createOrReplaceTempView("_unused")  # keep lineage alive
-    again = sorted(map(tuple, source_cap(spark, sf_dir).collect()))
+    relaid = str(tmp_path / "relaid")
+    load_table(spark, sf_dir, "documents").repartition(13).write.parquet(
+        f"{relaid}/documents.parquet"
+    )
+    again = sorted(map(tuple, source_cap(spark, relaid).collect()))
     assert base == again
 
 
