@@ -23,6 +23,7 @@ with input files, exactly like the reference's per-file independent tasks.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,8 +79,6 @@ def scan_filter_agg(
     )
     return df.filter(pred).agg(*aggs)
 
-
-import os as _os
 
 #: The committed 92-column snowset-shaped fixture (tools/gen_wide_fixture.py)
 #: — the reference's own projection-experiment schema

@@ -82,6 +82,11 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     hashing, vector math) serializes. One cheap round-robin exchange of the
     raw rows buys full parallelism for everything downstream.
 
+    ``partitions`` is a minimum-parallelism FLOOR, not an exact target
+    (ADVICE r9): when the input already has at least that many partitions
+    the DataFrame is returned unchanged, so callers must not rely on
+    getting exactly ``partitions`` partitions back.
+
     Conditional since r9 (VERDICT r8 #2): at 100 TB the input already
     yields ~10^5 byte-sized splits, and a blanket repartition would
     re-shuffle the ENTIRE corpus just to undo split geometry that was never

@@ -21,6 +21,7 @@ Usage: python tools/nprobe_curve.py [max_nprobe]
 
 from __future__ import annotations
 
+import argparse
 import sys
 
 import os
@@ -86,12 +87,14 @@ def sweep_point(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--emb"]
-    emb = None
-    if "--emb" in sys.argv:
-        emb = sys.argv[sys.argv.index("--emb") + 1]
-        args.remove(emb)
-    max_np = int(args[0]) if args else 8
+    # argparse (ADVICE r9): the old by-value argv surgery mishandled an
+    # --emb path string equal to the positional, or a repeated flag
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("max_nprobe", nargs="?", type=int, default=8)
+    ap.add_argument("--emb", default=None,
+                    help="swap the embeddings view for a fixture parquet")
+    ns = ap.parse_args()
+    emb, max_np = ns.emb, ns.max_nprobe
     print(f"recall@{S.TOP_K} and mean candidates/query vs nprobe "
           f"(committed NPROBE={S.NPROBE}, K_CLUSTERS cells)")
     if emb:

@@ -13,6 +13,7 @@ Usage: python tools/pq_train_sweep.py [max_iters]
 
 from __future__ import annotations
 
+import argparse
 import sys
 
 import os
@@ -61,11 +62,18 @@ def recall(
 
 
 def main() -> None:
-    emb = None
-    if "--emb" in sys.argv:
-        i = sys.argv.index("--emb")
-        emb = sys.argv[i + 1]
-        del sys.argv[i : i + 2]
+    # argparse (ADVICE r9): the old in-place argv surgery mishandled
+    # repeated flags and flag/positional collisions
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("max_iters", nargs="?", default=None,
+                    help="max Lloyd iterations to sweep, or the literal "
+                         "'--samples' for the train-sample-size sweep")
+    ap.add_argument("--samples", action="store_true",
+                    help="train-sample-size sweep (PQ_TRAIN_N evidence)")
+    ap.add_argument("--emb", default=None,
+                    help="swap the embeddings view for a fixture parquet")
+    ns = ap.parse_args()
+    emb = ns.emb
     if emb:
         # clustered-fixture mode (VERDICT r8 #4): one corpus, the
         # iters × samples grid that justifies PQ_ITERS / PQ_TRAIN_N there
@@ -85,7 +93,7 @@ def main() -> None:
             )
         print("".join(row))
         return
-    if len(sys.argv) > 1 and sys.argv[1] == "--samples":
+    if ns.samples or ns.max_iters == "--samples":
         sizes = [64, 128, 256, 512, 10**9]
         print(f"recall@{S.TOP_K} vs exact cosine, by train-sample size "
               f"(PQ_ITERS={S.PQ_ITERS}; committed PQ_TRAIN_N={S.PQ_TRAIN_N})")
@@ -97,7 +105,7 @@ def main() -> None:
                 row.append(f" {recall(f'/root/testdata/sf{sf}', train_n=n):.3f}")
             print("".join(row))
         return
-    max_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    max_iters = int(ns.max_iters) if ns.max_iters is not None else 4
     print(f"recall@{S.TOP_K} vs exact cosine (PQ_M={S.PQ_M}, "
           f"grid={S.PQ_GRID}, tmag={S.PQ_TMAG})")
     header = "sf      " + "".join(f"  it={i}" for i in range(max_iters + 1))
