@@ -20,6 +20,158 @@ import re
 import sys
 import time
 
+#: headline set: the v1 flagship + ladder rung, both Snowset golden
+#: queries, the heavy relational operators, and one per extension family.
+#: CORE22 is the round-1 composition — its subtotal stays separately
+#: reported so round-over-round totals compare like for like.
+#: Module-level (r10) so tests can assert HEADLINE ⊆ BARS.
+CORE22 = [
+    "v1_flagship",
+    "v1_ladder_real",
+    "snowset_selectivity_distribution",
+    "snowset_retrieval_rate",
+    "agg_pricing_summary",
+    "agg_reaggregate",
+    "join_broadcast_inner",
+    "join_multiway",
+    "join_range",
+    "window_topk_per_group",
+    "window_running_total",
+    "time_tumbling_hourly",
+    "time_sessionize",
+    "time_json_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_scores",
+    "text_token_counts",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "mm_binary_metadata",
+]
+#: round-6 additions (VERDICT r5 #4): one representative per round-4/5
+#: family so sketches, table maintenance, the Python data source,
+#: event analytics, and the composites get round-over-round tracking.
+R6_ADDED = [
+    "sketch_countmin",
+    "relational_merge_upsert",
+    "sink_zorder_layout",
+    "source_python_datasource",
+    "events_retention_cohorts",
+    "pipeline_curation_report",
+    # the round-6 centerpiece family: the value-collapsed kNN graph
+    # and the duplication-invariant embedding-dedup decisions
+    "sim_knn_join",
+    "sim_dedup_decisions",
+]
+#: round-7 additions: the per-modality near-dup completion — tracks
+#: the mapInPandas hash pass + shared banded-decisions algebra
+#: round-over-round (committed fixtures, so corpus size is constant).
+R7_ADDED = [
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "dedup_video_fingerprint",
+    "pipeline_modality_dedup_report",
+    "sim_topk_sq8",
+    "sim_topk_ivf_sq8",
+    # session 3: the cluster-bounded semantic dedup and the
+    # product-quantized ANN (both over the sf embeddings table, so
+    # they scale with SF unlike the fixture-backed modality queries)
+    "dedup_semantic_clusters",
+    "sim_topk_pq",
+    # session 4: the IVF-PQ composition, the bigram-LM perplexity
+    # filter (one corpus collapse + distinct-bigram-sized count
+    # builds joined back — groupBy+join, deliberately not windows)
+    # and the iterative BPE merge loop (one corpus shuffle + six
+    # vocab-sized rounds) — all SF-scaling
+    "sim_topk_ivf_pq",
+    "text_lm_perplexity",
+    "train_bpe_merges",
+    "sim_topk_ivf_mp",
+    "train_bpe_encode",
+    # duplicate-text accounting (Lee et al.) and the Matryoshka-style
+    # two-stage prefix re-rank — both SF-scaling
+    "text_duplicate_window_fraction",
+    "sim_topk_prefix_rerank",
+    # packing on the trained tokenizer's counts (the bpe_encode +
+    # pack_sequences composition)
+    "train_pack_bpe",
+    "train_uniform_sample",
+]
+#: round-8 additions: the trim family (duplicate-span + eval-span
+#: excision — both SF-scaling over documents) and keep-best cluster
+#: dedup (the CC label frame + broadcast winner join).
+R8_ADDED = [
+    "text_dedup_trim",
+    "train_decontaminate_trim",
+    "dedup_keep_best",
+]
+#: round-9 additions: the v1 flagship at reference width over the
+#: committed 92-column fixture (constant-size input — tracks the
+#: wide-scan path round-over-round), domain capping (the salted
+#: two-phase per-source k-min), and the Jaccard threshold curve
+#: (one verify join, every threshold's duplicate volume).
+R9_ADDED = [
+    "v1_wide92_flagship",
+    "train_source_cap",
+    "dedup_threshold_curve",
+]
+
+HEADLINE = CORE22 + R6_ADDED + R7_ADDED + R8_ADDED + R9_ADDED
+
+#: Per-query regression bars (the BASELINE.md bar tables, ALL of them):
+#: a timed query above 1.5× its bar base is recorded in BENCH_DETAIL →
+#: bar_breaches — the judge's hand check, run on every invocation.
+#: Compare best-of-3 minima only (box noise swings single shots >50%
+#: on sub-0.2 s queries). Module-level (r10) with the headline lists so
+#: tests/test_bench_bars.py can assert every headline query has a bar.
+BARS = {
+    # r1 table
+    "v1_flagship": 0.1963, "v1_ladder_real": 0.2009,
+    "snowset_selectivity_distribution": 0.4799,
+    "snowset_retrieval_rate": 0.5816, "agg_pricing_summary": 0.4464,
+    "agg_reaggregate": 0.2601, "join_broadcast_inner": 0.3842,
+    "join_multiway": 0.8479, "join_range": 0.4748,
+    "window_topk_per_group": 1.1928, "window_running_total": 0.2559,
+    "time_tumbling_hourly": 0.2333, "time_sessionize": 0.3493,
+    "time_json_extract": 0.4127, "dedup_exact": 0.1745,
+    # re-baselined r9: the r1 bar (0.9001) predates the r3 hot-bucket
+    # guard; the A/B in NOTES_r9 attributes the structural delta to
+    # the two-level salted aggregation (bounded bucket rows — the
+    # guard is the point), so the bar base is the guarded form's
+    # quiet-box best-of-5 (1.0196).
+    "dedup_minhash_lsh": 1.0196, "dedup_simhash": 1.1321,
+    "text_quality_scores": 0.2879, "text_token_counts": 0.2424,
+    "sim_topk_bruteforce": 0.5094, "sim_topk_lsh": 0.6698,
+    "mm_binary_metadata": 0.1691,
+    # r6 table
+    "sketch_countmin": 0.8159, "relational_merge_upsert": 0.3828,
+    "sink_zorder_layout": 0.1443, "source_python_datasource": 0.4634,
+    "events_retention_cohorts": 0.5617,
+    "pipeline_curation_report": 2.0076, "sim_knn_join": 1.3082,
+    "sim_dedup_decisions": 1.6693,
+    # r7 table (bars set in r10, VERDICT r9 #1): best-of-3 minima
+    # across the recorded r7/r8/r9 runs AND a fresh r10 quiet-box
+    # best-of-3 re-measure (BASELINE.md "Round-7 additions")
+    "dedup_image_phash": 0.2756, "dedup_audio_fingerprint": 0.2238,
+    "dedup_video_fingerprint": 0.2918,
+    "pipeline_modality_dedup_report": 2.6810,
+    "sim_topk_sq8": 0.3101, "sim_topk_ivf_sq8": 0.2966,
+    "dedup_semantic_clusters": 1.0649, "sim_topk_pq": 0.2915,
+    "sim_topk_ivf_pq": 0.3175, "text_lm_perplexity": 1.3685,
+    "train_bpe_merges": 0.0546, "sim_topk_ivf_mp": 0.1821,
+    "train_bpe_encode": 0.5553,
+    "text_duplicate_window_fraction": 1.3911,
+    "sim_topk_prefix_rerank": 0.3817, "train_pack_bpe": 0.9248,
+    "train_uniform_sample": 0.0747,
+    # r8 table
+    "text_dedup_trim": 2.1539, "train_decontaminate_trim": 1.8429,
+    "dedup_keep_best": 0.2045,
+    # r9 table
+    "v1_wide92_flagship": 0.0808, "train_source_cap": 0.2012,
+    "dedup_threshold_curve": 1.5009,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,102 +189,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    #: headline set: the v1 flagship + ladder rung, both Snowset golden
-    #: queries, the heavy relational operators, and one per extension family.
-    #: CORE22 is the round-1 composition — its subtotal stays separately
-    #: reported so round-over-round totals compare like for like.
-    core22 = [
-        "v1_flagship",
-        "v1_ladder_real",
-        "snowset_selectivity_distribution",
-        "snowset_retrieval_rate",
-        "agg_pricing_summary",
-        "agg_reaggregate",
-        "join_broadcast_inner",
-        "join_multiway",
-        "join_range",
-        "window_topk_per_group",
-        "window_running_total",
-        "time_tumbling_hourly",
-        "time_sessionize",
-        "time_json_extract",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "text_quality_scores",
-        "text_token_counts",
-        "sim_topk_bruteforce",
-        "sim_topk_lsh",
-        "mm_binary_metadata",
-    ]
-    #: round-6 additions (VERDICT r5 #4): one representative per round-4/5
-    #: family so sketches, table maintenance, the Python data source,
-    #: event analytics, and the composites get round-over-round tracking.
-    r6_added = [
-        "sketch_countmin",
-        "relational_merge_upsert",
-        "sink_zorder_layout",
-        "source_python_datasource",
-        "events_retention_cohorts",
-        "pipeline_curation_report",
-        # the round-6 centerpiece family: the value-collapsed kNN graph
-        # and the duplication-invariant embedding-dedup decisions
-        "sim_knn_join",
-        "sim_dedup_decisions",
-    ]
-    #: round-7 additions: the per-modality near-dup completion — tracks
-    #: the mapInPandas hash pass + shared banded-decisions algebra
-    #: round-over-round (committed fixtures, so corpus size is constant).
-    r7_added = [
-        "dedup_image_phash",
-        "dedup_audio_fingerprint",
-        "dedup_video_fingerprint",
-        "pipeline_modality_dedup_report",
-        "sim_topk_sq8",
-        "sim_topk_ivf_sq8",
-        # session 3: the cluster-bounded semantic dedup and the
-        # product-quantized ANN (both over the sf embeddings table, so
-        # they scale with SF unlike the fixture-backed modality queries)
-        "dedup_semantic_clusters",
-        "sim_topk_pq",
-        # session 4: the IVF-PQ composition, the bigram-LM perplexity
-        # filter (one corpus collapse + distinct-bigram-sized count
-        # builds joined back — groupBy+join, deliberately not windows)
-        # and the iterative BPE merge loop (one corpus shuffle + six
-        # vocab-sized rounds) — all SF-scaling
-        "sim_topk_ivf_pq",
-        "text_lm_perplexity",
-        "train_bpe_merges",
-        "sim_topk_ivf_mp",
-        "train_bpe_encode",
-        # duplicate-text accounting (Lee et al.) and the Matryoshka-style
-        # two-stage prefix re-rank — both SF-scaling
-        "text_duplicate_window_fraction",
-        "sim_topk_prefix_rerank",
-        # packing on the trained tokenizer's counts (the bpe_encode +
-        # pack_sequences composition)
-        "train_pack_bpe",
-        "train_uniform_sample",
-    ]
-    #: round-8 additions: the trim family (duplicate-span + eval-span
-    #: excision — both SF-scaling over documents) and keep-best cluster
-    #: dedup (the CC label frame + broadcast winner join).
-    r8_added = [
-        "text_dedup_trim",
-        "train_decontaminate_trim",
-        "dedup_keep_best",
-    ]
-    #: round-9 additions: the v1 flagship at reference width over the
-    #: committed 92-column fixture (constant-size input — tracks the
-    #: wide-scan path round-over-round), domain capping (the salted
-    #: two-phase per-source k-min), and the Jaccard threshold curve
-    #: (one verify join, every threshold's duplicate volume).
-    r9_added = [
-        "v1_wide92_flagship",
-        "train_source_cap",
-        "dedup_threshold_curve",
-    ]
-    headline = core22 + r6_added + r7_added + r8_added + r9_added
+    headline = HEADLINE
     queries = all_queries()
 
     # Build every plan once up front: timing then covers pure execution
@@ -182,45 +239,8 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 4)
-    core22_total = round(sum(timings[n] for n in core22), 4)
+    core22_total = round(sum(timings[n] for n in CORE22), 4)
 
-    #: Per-query regression bars (BASELINE.md r1/r6/r8 tables): a timed
-    #: query above 1.5× its bar base is recorded in BENCH_DETAIL →
-    #: bar_breaches — the judge's hand check, run on every invocation.
-    #: Compare best-of-3 minima only (box noise swings single shots >50%
-    #: on sub-0.2 s queries).
-    BARS = {
-        # r1 table
-        "v1_flagship": 0.1963, "v1_ladder_real": 0.2009,
-        "snowset_selectivity_distribution": 0.4799,
-        "snowset_retrieval_rate": 0.5816, "agg_pricing_summary": 0.4464,
-        "agg_reaggregate": 0.2601, "join_broadcast_inner": 0.3842,
-        "join_multiway": 0.8479, "join_range": 0.4748,
-        "window_topk_per_group": 1.1928, "window_running_total": 0.2559,
-        "time_tumbling_hourly": 0.2333, "time_sessionize": 0.3493,
-        "time_json_extract": 0.4127, "dedup_exact": 0.1745,
-        # re-baselined r9: the r1 bar (0.9001) predates the r3 hot-bucket
-        # guard; the A/B in NOTES_r9 attributes the structural delta to
-        # the two-level salted aggregation (bounded bucket rows — the
-        # guard is the point), so the bar base is the guarded form's
-        # quiet-box best-of-5 (1.0196).
-        "dedup_minhash_lsh": 1.0196, "dedup_simhash": 1.1321,
-        "text_quality_scores": 0.2879, "text_token_counts": 0.2424,
-        "sim_topk_bruteforce": 0.5094, "sim_topk_lsh": 0.6698,
-        "mm_binary_metadata": 0.1691,
-        # r6 table
-        "sketch_countmin": 0.8159, "relational_merge_upsert": 0.3828,
-        "sink_zorder_layout": 0.1443, "source_python_datasource": 0.4634,
-        "events_retention_cohorts": 0.5617,
-        "pipeline_curation_report": 2.0076, "sim_knn_join": 1.3082,
-        "sim_dedup_decisions": 1.6693,
-        # r8 table
-        "text_dedup_trim": 2.1539, "train_decontaminate_trim": 1.8429,
-        "dedup_keep_best": 0.2045,
-        # r9 table
-        "v1_wide92_flagship": 0.0808, "train_source_cap": 0.2012,
-        "dedup_threshold_curve": 1.5009,
-    }
     bar_breaches = {
         name: {"sec": timings[name], "bar": BARS[name],
                "ratio": round(timings[name] / BARS[name], 2)}
@@ -496,10 +516,10 @@ def main() -> None:
         "full_scan": scan,
         "sf": sf,
         "core22_total_sec": core22_total,
-        "r6_added_queries": r6_added,
-        "r7_added_queries": r7_added,
-        "r8_added_queries": r8_added,
-        "r9_added_queries": r9_added,
+        "r6_added_queries": R6_ADDED,
+        "r7_added_queries": R7_ADDED,
+        "r8_added_queries": R8_ADDED,
+        "r9_added_queries": R9_ADDED,
         "bar_breaches": bar_breaches,
         "per_query_spread_pct_best_of_3_interleaved": spread_pct,
         # plan construction, timed separately from execution: nonzero
