@@ -58,7 +58,12 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative-sum
-    session ids, then per-user session stats."""
+    session ids, then per-user session stats.
+
+    Bit-exact since r10 (VERDICT r9 #6): the two-level value sum runs over
+    integer CENTS (events.value is 2-decimal money), so the result no
+    longer depends on IEEE summation order across the unordered two-level
+    aggregation; the single cents/100.0 at the end is exactly determined."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
@@ -72,17 +77,18 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         with_sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("session_value"),
+            F.sum(cents).alias("session_cents"),
         )
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
-            F.sum("session_value").alias("total_value"),
+            (F.sum("session_cents") / 100.0).alias("total_value"),
         )
     )
 
@@ -113,16 +119,20 @@ def datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in session windows (F.session_window, 30-min gap) —
     the declarative form of ``sessionize``; same shuffle profile as any
-    keyed aggregation and directly reusable under Structured Streaming."""
+    keyed aggregation and directly reusable under Structured Streaming.
+
+    Bit-exact since r10 (VERDICT r9 #6): integer-cents value sums, the
+    same device as ``sessionize`` (see there)."""
     ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("session_cents"))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
-            F.sum("session_value").alias("total_value"),
+            (F.sum("session_cents") / 100.0).alias("total_value"),
         )
     )
 
@@ -740,23 +750,33 @@ ORACLE_SQL: dict[str, str] = {
           FROM flagged
         ),
         per_session AS (
+          -- integer-cents sums (r10): order-free integer addition, one
+          -- exactly-determined /100.0 at the end — bit-exact vs Spark
           SELECT user_id, session_id,
-                 COUNT(*) AS n_events, SUM(value) AS session_value
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS session_cents
           FROM sessioned GROUP BY user_id, session_id
         )
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_sessions,
                CAST(MAX(n_events) AS BIGINT) AS max_session_events,
-               CAST(SUM(session_value) AS DOUBLE) AS total_value
+               CAST(SUM(session_cents) AS BIGINT) / 100.0 AS total_value
         FROM per_session GROUP BY user_id
     """,
     "time_session_window_native": """
-        -- Spark session_window semantics: a new session starts when the
-        -- event is >= previous event + gap (window end exclusive)
+        -- Spark session_window semantics: events merge while the new
+        -- event is <= previous event + gap (END-INCLUSIVE — empirically
+        -- two events exactly 30min apart share one session), so a new
+        -- session starts only when ts is STRICTLY past previous + gap.
+        -- The r5 oracle used >= here ("end exclusive"); the r10
+        -- randomized differential caught it on the 10-second-grid random
+        -- corpus, where exactly-1800s gaps are common (the fixed corpus
+        -- never hits the boundary).
         WITH flagged AS (
           SELECT user_id, value, ts, event_id,
                  CASE WHEN LAG(ts) OVER w IS NULL
-                        OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                        OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_session
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -769,14 +789,17 @@ ORACLE_SQL: dict[str, str] = {
           FROM flagged
         ),
         per_session AS (
+          -- integer-cents sums (r10): same device as time_sessionize
           SELECT user_id, session_id,
-                 COUNT(*) AS n_events, SUM(value) AS session_value
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS session_cents
           FROM sessioned GROUP BY user_id, session_id
         )
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_sessions,
                CAST(MAX(n_events) AS BIGINT) AS max_session_events,
-               CAST(SUM(session_value) AS DOUBLE) AS total_value
+               CAST(SUM(session_cents) AS BIGINT) / 100.0 AS total_value
         FROM per_session GROUP BY user_id
     """,
     "time_json_extract": """

@@ -106,17 +106,28 @@ def moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative sum: running spend per customer by order date."""
+    """Cumulative sum: running spend per customer by order date.
+
+    Bit-exact since r10 (VERDICT r9 #6): the cumulative sum runs over
+    integer CENTS (the price column is 2-decimal money), so the result is
+    independent of the engine's accumulation tree — a windowed double SUM
+    drifted ~2e-16 vs DuckDB, whose segment-tree window aggregation sums
+    in a different order than Spark's sequential running accumulator even
+    for a fully-ordered frame. One final cents/100.0 division per row is
+    a single exactly-determined float op. Cents stay < 2^53 until a
+    single customer's cumulative spend exceeds ~$90 T, so the device is
+    100 TB-safe."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.sum("o_totalprice").over(w).alias("running_spend"),
+        (F.sum(cents).over(w) / 100.0).alias("running_spend"),
     )
 
 
@@ -386,11 +397,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
     """,
     "window_running_total": """
+        -- integer-cents running sum (r10): order-free integer addition,
+        -- one exactly-determined /100.0 per row — bit-exact vs Spark
         SELECT o_orderkey, o_custkey,
-               CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                            ORDER BY o_orderdate, o_orderkey
-                                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                            AND CURRENT ROW) AS DOUBLE)
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) / 100.0
                    AS running_spend
         FROM orders
     """,

@@ -160,18 +160,25 @@ def _user_stats_fn(
     """Custom stateful operator: running per-user event count + value sum.
 
     The state tuple survives across micro-batches; with AvailableNow over a
-    static table it processes one batch and emits the final state."""
+    static table it processes one batch and emits the final state.
+
+    Bit-exact since r10 (VERDICT r9 #6): the value sum is carried as
+    integer CENTS in the state (events.value is 2-decimal money), so the
+    emitted total no longer depends on micro-batch arrival order or on
+    pandas' accumulation tree; the single cents/100.0 on emit is exactly
+    determined. Values are near-integer after *100 (2-decimal money), so
+    numpy's half-even rounding agrees with ROUND() in Spark/DuckDB."""
     (user_id,) = key
     if state.exists:
-        n, total = state.get
+        n, cents = state.get
     else:
-        n, total = 0, 0.0
+        n, cents = 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        {"user_id": [user_id], "n_events": [n], "total_value": [cents / 100.0]}
     )
 
 
@@ -181,7 +188,7 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("user_id").applyInPandasWithState(
         _user_stats_fn,
         outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, total double",
+        stateStructType="n bigint, cents bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -695,9 +702,12 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY win_start
     """,
     "stream_stateful_user_stats": """
+        -- integer-cents sum (r10): order-free integer addition, one
+        -- exactly-determined /100.0 on emit — bit-exact vs Spark
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(value) AS DOUBLE) AS total_value
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total_value
         FROM events GROUP BY user_id
     """,
     "stream_dedup_exact": """

@@ -19,9 +19,13 @@ Usage::
     python tools/float_exactness_audit.py [sf_dir] [name_substring ...]
 
 Prints one line per contract: ``OK`` (bit-stable + exact vs oracle),
-``DRIFT r=<rel>`` (bit-stable but last-ulp drift vs DuckDB), or
-``UNSTABLE`` (partition-order dependent — fix before it lands in a driver
-window).  Exits nonzero if any contract is UNSTABLE.  A full run (no name
+``DRIFT-RATIFIED r=<rel>`` (bit-stable, last-ulp drift vs DuckDB that is
+reviewed and ratified in ``RATIFIED`` below with a rationale), ``DRIFT
+r=<rel>`` (drifted and UNREVIEWED — convert the final float step to
+integer/fixed-point algebra or add a ratification line), or ``UNSTABLE``
+(partition-order dependent — fix before it lands in a driver window).
+Exits nonzero if any contract is UNSTABLE **or drifted-unreviewed**
+(VERDICT r9 #6: zero unreviewed drift is the bar).  A full run (no name
 filter) also records the per-contract verdicts into ``EXACTNESS.json`` at
 the repo root — the per-round evidence artifact.
 """
@@ -37,6 +41,31 @@ sys.path.insert(0, ".")
 
 from parquet_near_storage_compute_spark import registry  # noqa: E402
 from parquet_near_storage_compute_spark.session import get_spark  # noqa: E402
+
+#: Ratified float-ulp drift (VERDICT r9 #6): contracts whose last-ulp
+#: drift vs DuckDB is REVIEWED and accepted, each with the reason
+#: bit-exactness is out of reach. Everything else that drifts is
+#: "drifted-unreviewed" and fails the audit. The r10 review converted the
+#: four money-typed members of the former 8-contract drift set to
+#: integer-cents algebra (window_running_total, time_sessionize,
+#: time_session_window_native, stream_stateful_user_stats — now
+#: bit-exact); these four are the remainder, where no integer form exists
+#: or parity semantics pin the float form.
+RATIFIED: dict[str, str] = {
+    "agg_stats": "stddev/var/corr/covar are inherently real-valued moment "
+    "kernels; drift is IEEE summation order inside the (partial, merge) "
+    "moment accumulators vs DuckDB's — no integer form exists",
+    "sim_topk_numpy": "the op's purpose IS the vectorized NumPy scoring "
+    "path (pairwise summation) vs SQL's sequential sum; the top-k id set "
+    "is identical, the cosine score column is output-only",
+    "text_tfidf_topk": "tf-idf's log() factor is evaluated by two "
+    "different libm implementations (JVM StrictMath vs DuckDB's C libm); "
+    "the top-k winner is decided on integer (tf, df) before the score — "
+    "the tfidf double is output-only",
+    "v1_grammar_extended": "v1 parity pins float SUM/AVG over the raw "
+    "double column (v1/src/main.rs:218-225 semantics); drift is IEEE "
+    "summation order on unordered aggregation, <=~1e-15 relative",
+}
 
 
 def _flatten(v, out):
@@ -75,7 +104,7 @@ def main() -> int:
     con = duckdb_con(sf)
     queries = registry.all_queries()
     oracles = registry.all_oracles()
-    unstable, drifted = [], []
+    unstable, drifted, unreviewed = [], [], []
     record: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and not any(s in name for s in only):
@@ -121,27 +150,41 @@ def main() -> int:
             unstable.append(name)
             record[name] = {"status": "UNSTABLE"}
             print(f"{name:40s} UNSTABLE")
-        elif worst > 0:
+        elif worst > 0 and name in RATIFIED:
             drifted.append((name, worst))
+            record[name] = {
+                "status": "DRIFT_RATIFIED",
+                "worst_rel_drift": float(f"{worst:.3e}"),
+                "rationale": RATIFIED[name],
+            }
+            print(f"{name:40s} DRIFT-RATIFIED r={worst:.3e}")
+        elif worst > 0:
+            unreviewed.append((name, worst))
             record[name] = {
                 "status": "DRIFT",
                 "worst_rel_drift": float(f"{worst:.3e}"),
             }
-            print(f"{name:40s} DRIFT r={worst:.3e}")
+            print(f"{name:40s} DRIFT r={worst:.3e}  <-- UNREVIEWED")
         else:
             record[name] = {"status": "EXACT"}
             print(f"{name:40s} OK")
+    n_exact = len(queries) - len(unstable) - len(drifted) - len(unreviewed)
     print(
-        f"\n{len(unstable)} unstable, {len(drifted)} drifted, "
-        f"{len(queries) - len(unstable) - len(drifted)} exact"
+        f"\n{len(unstable)} unstable, {len(unreviewed)} drifted-unreviewed, "
+        f"{len(drifted)} drifted-ratified, {n_exact} exact"
     )
+    stale = sorted(set(RATIFIED) - {n for n, _ in drifted} - set(queries))
+    if stale and not only:
+        print(f"NOTE: ratifications with no drifting contract: {stale}")
     if not only:
         out = {
             "sf_dir": sf,
             "n_contracts": len(record),
             "n_unstable": len(unstable),
-            "n_drifted": len(drifted),
-            "n_exact": len(record) - len(unstable) - len(drifted),
+            "n_drifted_unreviewed": len(unreviewed),
+            "n_drifted_ratified": len(drifted),
+            "n_exact": len(record) - len(unstable) - len(drifted)
+            - len(unreviewed),
             "contracts": dict(sorted(record.items())),
         }
         path = os.path.join(os.path.dirname(os.path.dirname(
@@ -150,7 +193,7 @@ def main() -> int:
             json.dump(out, fh, indent=1)
         print(f"wrote {path}")
     spark.stop()
-    return 1 if unstable else 0
+    return 1 if unstable or unreviewed else 0
 
 
 if __name__ == "__main__":
