@@ -116,8 +116,15 @@ R9_ADDED = [
     "train_source_cap",
     "dedup_threshold_curve",
 ]
+#: round-10 additions: the MinHash estimator calibration table (one extra
+#: corpus aggregation + two candidate joins — SF-scaling) and the per-doc
+#: novel-trigram report (the global term-frequency join pattern).
+R10_ADDED = [
+    "dedup_minhash_calibration",
+    "text_ngram_novelty",
+]
 
-HEADLINE = CORE22 + R6_ADDED + R7_ADDED + R8_ADDED + R9_ADDED
+HEADLINE = CORE22 + R6_ADDED + R7_ADDED + R8_ADDED + R9_ADDED + R10_ADDED
 
 #: Per-query regression bars (the BASELINE.md bar tables, ALL of them):
 #: a timed query above 1.5× its bar base is recorded in BENCH_DETAIL →
@@ -170,6 +177,8 @@ BARS = {
     # r9 table
     "v1_wide92_flagship": 0.0808, "train_source_cap": 0.2012,
     "dedup_threshold_curve": 1.5009,
+    # r10 table
+    "dedup_minhash_calibration": 1.7560, "text_ngram_novelty": 1.0904,
 }
 
 
@@ -520,6 +529,7 @@ def main() -> None:
         "r7_added_queries": R7_ADDED,
         "r8_added_queries": R8_ADDED,
         "r9_added_queries": R9_ADDED,
+        "r10_added_queries": R10_ADDED,
         "bar_breaches": bar_breaches,
         "per_query_spread_pct_best_of_3_interleaved": spread_pct,
         # plan construction, timed separately from execution: nonzero

@@ -474,6 +474,64 @@ def threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (r10): the table an operator reads to
+    TRUST (or re-size) the signature before acting on it — for each
+    (signature-agreement count k of MINHASH_K, exact Jaccard decile) cell,
+    how many LSH candidate pairs land there. k/MINHASH_K is the unbiased
+    MinHash estimate of Jaccard, so off-diagonal mass IS the estimator
+    error at the committed signature width; reading this table answers
+    "do 8 hashes suffice for our threshold, or do near-misses leak
+    through the bands" without re-running the pipeline at another width.
+
+    Everything integer: the agreement count is a sum of hash-equality
+    indicators, the decile is the same (10·|A∩B|) div |A∪B| integer
+    division as ``dedup_threshold_curve`` — no float can flip a cell.
+
+    Scale shape: ONE extra corpus aggregation vs the LSH pipeline — the
+    per-doc frame carries the k minhashes AND the shingle set out of the
+    same map-side-combining groupBy — then two joins of that frame onto
+    the capped candidate pairs (linear in candidates, never all-pairs;
+    AQE sizes the joins, no corpus-coupled broadcast hint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_minhash_signatures(docs))
+    sh = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
+    )
+    feats = sh.groupBy("doc_id").agg(
+        *minhash_aggs("s", MINHASH_K),
+        F.collect_set("s").alias("sset"),
+    )
+    a = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(MINHASH_K)],
+        F.col("sset").alias("set_a"),
+    )
+    b = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(MINHASH_K)],
+        F.col("sset").alias("set_b"),
+    )
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    agree = None
+    for j in range(MINHASH_K):
+        ind = (F.col(f"amh{j}") == F.col(f"bmh{j}")).cast("int")
+        agree = ind if agree is None else agree + ind
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
+    union = F.size(F.array_union("set_a", "set_b")).cast("bigint")
+    cells = joined.select(
+        agree.cast("int").alias("sig_agree"),
+        (inter * 10).alias("i10"),
+        union.alias("u"),
+    ).select(
+        "sig_agree", F.expr("i10 div u").cast("int").alias("jaccard_decile")
+    )
+    return cells.groupBy("sig_agree", "jaccard_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
 #: Containment threshold as an exact integer ratio (7/10): the cut is an
 #: integer comparison (10·|A∩B| ≥ 7·min|A|,|B|), so no float division can
 #: flip a pair between engines.
@@ -709,6 +767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": minhash_lsh,
     "dedup_ngram_jaccard": ngram_jaccard,
     "dedup_threshold_curve": threshold_curve,
+    "dedup_minhash_calibration": minhash_calibration,
     "dedup_shingle_containment": shingle_containment,
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
@@ -851,6 +910,39 @@ ORACLE_SQL: dict[str, str] = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_pairs_at_or_above
         FROM g
+    """,
+    "dedup_minhash_calibration": f"""
+        WITH {_SHINGLE_CTE},
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   CASE WHEN len(ws) >= 3 THEN range(len(ws)-2) ELSE [] END,
+                   i -> array_to_string(ws[i+1:i+3], ' '))) AS sset
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        cells AS (
+          SELECT (CASE WHEN ma.mh0 = mb.mh0 THEN 1 ELSE 0 END
+                + CASE WHEN ma.mh1 = mb.mh1 THEN 1 ELSE 0 END
+                + CASE WHEN ma.mh2 = mb.mh2 THEN 1 ELSE 0 END
+                + CASE WHEN ma.mh3 = mb.mh3 THEN 1 ELSE 0 END
+                + CASE WHEN ma.mh4 = mb.mh4 THEN 1 ELSE 0 END
+                + CASE WHEN ma.mh5 = mb.mh5 THEN 1 ELSE 0 END
+                + CASE WHEN ma.mh6 = mb.mh6 THEN 1 ELSE 0 END
+                + CASE WHEN ma.mh7 = mb.mh7 THEN 1 ELSE 0 END)
+                   AS sig_agree,
+                 (10 * len(list_intersect(sa.sset, sb.sset)))
+                   // len(list_distinct(list_concat(sa.sset, sb.sset)))
+                   AS jaccard_decile
+          FROM cand c
+          JOIN mh ma ON c.doc_a = ma.doc_id
+          JOIN mh mb ON c.doc_b = mb.doc_id
+          JOIN sets sa ON c.doc_a = sa.doc_id
+          JOIN sets sb ON c.doc_b = sb.doc_id
+        )
+        SELECT CAST(sig_agree AS INT) AS sig_agree,
+               CAST(jaccard_decile AS INT) AS jaccard_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM cells GROUP BY sig_agree, jaccard_decile
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLE_CTE},

@@ -692,8 +692,50 @@ def dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (r10): what fraction of a doc's distinct
+    trigrams appear in NO other document — the informativeness /
+    memorization-risk signal the dedup literature reads next to duplicate
+    fraction (a doc whose grams all recur elsewhere adds nothing the
+    corpus doesn't already say; a high-novelty doc is unique content).
+    Everything integer: counts plus a (1000·n_novel) div n_grams
+    per-mille, so no float boundary moves a doc between engines.
+
+    Scale shape: the standard global term-frequency pattern — one
+    distinct-(doc, gram) explode, a map-side-combining groupBy(gram) for
+    corpus gram frequencies (hot stop-grams collapse map-side, so the
+    shuffle carries one row per distinct gram), one shuffle join of the
+    two gram-keyed frames (co-partitioned on the join key by the groupBy
+    exchange), then a groupBy(doc). No windows over the corpus, no
+    collect, nothing quadratic; docs with <3 words have no trigrams and
+    drop out of the report on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
+    )
+    gcnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    per_doc = (
+        sh.join(gcnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("n_docs_with") == 1).cast("bigint")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("(1000 * n_novel) div n_grams").cast("int").alias(
+            "novelty_permille"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": quality_classifier,
+    "text_ngram_novelty": ngram_novelty,
     "text_lm_perplexity": lm_perplexity,
     "text_duplicate_window_fraction": duplicate_window_fraction,
     "text_dedup_trim": dedup_trim,
@@ -756,6 +798,24 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality_classifier": f"""
         WITH {_QC_GRAMS_CTE}
         SELECT doc_id, n_features, margin, quality_bucket FROM buckets
+    """,
+    "text_ngram_novelty": """
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   CASE WHEN len(ws) >= 3 THEN range(len(ws)-2) ELSE [] END,
+                   i -> array_to_string(ws[i+1:i+3], ' ')))) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        g AS (SELECT s, COUNT(*) AS n_docs_with FROM sh GROUP BY s)
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN g.n_docs_with = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST((1000 * SUM(CASE WHEN g.n_docs_with = 1 THEN 1 ELSE 0 END))
+                    // COUNT(*) AS INT) AS novelty_permille
+        FROM sh JOIN g USING (s)
+        GROUP BY sh.doc_id
     """,
     # Bigram-LM perplexity: per-term log-probs quantized to LM_SCALE fixed
     # point (floor margin measured); everything downstream is integer

@@ -145,6 +145,19 @@ CONTRACTS = [
     # duplicate-heavy texts (mass in the top deciles)
     "train_source_cap",
     "dedup_threshold_curve",
+    # r10: estimator calibration under duplicate-heavy texts (the exact
+    # dup cluster pins the all-agree/decile-10 cell; near-dups spread the
+    # off-diagonal) and novelty under the same shapes (the dup cluster's
+    # grams are all non-novel; single-word/empty docs have no trigrams
+    # and must drop out on both engines)
+    "dedup_minhash_calibration",
+    "text_ngram_novelty",
+    # r10 integer-cents conversions on random float values (the cents
+    # rounding device must agree across engines on arbitrary 2-decimal
+    # money, not just the fixed corpus)
+    "window_running_total",
+    "time_sessionize",
+    "time_session_window_native",
     # keep-best on the dup cluster: exact duplicates share n_chars
     # BITWISE, so the quality tie falls through to the doc_id break in
     # every cluster — the fixed corpus rarely ties

@@ -103,6 +103,10 @@ HEADLINE = [
     "v1_wide92_flagship",
     "train_source_cap",
     "dedup_threshold_curve",
+    # r10: the MinHash estimator calibration (capped-candidate joins) and
+    # the novel-trigram report (global term-frequency join pattern)
+    "dedup_minhash_calibration",
+    "text_ngram_novelty",
 ]
 
 
