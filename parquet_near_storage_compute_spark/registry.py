@@ -20,15 +20,20 @@ Round 8 retired the full 37-contract r4 backlog (50/50 green), so after it
 no live contract's newest driver row is older than round 5; staleness by
 round is {r5: 41, r6: 49, r7: 45, r8: 50}.
 
-Round 9's window (VERDICT r8 #2): 3 new contracts (`v1_wide92_flagship`,
-the hash-verified oracle over the 92-column reference-width fixture;
-`train_source_cap`, domain capping; `dedup_threshold_curve`, the
-threshold-selection report) + 5 modified lead, then ALL **41** contracts
-whose newest driver row is CORRECTNESS_r05 (computed from the r0*.json
-history exactly as tests/test_registry_window.py does — never
-hand-counted), then the oldest round-6 row in CORRECTNESS_r06 key order
-as fill (1). After this window lands green, no live contract's newest
-driver row is older than round 6.
+Round 9's window (VERDICT r8 #2) was 3 new + 5 modified + all 41 r5-row
+contracts + 1 r6 fill — 50/50 green (CORRECTNESS_r09), so after it the
+stalest live rows are the 48 round-6 rows.
+
+Round 10's window (VERDICT r9 #2): 2 new contracts
+(`dedup_minhash_calibration`, the signature-agreement vs exact-Jaccard
+calibration table; `text_ngram_novelty`, the per-doc novel-trigram
+report) + 4 modified (the integer-cents exactness conversions, VERDICT
+r9 #6) lead, then the oldest **44** of the 48 contracts whose newest
+driver row is CORRECTNESS_r06, in CORRECTNESS_r06 key order (computed
+from the r0*.json history exactly as tests/test_registry_window.py does
+— never hand-counted). The remaining 4 r6 rows (`agg_distinct`,
+`agg_rollup`, `agg_cube`, `agg_grouping_sets` — last in r6 key order)
+rotate in round 11.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -65,91 +70,84 @@ _MODULES = [
 ]
 
 
-#: New in round 9 — enter the window immediately:
-#: v1_wide92_flagship (VERDICT r8 #7): the v1 filter+5-agg flagship on
-#: memoryUsed over the committed 92-column reference-width fixture —
-#: until now the wide92 surface carried byte-accounting evidence only;
-#: this adds the hash-verified DuckDB oracle on the same file;
-#: train_source_cap: domain capping — keep the SOURCE_CAP smallest
-#: md5-draw docs per source via the salted two-phase k-min (no
-#: single-task mega-domain sort);
-#: dedup_threshold_curve: the Jaccard-decile operating curve over the
-#: LSH candidates (pairs per decile + cumulative at-or-above) — one
-#: verify join answers every candidate threshold.
-NEW_IN_R9 = [
-    "v1_wide92_flagship",
-    "train_source_cap",
-    "dedup_threshold_curve",
+#: New in round 10 — enter the window immediately:
+#: dedup_minhash_calibration: the MinHash estimator calibration table —
+#: per (signature-agreement count, exact Jaccard decile) candidate-pair
+#: counts, the artifact an operator reads to size the signature before
+#: trusting it (all-integer cells, one extra corpus aggregation);
+#: text_ngram_novelty: per-doc novel-trigram report (grams appearing in
+#: no other doc, exact integer per-mille) — the informativeness /
+#: memorization-risk signal next to the duplicate-fraction family.
+NEW_IN_R10 = [
+    "dedup_minhash_calibration",
+    "text_ngram_novelty",
 ]
 
-#: Contracts round 9 modifies that already carry driver rows — the change
-#: invalidates the old row, so they re-enter the window:
-#: dedup_connected_components / dedup_keep_best / train_decontaminate_trim
-#: drop their corpus-coupled forced broadcasts (VERDICT r8 #1 — AQE sizes
-#: the joins at runtime; results unchanged, plans legitimately may);
-#: sim_topk_pq / sim_topk_ivf_pq switch codebook training to the bounded
-#: PQ_TRAIN_N k-min sample, trained driver-side in exact int64 NumPy
-#: (VERDICT r8 #3 — the FAISS train-on-sample discipline; oracles grew
-#: the matching trainids/trainsub CTEs, still bit-for-bit).
-MODIFIED_IN_R9 = [
-    "dedup_connected_components",
-    "dedup_keep_best",
-    "train_decontaminate_trim",
-    "sim_topk_pq",
-    "sim_topk_ivf_pq",
-]
-
-#: The round-9 driver correctness window (VERDICT r8 #2): the 3 new + 5
-#: modified contracts lead; then all 41 contracts whose newest driver row
-#: is CORRECTNESS_r05, in CORRECTNESS_r05 key order; the remaining slot
-#: takes the OLDEST round-6 row in CORRECTNESS_r06 key order. After this
-#: window lands green, no live contract's newest driver row is older
-#: than round 6.
-_PRIORITY = NEW_IN_R9 + MODIFIED_IN_R9 + [
-    # the 41 round-5-row contracts, CORRECTNESS_r05 key order
-    "mm_frame_sample",
-    "pipeline_training_data",
-    "relational_correlated_subquery",
-    "relational_distinct_rows",
-    "relational_pivot",
-    "relational_unpivot",
-    "scalar_arithmetic_chain",
-    "scalar_array_ops",
-    "scalar_case_bucket",
-    "scalar_string_ops",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "sort_limit_topk",
-    "source_glob_scan",
-    "time_datetime_parts",
-    "time_json_extract",
-    "time_session_window_native",
+#: Contracts round 10 modifies that already carry driver rows — the
+#: change invalidates the old row, so they re-enter the window: the four
+#: money-typed members of the former float-ulp drift set (VERDICT r9 #6)
+#: now sum integer CENTS (2-decimal money columns) with one
+#: exactly-determined /100.0 at the end — bit-exact vs DuckDB where the
+#: old double sums drifted ~1e-16 with the engines' accumulation order.
+MODIFIED_IN_R10 = [
+    "window_running_total",
     "time_sessionize",
-    "time_sliding_window",
-    "time_tumbling_hourly",
-    "types_unsigned_decimal",
-    "udaf_geomean",
-    "udf_grouped_map_zscore",
-    "udf_readability",
-    "udf_sql_surface",
-    "join_outer_full",
-    "text_dedup_segments",
-    "pipeline_curation_report",
-    "source_jsonl_scan",
-    "source_orc_scan",
-    "meta_stat_prefixes",
-    "snowset_retrieval_rate",
-    "snowset_selectivity_distribution_sql",
-    "mm_image_decode",
-    "mm_audio_decode",
-    "stream_session_windows",
-    "join_bucketed_colocated",
-    "source_python_datasource",
-    "sink_python_datasource",
-    "train_global_shuffle",
-    # oldest round-6 row, CORRECTNESS_r06 key order (1)
-    "stream_python_datasource",
+    "time_session_window_native",
+    "stream_stateful_user_stats",
+]
+
+#: The round-10 driver correctness window (VERDICT r9 #2): the 2 new + 4
+#: modified contracts lead; then the oldest 44 of the 48 contracts whose
+#: newest driver row is CORRECTNESS_r06, in CORRECTNESS_r06 key order.
+#: The remaining 4 r6 rows (agg_distinct / agg_rollup / agg_cube /
+#: agg_grouping_sets) rotate in round 11, after which no live contract's
+#: newest driver row is older than round 7.
+_PRIORITY = NEW_IN_R10 + MODIFIED_IN_R10 + [
+    # the oldest 44 round-6-row contracts, CORRECTNESS_r06 key order
+    "types_variant_json",
+    "sketch_countmin",
+    "sketch_bloom_membership",
+    "join_skew_salted",
+    "dedup_incremental",
+    "relational_merge_upsert",
+    "sink_compaction",
+    "sink_zorder_layout",
+    "stream_upsert_foreachbatch",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "pipeline_incremental_ingest",
+    "time_ohlc_bars",
+    "sketch_kmv_overlap",
+    "source_dpp_star_join",
+    "agg_bitmap_distinct",
+    "relational_scd2_history",
+    "events_markov_transitions",
+    "agg_approx_percentile_sketch",
+    "join_runtime_bloom_filtered",
+    "sim_dedup_decisions",
+    "time_ewma",
+    "text_fingerprint",
+    "v1_footer_only_agg",
+    "v1_flagship",
+    "v1_ladder_real",
+    "v1_ladder_worst",
+    "v1_grammar_boolean",
+    "v1_grammar_extended",
+    "v1_count_semantics",
+    "v1_projection_rows",
+    "snowset_selectivity_distribution",
+    "join_theta",
+    "join_self",
+    "join_broadcast_inner",
+    "join_multiway",
+    "join_semi",
+    "join_anti",
+    "join_cross_pct",
+    "join_window_pct",
+    "join_asof",
+    "join_range",
+    "agg_pricing_summary",
+    "agg_over_expression",
 ]
 
 
