@@ -1154,6 +1154,30 @@ PQ_ITERS = 3
 #: constant-size bound that makes training corpus-independent.
 PQ_TRAIN_N = 512
 
+#: Sizing rule for PQ_TRAIN_N (VERDICT r9 #4). The classic FAISS
+#: guidance (≥ ~39 training points per centroid) does NOT transfer to
+#: these grid-seeded books: the 2-bit-cell seeding occupies k_eff ≈ 207
+#: of the 256 possible codewords per subspace from a 512-vector sample
+#: (measured by tests/test_pq_train_sizing.py on the committed corpora —
+#: ~2.5 points per codeword), so the FAISS ratio would demand
+#: full-corpus training at every committed size. The rule actually
+#: validated by the recorded sweeps (``tools/pq_train_sweep.py
+#: --samples`` on the testdata corpora; ``--emb`` on the clustered
+#: fixture — SCALING.md r9/r10 tables) is a SAMPLE-FRACTION floor:
+#:
+#:     PQ_TRAIN_N >= ceil(corpus_n / PQ_TRAIN_MAX_SUBSAMPLE)
+#:
+#: (at 512/2000 = 25.6% the measured recall cost is ~0 on the testdata
+#: corpora and 0.13 on the clustered fixture — the honest worst case),
+#: PLUS a hard sweep-coverage gate: no committed embeddings corpus may
+#: exceed PQ_TRAIN_MAX_CORPUS vectors. tests/test_pq_train_sizing.py
+#: recomputes both from the committed files (testdata SFs + every
+#: fixtures/*embeddings* parquet) and FAILS the moment a larger corpus
+#: ships — the signal to re-run the sweeps and revisit PQ_TRAIN_N
+#: instead of silently under-training the new corpus's book.
+PQ_TRAIN_MAX_SUBSAMPLE = 4
+PQ_TRAIN_MAX_CORPUS = 2000
+
 
 def _lattice_expr(src: str = "v") -> str:
     """The PQ lattice quantizer as a SQL expression: x·PQ_GRID is an exact

@@ -378,6 +378,10 @@ def run(
         words,
     )
 
+    # r9/r10 curation ops at EVERY rung (VERDICT r9 #3): source capping,
+    # the threshold curve, and the r10 calibration/novelty ops
+    _curation_section(spark, big, out)
+
     if skip_contamination:
         return _knn_section(spark, S, big, out)
 
@@ -574,6 +578,101 @@ def _ivf_dupwin_section(spark, big: str, out: dict) -> None:
         "keyed hot-key-free; occurrence re-agg is distinct-window-sized "
         "(~flat under replication); text_dedup_trim shares this frame "
         "plus a per-doc rolling-max cover pass",
+    }
+
+
+def _curation_section(spark, big: str, out: dict) -> None:
+    """r9/r10 curation-op scale laws (VERDICT r9 #3), measured at every
+    rung so the bounds are shown FLAT (or capped) in replication factor:
+
+    - train_source_cap: the kept set is a pure key function, so output
+      rows stay at Σ_s min(CAP, n_s) no matter the replication; phase 1
+      ranks within (source, salt), so its largest sort task holds
+      ~max_s n_s / SALT rows — recorded next to the naive single-window
+      counterfactual (max_s n_s, what a plain row_number over source
+      would put in ONE task).
+    - dedup_threshold_curve: the expensive verify join runs over exactly
+      the capped LSH candidate set (recorded), never all-pairs; the
+      report itself is ≤ 11 decile rows at any scale.
+    - dedup_minhash_calibration (r10): the same candidate-set bound — the
+      cells PARTITION the candidates (Σ n_pairs == |candidates|) and the
+      table is ≤ (MINHASH_K-1)·11 cells at any scale.
+    - text_ngram_novelty (r10): the gram join is linear — its input is
+      the distinct (doc, gram) explode; the gram-frequency shuffle
+      carries one row per DISTINCT gram (map-side combined), which under
+      replication grows only by the ' r{n}' suffix grams.
+    """
+    from parquet_near_storage_compute_spark.functions.text import (
+        shingles,
+        words,
+    )
+    from parquet_near_storage_compute_spark.operators import (
+        dedup as D,
+        textops as TX,
+        training as T,
+    )
+    from parquet_near_storage_compute_spark.tables import fan_out, load_table
+
+    docs = load_table(spark, big, "documents")
+
+    d = docs.select("doc_id", "source")
+    slice_rows = d.groupBy(
+        "source",
+        F.pmod(F.hash("doc_id"), F.lit(T.SOURCE_CAP_SALT)).alias("_salt"),
+    ).count()
+    max_slice = slice_rows.agg(F.max("count")).collect()[0][0]
+    max_domain = (
+        d.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    )
+    sec, n_rows = _timed(T.source_cap(spark, big))
+    out["train_source_cap"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "max_phase1_task_rows": int(max_slice or 0),
+        "naive_single_window_max_task_rows": int(max_domain or 0),
+        "salt": T.SOURCE_CAP_SALT,
+        "law": "output rows invariant (pure key function); phase-1 sort "
+        "task bound ~ max domain / SALT vs the naive window's whole "
+        "domain in one task",
+    }
+
+    cand = D._lsh_candidates(D._minhash_signatures(docs))
+    n_cand = cand.count()
+    sec, n_rows = _timed(D.threshold_curve(spark, big))
+    out["dedup_threshold_curve"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "verify_join_pairs": int(n_cand),
+        "law": "one verify join over the capped LSH candidates answers "
+        "every threshold; report ≤ 11 decile rows at any scale",
+    }
+
+    sec, n_rows = _timed(D.minhash_calibration(spark, big))
+    out["dedup_minhash_calibration"] = {
+        "sec": sec,
+        "cells": n_rows,
+        "cell_bound": (D.MINHASH_K - 1) * 11,
+        "verify_join_pairs": int(n_cand),
+        "law": "cells partition the capped candidate set (Σ n_pairs == "
+        "|candidates|, pinned by tests/test_r10_ops.py); table stays "
+        "dimension-sized at any scale",
+    }
+
+    sh = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
+    )
+    n_doc_gram = sh.count()
+    n_gram = sh.select("s").distinct().count()
+    sec, n_rows = _timed(TX.ngram_novelty(spark, big))
+    out["text_ngram_novelty"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "doc_gram_join_rows": int(n_doc_gram),
+        "distinct_gram_shuffle_rows": int(n_gram),
+        "law": "join input linear in corpus (distinct doc-gram pairs); "
+        "gram-frequency shuffle one row per distinct gram (map-side "
+        "combined), ~flat under replication modulo suffix grams",
     }
 
 
