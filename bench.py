@@ -122,6 +122,11 @@ R9_ADDED = [
 R10_ADDED = [
     "dedup_minhash_calibration",
     "text_ngram_novelty",
+    # continuation session: regular-grid interpolation resampling (one
+    # user-keyed window over events ∪ grid) and the stride-schedule
+    # mixture interleave (two global_positions passes over documents)
+    "time_resample_interpolate",
+    "train_interleave_datasets",
 ]
 
 HEADLINE = CORE22 + R6_ADDED + R7_ADDED + R8_ADDED + R9_ADDED + R10_ADDED
@@ -179,6 +184,7 @@ BARS = {
     "dedup_threshold_curve": 1.5009,
     # r10 table
     "dedup_minhash_calibration": 1.7560, "text_ngram_novelty": 1.0904,
+    "time_resample_interpolate": 0.6305, "train_interleave_datasets": 0.3648,
 }
 
 

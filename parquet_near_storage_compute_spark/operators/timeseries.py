@@ -425,6 +425,103 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stitched.select("user_id", "n_events", "ewma_value").orderBy("user_id")
 
 
+#: Resample grid step in seconds (6-hour grid). The grid is data-derived:
+#: per user, slots span ⌈first_event/STEP⌉ .. ⌊last_event/STEP⌋, so grid
+#: volume is bounded by users × span/STEP regardless of event rate.
+RESAMPLE_SEC = 21600
+
+
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with linear interpolation: each user's
+    irregular event values sampled onto a fixed 6-hour grid — the
+    align-before-correlate step every multi-series analysis (joins across
+    sensors, correlation matrices, model features) needs, and the family
+    member gap_fill (step/zero fill) and EWMA (smoothing) don't cover:
+    values BETWEEN observations estimated from both neighbours.
+
+    Shape: grid slots derive from the per-user (min, max) aggregate (a
+    users-sized frame, exploded to slots), then ONE window shuffle on
+    user_id over the events ∪ grid union finds each grid point's last
+    event at-or-before (``last ignorenulls`` over the preceding frame)
+    and first event after (``first ignorenulls`` over the following
+    frame) in a single per-user sort — the classic as-of alignment with
+    no self-join and no per-grid-point probe. Events are read twice (span
+    + union), the gap_fill trade. A user's window rows = its events + its
+    slots: the same per-user bound sessionize carries.
+
+    Engine-exactness: everything is integer algebra. Times are truncated
+    epoch SECONDS (the sessionize device; event ties broken by event_id,
+    grid rows sort after same-second events), values integer cents, and
+    the interpolated value is emitted in integer MILLI-units via
+    ``(c0·10·(t1−t) + c1·10·(t−t0)) div (t1−t0)`` — floor-quantized
+    linear interpolation (weights and cents non-negative, so div is
+    exact floor) that cannot drift across engines or partitionings.
+    Every grid point has both neighbours by construction: slots lie in
+    [first, last], an event at t0 == t short-circuits to c0·10 (also the
+    t1-is-null case when the last event sits exactly on the grid).
+    Magnitudes: cents·10·span_secs < 2^63 up to ~$10M values over a
+    ~30-year span — 100 TB-safe."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("sec").alias("s_min"), F.max("sec").alias("s_max")
+    )
+    slots = (
+        span.select(
+            "user_id",
+            F.expr(f"(s_min + {RESAMPLE_SEC - 1}) div {RESAMPLE_SEC}").alias(
+                "slot0"
+            ),
+            F.expr(f"s_max div {RESAMPLE_SEC}").alias("slot1"),
+        )
+        .filter(F.col("slot0") <= F.col("slot1"))
+        .select("user_id", F.explode(F.sequence("slot0", "slot1")).alias("slot"))
+    )
+    grid = slots.select(
+        "user_id",
+        (F.col("slot") * RESAMPLE_SEC).alias("sec"),
+        F.lit(1).alias("kind"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    union = ev.select(
+        "user_id", "sec", F.lit(0).alias("kind"), "event_id", "cents"
+    ).unionByName(grid)
+    order = [F.col("sec"), F.col("kind"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_ev = F.col("kind") == 0
+    nb = union.select(
+        "user_id",
+        "sec",
+        "kind",
+        F.last(F.when(is_ev, F.col("sec")), ignorenulls=True).over(wb).alias("t0"),
+        F.last(F.when(is_ev, F.col("cents")), ignorenulls=True).over(wb).alias("c0"),
+        F.first(F.when(is_ev, F.col("sec")), ignorenulls=True).over(wf).alias("t1"),
+        F.first(F.when(is_ev, F.col("cents")), ignorenulls=True).over(wf).alias("c1"),
+    )
+    interp = F.when(F.col("t0") == F.col("sec"), F.col("c0") * 10).otherwise(
+        F.expr("(c0 * 10 * (t1 - sec) + c1 * 10 * (sec - t0)) div (t1 - t0)")
+    )
+    return nb.filter(F.col("kind") == 1).select(
+        "user_id",
+        F.col("sec").alias("grid_sec"),
+        interp.cast("long").alias("interp_milli"),
+    )
+
+
 def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling (candlestick bars): per (hour, event_type), the
     opening value, high, low, closing value, and volume — the standard
@@ -509,6 +606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_json_extract": json_extract,
     "time_datetime_parts": datetime_parts,
     "time_gap_fill": gap_fill_hourly,
+    "time_resample_interpolate": resample_interpolate,
     "events_funnel": events_funnel,
     "events_retention_cohorts": retention_cohorts,
     "events_cumulative_users": cumulative_distinct_users,
@@ -684,6 +782,57 @@ ORACLE_SQL: dict[str, str] = {
         FROM one, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
              AS s(stage, stage_name)
         ORDER BY stage
+    """,
+    # mirrored op-for-op (see resample_interpolate): truncated epoch
+    # seconds, integer cents, grid rows sorting after same-second events
+    # (kind 1, event_id -1), floor-quantized milli-unit interpolation
+    "time_resample_interpolate": f"""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                 event_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        span AS (
+          SELECT user_id, MIN(sec) AS s_min, MAX(sec) AS s_max
+          FROM ev GROUP BY user_id
+        ),
+        slots AS (
+          SELECT user_id,
+                 unnest(generate_series(
+                   (s_min + {RESAMPLE_SEC - 1}) // {RESAMPLE_SEC},
+                   s_max // {RESAMPLE_SEC})) AS slot
+          FROM span
+        ),
+        u AS (
+          SELECT user_id, sec, 0 AS kind, event_id, cents FROM ev
+          UNION ALL
+          SELECT user_id, slot * {RESAMPLE_SEC} AS sec, 1 AS kind,
+                 CAST(-1 AS BIGINT) AS event_id, NULL AS cents
+          FROM slots
+        ),
+        nb AS (
+          SELECT user_id, sec, kind,
+                 last_value(CASE WHEN kind = 0 THEN sec END IGNORE NULLS)
+                   OVER wb AS t0,
+                 last_value(CASE WHEN kind = 0 THEN cents END IGNORE NULLS)
+                   OVER wb AS c0,
+                 first_value(CASE WHEN kind = 0 THEN sec END IGNORE NULLS)
+                   OVER wf AS t1,
+                 first_value(CASE WHEN kind = 0 THEN cents END IGNORE NULLS)
+                   OVER wf AS c1
+          FROM u
+          WINDOW wb AS (PARTITION BY user_id ORDER BY sec, kind, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY sec, kind, event_id
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, sec AS grid_sec,
+               CAST(CASE WHEN t0 = sec THEN c0 * 10
+                    ELSE (c0 * 10 * (t1 - sec) + c1 * 10 * (sec - t0))
+                         // (t1 - t0) END AS BIGINT) AS interp_milli
+        FROM nb WHERE kind = 1
     """,
     "time_gap_fill": """
         WITH counts AS (

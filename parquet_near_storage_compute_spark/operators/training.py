@@ -1114,8 +1114,82 @@ def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stride-schedule quantization: virtual fire times (2k−1)/(2w) are
+#: floor-scaled to integer ticks of 1/(2^20·2w) stride units, so the
+#: schedule key is exact int64 algebra in both engines. Magnitudes:
+#: (2k)·2^20 stays under 2^63 to ~4×10^12 docs per source.
+STRIDE_SCALE = 1 << 20
+
+
+def interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture interleave: the global training order a data
+    loader feeds when mixing sources by weight (HF ``interleave_datasets``
+    / stride scheduling). Each source is shuffled (md5 draw), its k-th
+    document fires at virtual time (2k−1)/(2w_s) — the low-discrepancy
+    stride schedule, so a weight-w source occupies ~w of every Σw
+    consecutive slots and no source ever bursts — and the corpus is
+    ordered by fire time. Weights are the temperature weights
+    ``train_mixture_sample`` uses (w_s = ⌊√n_s⌋), derived from the same
+    tiny per-source counts frame.
+
+    Scale shape: per-source shuffled ordinals come from ONE
+    ``global_positions`` pass over (source, draw, doc_id) — positions of
+    a source are contiguous in that order, so ordinal = p − min_s(p) + 1
+    via a broadcast of the sources-sized min frame; a hot source never
+    serializes into a single ranking task (the source_cap rationale). The
+    final order is a second ``global_positions`` over the schedule key.
+    Total: two range exchanges + two tiny broadcasts — never a
+    single-partition sort, never a per-source window over the corpus.
+
+    Engine-exactness: md5-hex ordering, integer √n weights, and the
+    floor-scaled schedule key ``((2k−1)·2^20) div (2w)`` (non-negative,
+    so div is exact floor) with (key, source, ordinal) ties — every
+    column and comparison is integer/string-exact in both engines."""
+    from parquet_near_storage_compute_spark.operators.windows import (
+        global_positions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    draw = F.md5(F.concat(F.lit("il:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", "source", draw.alias("draw"))
+    ranked = global_positions(
+        keyed, [F.col("source"), F.col("draw"), F.col("doc_id")]
+    ).drop("n_total")
+    base = ranked.groupBy("source").agg(
+        F.min("p").alias("p0"), F.count(F.lit(1)).alias("n_docs")
+    )
+    base = base.select(
+        "source", "p0", F.floor(F.sqrt("n_docs")).cast("long").alias("w")
+    )
+    sched = (
+        ranked.join(F.broadcast(base), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("p") - F.col("p0") + 1).alias("src_ord"),
+            "w",
+        )
+        .withColumn(
+            "sched_key",
+            F.expr(f"((2 * src_ord - 1) * {STRIDE_SCALE}) div (2 * w)"),
+        )
+        .drop("w")
+    )
+    final = global_positions(
+        sched, [F.col("sched_key"), F.col("source"), F.col("src_ord")]
+    )
+    return final.select(
+        "doc_id",
+        "source",
+        "src_ord",
+        "sched_key",
+        F.col("p").alias("position"),
+    ).orderBy("position")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_source_cap": source_cap,
+    "train_interleave_datasets": interleave_datasets,
     "train_pack_sequences": pack_sequences,
     "train_global_shuffle": global_shuffle,
     "train_test_split": train_test_split,
@@ -1140,6 +1214,35 @@ from parquet_near_storage_compute_spark.operators.textops import (  # noqa: E402
 )
 
 ORACLE_SQL: dict[str, str] = {
+    # mirrored op-for-op (see interleave_datasets): per-source md5-shuffled
+    # ordinals, ⌊√n⌋ weights, floor-scaled stride keys, (key, source, k)
+    # total order
+    "train_interleave_datasets": f"""
+        WITH counts AS (
+          SELECT source, CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+          FROM documents GROUP BY source
+        ),
+        ord AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('il:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS src_ord
+          FROM documents
+        ),
+        keyed AS (
+          SELECT o.doc_id, o.source, o.src_ord,
+                 ((2 * o.src_ord - 1) * {STRIDE_SCALE}) // (2 * c.w)
+                   AS sched_key
+          FROM ord o JOIN counts c USING (source)
+        )
+        SELECT doc_id, source,
+               CAST(src_ord AS BIGINT) AS src_ord,
+               CAST(sched_key AS BIGINT) AS sched_key,
+               CAST(ROW_NUMBER() OVER (ORDER BY sched_key, source, src_ord)
+                    AS BIGINT) AS position
+        FROM keyed ORDER BY position
+    """,
     "train_source_cap": f"""
         SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
           SELECT doc_id, source,

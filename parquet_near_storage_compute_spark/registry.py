@@ -24,16 +24,19 @@ Round 9's window (VERDICT r8 #2) was 3 new + 5 modified + all 41 r5-row
 contracts + 1 r6 fill — 50/50 green (CORRECTNESS_r09), so after it the
 stalest live rows are the 48 round-6 rows.
 
-Round 10's window (VERDICT r9 #2): 2 new contracts
+Round 10's window (VERDICT r9 #2): 4 new contracts
 (`dedup_minhash_calibration`, the signature-agreement vs exact-Jaccard
 calibration table; `text_ngram_novelty`, the per-doc novel-trigram
-report) + 4 modified (the integer-cents exactness conversions, VERDICT
-r9 #6) lead, then the oldest **44** of the 48 contracts whose newest
-driver row is CORRECTNESS_r06, in CORRECTNESS_r06 key order (computed
-from the r0*.json history exactly as tests/test_registry_window.py does
-— never hand-counted). The remaining 4 r6 rows (`agg_distinct`,
-`agg_rollup`, `agg_cube`, `agg_grouping_sets` — last in r6 key order)
-rotate in round 11.
+report; `time_resample_interpolate`, regular-grid linear-interpolation
+resampling; `train_interleave_datasets`, the deterministic stride-
+schedule mixture order) + 4 modified (the integer-cents exactness
+conversions, VERDICT r9 #6) lead, then the oldest **42** of the 48
+contracts whose newest driver row is CORRECTNESS_r06, in
+CORRECTNESS_r06 key order (computed from the r0*.json history exactly
+as tests/test_registry_window.py does — never hand-counted). The
+remaining 6 r6 rows (`agg_pricing_summary`, `agg_over_expression`,
+`agg_distinct`, `agg_rollup`, `agg_cube`, `agg_grouping_sets` — last in
+r6 key order) rotate in round 11.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -77,10 +80,17 @@ _MODULES = [
 #: trusting it (all-integer cells, one extra corpus aggregation);
 #: text_ngram_novelty: per-doc novel-trigram report (grams appearing in
 #: no other doc, exact integer per-mille) — the informativeness /
-#: memorization-risk signal next to the duplicate-fraction family.
+#: memorization-risk signal next to the duplicate-fraction family;
+#: time_resample_interpolate: per-user regular-grid linear interpolation
+#: (integer milli-unit algebra — the align-before-correlate step next to
+#: gap_fill/EWMA/OHLC); train_interleave_datasets: the deterministic
+#: stride-schedule mixture order a multi-source training loader feeds
+#: (two global_positions passes, never a per-source corpus window).
 NEW_IN_R10 = [
     "dedup_minhash_calibration",
     "text_ngram_novelty",
+    "time_resample_interpolate",
+    "train_interleave_datasets",
 ]
 
 #: Contracts round 10 modifies that already carry driver rows — the
@@ -96,14 +106,15 @@ MODIFIED_IN_R10 = [
     "stream_stateful_user_stats",
 ]
 
-#: The round-10 driver correctness window (VERDICT r9 #2): the 2 new + 4
-#: modified contracts lead; then the oldest 44 of the 48 contracts whose
+#: The round-10 driver correctness window (VERDICT r9 #2): the 4 new + 4
+#: modified contracts lead; then the oldest 42 of the 48 contracts whose
 #: newest driver row is CORRECTNESS_r06, in CORRECTNESS_r06 key order.
-#: The remaining 4 r6 rows (agg_distinct / agg_rollup / agg_cube /
-#: agg_grouping_sets) rotate in round 11, after which no live contract's
-#: newest driver row is older than round 7.
+#: The remaining 6 r6 rows (agg_pricing_summary / agg_over_expression /
+#: agg_distinct / agg_rollup / agg_cube / agg_grouping_sets) rotate in
+#: round 11, after which no live contract's newest driver row is older
+#: than round 7.
 _PRIORITY = NEW_IN_R10 + MODIFIED_IN_R10 + [
-    # the oldest 44 round-6-row contracts, CORRECTNESS_r06 key order
+    # the oldest 42 round-6-row contracts, CORRECTNESS_r06 key order
     "types_variant_json",
     "sketch_countmin",
     "sketch_bloom_membership",
@@ -146,8 +157,6 @@ _PRIORITY = NEW_IN_R10 + MODIFIED_IN_R10 + [
     "join_window_pct",
     "join_asof",
     "join_range",
-    "agg_pricing_summary",
-    "agg_over_expression",
 ]
 
 

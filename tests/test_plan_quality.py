@@ -147,6 +147,11 @@ GLOBAL_SORT_DECLARED = {
     "train_chunk_documents",
     "train_contamination_check",
     "train_curriculum_order",
+    # the interleave ORDER IS the semantics (stride-schedule feed order);
+    # the corpus-scale ranks come from global_positions (shard-local
+    # sorts), the only global sorts are the tiny offsets windows + the
+    # declared final presentation order
+    "train_interleave_datasets",
     "train_global_shuffle",
     "train_mixture_sample",
     "train_pack_bpe",

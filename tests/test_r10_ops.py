@@ -9,6 +9,7 @@ from __future__ import annotations
 import datetime as dt
 
 import duckdb
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from parquet_near_storage_compute_spark.functions.text import shingles, words
@@ -188,3 +189,181 @@ def test_session_window_gap_boundary_is_end_inclusive(spark, tmp_path):
         con,
         TS_ORACLES["time_session_window_native"],
     )
+
+
+# ---------------------------------------- r10 continuation: resample
+def _events_dir(spark, tmp_path, rows) -> tuple[str, object]:
+    """Write a synthetic events table; return (sf_dir, duckdb con)."""
+    out = str(tmp_path / "evcorpus")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(2).write.mode("overwrite").parquet(out + "/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{out}/events.parquet/*.parquet'"
+    )
+    return out, con
+
+
+def test_resample_interpolation_planted_values(spark, tmp_path):
+    """Hand-computed grid: on-event grid points short-circuit to c0·10;
+    interior points are the floor-quantized linear blend; a same-second
+    event pair resolves to the higher event_id; a sub-step user emits no
+    rows; the last-event-exactly-on-grid case (t1 null) takes the t0==sec
+    branch."""
+    from parquet_near_storage_compute_spark.operators.timeseries import (
+        ORACLE_SQL as TS_ORACLES,
+        resample_interpolate,
+    )
+
+    base = dt.datetime(2024, 3, 1)  # epoch divisible by RESAMPLE_SEC
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 9: events at 00:00 (1.00), 06:00 (2.00), 13:00 (4.00)
+        (1, base, 9, "click", 1.0, "{}"),
+        (2, base + 6 * h, 9, "click", 2.0, "{}"),
+        (3, base + 13 * h, 9, "click", 4.0, "{}"),
+        # user 8: same-second pair ON the 06:00 grid point (tie → id 12);
+        # 06:00 is also the last event, so the forward neighbour is null
+        (10, base + 1 * h, 8, "click", 1.0, "{}"),
+        (11, base + 6 * h, 8, "click", 5.0, "{}"),
+        (12, base + 6 * h, 8, "click", 3.0, "{}"),
+        # user 7: 1-hour span, no 6-hour slot at all
+        (20, base + 1 * h, 7, "click", 9.0, "{}"),
+        (21, base + 2 * h, 7, "click", 9.5, "{}"),
+    ]
+    out, con = _events_dir(spark, tmp_path, rows)
+    got = {
+        (r["user_id"], r["grid_sec"]): r["interp_milli"]
+        for r in resample_interpolate(spark, out).collect()
+    }
+    e0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # user 9: grid 00:00 / 06:00 on events; 12:00 interpolates
+    # (2000·(46800−43200) + 4000·(43200−21600)) div (46800−21600) = 3714
+    assert got[(9, e0)] == 1000
+    assert got[(9, e0 + 21600)] == 2000
+    assert got[(9, e0 + 43200)] == 3714
+    # user 8: single grid point 06:00, same-second tie → event_id 12
+    assert got[(8, e0 + 21600)] == 3000
+    # user 7 contributes no grid rows; nothing else leaks in
+    assert len(got) == 4
+    compare(
+        resample_interpolate(spark, out),
+        con,
+        TS_ORACLES["time_resample_interpolate"],
+    )
+
+
+def test_resample_grid_is_aligned_and_bounded(spark, sf_dir):
+    """Fixture property: every grid point is a RESAMPLE_SEC multiple
+    inside its user's event span, and the interpolated milli value lies
+    within [10·min, 10·max] of the user's cents range (a convex blend
+    floor-quantized can't escape the hull)."""
+    from parquet_near_storage_compute_spark.operators.timeseries import (
+        RESAMPLE_SEC,
+        resample_interpolate,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("s_min"),
+            F.max(F.unix_timestamp("ts")).alias("s_max"),
+            F.min(F.round(F.col("value") * 100).cast("long")).alias("c_min"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("c_max"),
+        )
+    )
+    joined = resample_interpolate(spark, sf_dir).join(ev, "user_id")
+    bad = joined.filter(
+        (F.col("grid_sec") % RESAMPLE_SEC != 0)
+        | (F.col("grid_sec") < F.col("s_min"))
+        | (F.col("grid_sec") > F.col("s_max"))
+        | (F.col("interp_milli") < 10 * F.col("c_min"))
+        | (F.col("interp_milli") > 10 * F.col("c_max"))
+    )
+    assert bad.count() == 0
+
+
+# -------------------------------------- r10 continuation: interleave
+def test_interleave_matches_pure_python_reference(spark, tmp_path):
+    """Third-implementation check on a skewed planted corpus (16 vs 4
+    docs → weights 4 vs 2): hashlib-md5 per-source shuffle, ⌊√n⌋
+    weights, floor-scaled stride keys, (key, source, ord) total order —
+    every output cell reproduced exactly."""
+    import hashlib
+    import math
+
+    from parquet_near_storage_compute_spark.operators.training import (
+        STRIDE_SCALE,
+        interleave_datasets,
+    )
+    from parquet_near_storage_compute_spark.operators.training import (
+        ORACLE_SQL as TRAIN_ORACLES,
+    )
+
+    docs = {i: ("A" if i < 16 else "B") for i in range(20)}
+    out, con = _docs_dir(
+        spark, tmp_path, {i: f"text {i}" for i in docs}
+    )
+    # rewrite with the two sources (the helper writes source='synthetic')
+    spark.createDataFrame(
+        [(i, f"text {i}", "en", s, 7) for i, s in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(2).write.mode("overwrite").parquet(out + "/documents.parquet")
+
+    by_source: dict[str, list[int]] = {"A": [], "B": []}
+    for i, s in docs.items():
+        by_source[s].append(i)
+    expect = []
+    for s, ids in by_source.items():
+        w = math.isqrt(len(ids))
+        ids.sort(key=lambda i: (hashlib.md5(f"il:{i}".encode()).hexdigest(), i))
+        for k, i in enumerate(ids, start=1):
+            expect.append(
+                (((2 * k - 1) * STRIDE_SCALE) // (2 * w), s, k, i)
+            )
+    expect.sort()
+    want = {
+        doc: (s, k, key, pos)
+        for pos, (key, s, k, doc) in enumerate(expect, start=1)
+    }
+    got = interleave_datasets(spark, out).collect()
+    assert len(got) == 20
+    for r in got:
+        assert want[r["doc_id"]] == (
+            r["source"],
+            r["src_ord"],
+            r["sched_key"],
+            r["position"],
+        ), r
+    compare(
+        interleave_datasets(spark, out),
+        con,
+        TRAIN_ORACLES["train_interleave_datasets"],
+    )
+
+
+def test_interleave_positions_are_a_permutation(spark, sf_dir):
+    """Fixture property: positions are exactly 1..n (no gap, no dup) and
+    each source's ordinals appear in increasing position order (a source
+    is fed in its own shuffled order)."""
+    from parquet_near_storage_compute_spark.operators.training import (
+        interleave_datasets,
+    )
+
+    df = interleave_datasets(spark, sf_dir)
+    n = df.count()
+    assert df.select("position").distinct().count() == n
+    assert df.agg(F.min("position"), F.max("position")).collect()[0] == (1, n)
+    w = F.lag("position").over(
+        Window.partitionBy("source").orderBy("src_ord")
+    )
+    out_of_order = (
+        df.withColumn("prev_pos", w)
+        .filter(F.col("prev_pos").isNotNull() & (F.col("prev_pos") >= F.col("position")))
+        .count()
+    )
+    assert out_of_order == 0

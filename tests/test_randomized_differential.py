@@ -158,6 +158,14 @@ CONTRACTS = [
     "window_running_total",
     "time_sessionize",
     "time_session_window_native",
+    # r10 continuation: interpolation resampling under hot users /
+    # identical-second events (the (sec, kind, event_id) tie-break and
+    # the event-exactly-on-grid branch fire where the fixed corpus's
+    # microsecond grid rarely does) and the stride interleave under
+    # skewed sources (unequal ⌊√n⌋ weights, sched_key collisions across
+    # sources resolved by the (key, source, ord) break)
+    "time_resample_interpolate",
+    "train_interleave_datasets",
     # keep-best on the dup cluster: exact duplicates share n_chars
     # BITWISE, so the quality tie falls through to the doc_id break in
     # every cluster — the fixed corpus rarely ties

@@ -379,8 +379,9 @@ def run(
     )
 
     # r9/r10 curation ops at EVERY rung (VERDICT r9 #3): source capping,
-    # the threshold curve, and the r10 calibration/novelty ops
-    _curation_section(spark, big, out)
+    # the threshold curve, and the r10 calibration/novelty/resample/
+    # interleave ops
+    _curation_section(spark, sf_dir, big, out, n_reps)
 
     if skip_contamination:
         return _knn_section(spark, S, big, out)
@@ -581,7 +582,9 @@ def _ivf_dupwin_section(spark, big: str, out: dict) -> None:
     }
 
 
-def _curation_section(spark, big: str, out: dict) -> None:
+def _curation_section(
+    spark, sf_dir: str, big: str, out: dict, n_reps: int
+) -> None:
     """r9/r10 curation-op scale laws (VERDICT r9 #3), measured at every
     rung so the bounds are shown FLAT (or capped) in replication factor:
 
@@ -601,6 +604,16 @@ def _curation_section(spark, big: str, out: dict) -> None:
       the distinct (doc, gram) explode; the gram-frequency shuffle
       carries one row per DISTINCT gram (map-side combined), which under
       replication grows only by the ' r{n}' suffix grams.
+    - time_resample_interpolate (r10 continuation): replication strides
+      event_id but keeps user_id AND timestamps verbatim — the event
+      RATE grows n_reps× while every user's span is unchanged — so the
+      grid row count must stay CONSTANT (grid volume = users × span/STEP,
+      independent of event rate); the per-user window bound is its
+      events + its slots.
+    - train_interleave_datasets (r10 continuation): both corpus-scale
+      total orders run through global_positions range shards (~n/shards
+      rows per ranking task), recorded against the naive per-source
+      window counterfactual (the whole hottest domain in ONE task).
     """
     from parquet_near_storage_compute_spark.functions.text import (
         shingles,
@@ -673,6 +686,73 @@ def _curation_section(spark, big: str, out: dict) -> None:
         "law": "join input linear in corpus (distinct doc-gram pairs); "
         "gram-frequency shuffle one row per distinct gram (map-side "
         "combined), ~flat under replication modulo suffix grams",
+    }
+
+    # --- r10 continuation: interpolation resampling over replicated
+    # events (event_id strided, user_id + timestamps VERBATIM → event
+    # rate ×reps at constant span)
+    import os as _os
+
+    from parquet_near_storage_compute_spark.operators import timeseries as TS
+
+    ev_path = _os.path.join(big, "events.parquet")
+    if not _os.path.isdir(ev_path):
+        base_ev = load_table(spark, sf_dir, "events")
+        reps = None
+        for r in range(n_reps):
+            part = base_ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(r * ID_STRIDE)
+            )
+            reps = part if reps is None else reps.unionByName(part)
+        reps.repartition(32).write.mode("overwrite").parquet(ev_path)
+    ev = load_table(spark, big, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.max(F.unix_timestamp("ts")) / TS.RESAMPLE_SEC
+            - F.min(F.unix_timestamp("ts")) / TS.RESAMPLE_SEC
+            + 1
+        ).cast("long").alias("max_slots"),
+    )
+    peaks = per_user.agg(
+        F.max("n").alias("hot_user_events"),
+        F.max(F.col("n") + F.col("max_slots")).alias("max_window_rows"),
+        F.count(F.lit(1)).alias("n_users"),
+    ).collect()[0]
+    sec, n_rows = _timed(TS.resample_interpolate(spark, big))
+    out["time_resample_interpolate"] = {
+        "sec": sec,
+        "grid_rows": n_rows,
+        "events_rows": ev.count(),
+        "n_users": int(peaks.n_users),
+        "hot_user_events": int(peaks.hot_user_events),
+        "max_user_window_rows": int(peaks.max_window_rows),
+        "law": "grid rows = users × span/STEP — CONSTANT in event-rate "
+        "replication (user spans verbatim); per-user window bound = its "
+        "events + its slots",
+    }
+
+    # --- r10 continuation: the stride interleave's ranking tasks stay
+    # range-shard-bounded; the naive per-source window counterfactual
+    # would sort the whole hottest domain in one task
+    from parquet_near_storage_compute_spark.operators.windows import (
+        NTILE_SHARDS,
+    )
+
+    draw = F.md5(F.concat(F.lit("il:"), F.col("doc_id").cast("string")))
+    sharded = d.select("doc_id", "source", draw.alias("draw")).repartitionByRange(
+        NTILE_SHARDS, F.col("source"), F.col("draw"), F.col("doc_id")
+    )
+    sec, n_rows = _timed(T.interleave_datasets(spark, big))
+    out["train_interleave_datasets"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "max_rank_task_rows": _max_partition_rows(sharded),
+        "naive_source_window_max_task_rows": int(max_domain or 0),
+        "shards": NTILE_SHARDS,
+        "law": "both total orders rank inside range shards (~n/shards "
+        "rows per task); the naive per-source window serializes the "
+        "hottest domain into one task",
     }
 
 

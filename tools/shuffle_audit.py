@@ -107,6 +107,10 @@ HEADLINE = [
     # the novel-trigram report (global term-frequency join pattern)
     "dedup_minhash_calibration",
     "text_ngram_novelty",
+    # r10 continuation: regular-grid interpolation (events ∪ grid window)
+    # and the stride-schedule interleave (two global_positions passes)
+    "time_resample_interpolate",
+    "train_interleave_datasets",
 ]
 
 
