@@ -123,10 +123,13 @@ R10_ADDED = [
     "dedup_minhash_calibration",
     "text_ngram_novelty",
     # continuation session: regular-grid interpolation resampling (one
-    # user-keyed window over events ∪ grid) and the stride-schedule
-    # mixture interleave (two global_positions passes over documents)
+    # user-keyed window over events ∪ grid), the stride-schedule
+    # mixture interleave (two global_positions passes over documents),
+    # and the banding-config S-curve table (calibration's verify join +
+    # the per-position agreement pattern)
     "time_resample_interpolate",
     "train_interleave_datasets",
+    "dedup_minhash_band_tuning",
 ]
 
 HEADLINE = CORE22 + R6_ADDED + R7_ADDED + R8_ADDED + R9_ADDED + R10_ADDED
@@ -184,7 +187,8 @@ BARS = {
     "dedup_threshold_curve": 1.5009,
     # r10 table
     "dedup_minhash_calibration": 1.7560, "text_ngram_novelty": 1.0904,
-    "time_resample_interpolate": 0.6305, "train_interleave_datasets": 0.3648,
+    "time_resample_interpolate": 0.7774, "train_interleave_datasets": 1.1578,
+    "dedup_minhash_band_tuning": 2.1905,
 }
 
 

@@ -532,6 +532,131 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Band configs evaluable by TIGHTENING the committed (LSH_BANDS × LSH_ROWS)
+#: banding: (bands, rows_per_band) with rows·bands = MINHASH_K whose bands
+#: are unions of committed bands, so their candidate sets are SUBSETS of
+#: the committed candidates and can be evaluated from the one materialized
+#: candidate set. Loosening (e.g. 8×1) admits pairs the committed banding
+#: never materializes and would need a full re-banding pass — that cost
+#: asymmetry is itself the operational point the table documents.
+BAND_CONFIGS = ((4, 2), (2, 4), (1, 8))
+
+
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-config selection (r10 continuation): the S-curve table that
+    turns `dedup_minhash_calibration`'s "is the signature trustworthy"
+    into "which banding should we run". For each tightening config
+    (4×2 committed, 2×4, 1×8) and each exact-Jaccard decile: the observed
+    candidate-pair count under that config, next to the theoretical MMDS
+    S-curve value P(candidate | j = d/10) = 1 − (1 − j^r)^b evaluated in
+    EXACT integer arithmetic at 1e-8 scale (r·b = 8 for every config, so
+    10^8·P = 10^8 − (10^r − d^r)^b with all terms < 2^53 — no pow(), no
+    float, bit-identical across engines). Reading a row answers: at our
+    duplicate threshold, how many candidates (= verify-join cost) does a
+    stricter banding drop, and does the S-curve say they were noise or
+    signal.
+
+    A config is applied to a pair via its signature agreement PATTERN
+    (which of the MINHASH_K positions agree), computed in the same verify
+    join the calibration pays — a config's bands are position runs, so
+    candidacy is an AND/OR over the per-position equality bits. Only
+    TIGHTENING configs are table rows (see BAND_CONFIGS): their candidate
+    sets are provably subsets of the committed one; evaluating a LOOSER
+    banding would require re-materializing candidates.
+
+    Scale shape: identical to `dedup_minhash_calibration` — the capped
+    LSH candidate set bounds the verify join, the output is ≤
+    len(BAND_CONFIGS)·11 rows (dimension-sized; final sort declared)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_minhash_signatures(docs))
+    sh = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
+    )
+    feats = sh.groupBy("doc_id").agg(
+        *minhash_aggs("s", MINHASH_K),
+        F.collect_set("s").alias("sset"),
+    )
+    a = feats.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(MINHASH_K)],
+        F.col("sset").alias("set_a"),
+    )
+    b = feats.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"bmh{j}") for j in range(MINHASH_K)],
+        F.col("sset").alias("set_b"),
+    )
+    joined = cand.join(a, "doc_a").join(b, "doc_b")
+    eq = [F.col(f"amh{j}") == F.col(f"bmh{j}") for j in range(MINHASH_K)]
+    configs = F.array(
+        *[
+            F.struct(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                _config_candidate(eq, bands, rows).alias("is_cand"),
+            )
+            for bands, rows in BAND_CONFIGS
+        ]
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
+    union = F.size(F.array_union("set_a", "set_b")).cast("bigint")
+    cells = (
+        joined.select(
+            (inter * 10).alias("i10"), union.alias("u"), configs.alias("cfgs")
+        )
+        .select(
+            F.expr("i10 div u").cast("int").alias("jaccard_decile"),
+            F.explode("cfgs").alias("c"),
+        )
+        .filter(F.col("c.is_cand"))
+        .select("c.bands", "c.rows_per_band", "jaccard_decile")
+    )
+    # the exact-integer S-curve at the decile lower bound j = d/10:
+    # 10^8·P = 10^8 − (10^r − d^r)^b (r·b = 8 for every config)
+    p = F.expr(
+        "CAST(CASE rows_per_band "
+        "WHEN 2 THEN 100000000 - ((100 - jaccard_decile * jaccard_decile) "
+        "  * (100 - jaccard_decile * jaccard_decile)) "
+        "  * ((100 - jaccard_decile * jaccard_decile) "
+        "  * (100 - jaccard_decile * jaccard_decile)) "
+        "WHEN 4 THEN 100000000 - "
+        "  (10000 - jaccard_decile * jaccard_decile "
+        "         * jaccard_decile * jaccard_decile) "
+        "  * (10000 - jaccard_decile * jaccard_decile "
+        "         * jaccard_decile * jaccard_decile) "
+        "ELSE (jaccard_decile * jaccard_decile "
+        "      * jaccard_decile * jaccard_decile) "
+        "  * (jaccard_decile * jaccard_decile "
+        "      * jaccard_decile * jaccard_decile) "
+        "END AS BIGINT)"
+    )
+    return (
+        cells.groupBy("bands", "rows_per_band", "jaccard_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            F.col("bands").cast("int").alias("bands"),
+            F.col("rows_per_band").cast("int").alias("rows_per_band"),
+            "jaccard_decile",
+            "n_pairs",
+            p.alias("p_candidate_1e8"),
+        )
+        .orderBy("rows_per_band", "jaccard_decile")
+    )
+
+
+def _config_candidate(eq: list, bands: int, rows: int):
+    """Candidacy under a (bands × rows) banding from the per-position
+    equality bits: OR over bands of AND over each band's position run."""
+    out = None
+    for i in range(bands):
+        band = None
+        for j in range(i * rows, (i + 1) * rows):
+            band = eq[j] if band is None else (band & eq[j])
+        out = band if out is None else (out | band)
+    return out
+
+
 #: Containment threshold as an exact integer ratio (7/10): the cut is an
 #: integer comparison (10·|A∩B| ≥ 7·min|A|,|B|), so no float division can
 #: flip a pair between engines.
@@ -768,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": ngram_jaccard,
     "dedup_threshold_curve": threshold_curve,
     "dedup_minhash_calibration": minhash_calibration,
+    "dedup_minhash_band_tuning": minhash_band_tuning,
     "dedup_shingle_containment": shingle_containment,
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
@@ -943,6 +1069,56 @@ ORACLE_SQL: dict[str, str] = {
                CAST(jaccard_decile AS INT) AS jaccard_decile,
                CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM cells GROUP BY sig_agree, jaccard_decile
+    """,
+    # mirrored op-for-op (see minhash_band_tuning): per-position equality
+    # bits → config candidacy (AND/OR over band runs), exact-integer
+    # S-curve 10^8 − (10^r − d^r)^b at the decile lower bound
+    "dedup_minhash_band_tuning": f"""
+        WITH {_SHINGLE_CTE},
+        sets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   CASE WHEN len(ws) >= 3 THEN range(len(ws)-2) ELSE [] END,
+                   i -> array_to_string(ws[i+1:i+3], ' '))) AS sset
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ),
+        bits AS (
+          SELECT (10 * len(list_intersect(sa.sset, sb.sset)))
+                   // len(list_distinct(list_concat(sa.sset, sb.sset)))
+                   AS d,
+                 ma.mh0 = mb.mh0 AS e0, ma.mh1 = mb.mh1 AS e1,
+                 ma.mh2 = mb.mh2 AS e2, ma.mh3 = mb.mh3 AS e3,
+                 ma.mh4 = mb.mh4 AS e4, ma.mh5 = mb.mh5 AS e5,
+                 ma.mh6 = mb.mh6 AS e6, ma.mh7 = mb.mh7 AS e7
+          FROM cand c
+          JOIN mh ma ON c.doc_a = ma.doc_id
+          JOIN mh mb ON c.doc_b = mb.doc_id
+          JOIN sets sa ON c.doc_a = sa.doc_id
+          JOIN sets sb ON c.doc_b = sb.doc_id
+        ),
+        cfg AS (
+          SELECT 4 AS bands, 2 AS rows_per_band, d FROM bits
+          WHERE (e0 AND e1) OR (e2 AND e3) OR (e4 AND e5) OR (e6 AND e7)
+          UNION ALL
+          SELECT 2, 4, d FROM bits
+          WHERE (e0 AND e1 AND e2 AND e3) OR (e4 AND e5 AND e6 AND e7)
+          UNION ALL
+          SELECT 1, 8, d FROM bits
+          WHERE e0 AND e1 AND e2 AND e3 AND e4 AND e5 AND e6 AND e7
+        )
+        SELECT CAST(bands AS INT) AS bands,
+               CAST(rows_per_band AS INT) AS rows_per_band,
+               CAST(d AS INT) AS jaccard_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(CASE rows_per_band
+                 WHEN 2 THEN 100000000
+                   - ((100 - d*d) * (100 - d*d)) * ((100 - d*d) * (100 - d*d))
+                 WHEN 4 THEN 100000000
+                   - (10000 - d*d*d*d) * (10000 - d*d*d*d)
+                 ELSE (d*d*d*d) * (d*d*d*d)
+               END AS BIGINT) AS p_candidate_1e8
+        FROM cfg GROUP BY bands, rows_per_band, d
+        ORDER BY rows_per_band, jaccard_decile
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLE_CTE},

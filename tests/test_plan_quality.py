@@ -110,6 +110,8 @@ GLOBAL_SORT_DECLARED = {
     # ≤11-row decile report: the cumulative window is dimension-sized
     # by construction
     "dedup_threshold_curve",
+    # ≤ len(BAND_CONFIGS)·11-row S-curve report, dimension-sized
+    "dedup_minhash_band_tuning",
     "events_anomaly_mad",
     "events_cumulative_users",
     "events_funnel",

@@ -367,3 +367,68 @@ def test_interleave_positions_are_a_permutation(spark, sf_dir):
         .count()
     )
     assert out_of_order == 0
+
+
+# ------------------------------------ r10 continuation: band tuning
+def test_band_tuning_configs_are_nested(spark, sf_dir):
+    """Tightening configs have SUBSET candidate sets (1×8 ⊆ 2×4 ⊆ 4×2 —
+    a full-run agreement implies every sub-band agrees), so per-decile
+    counts must be monotone in rows_per_band; and the committed-config
+    rows must reproduce the calibration table's per-decile totals
+    exactly (same verify join, two views of one candidate set)."""
+    from parquet_near_storage_compute_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        minhash_band_tuning,
+    )
+
+    rows = minhash_band_tuning(spark, sf_dir).collect()
+    by_cfg: dict[tuple, dict[int, int]] = {}
+    for r in rows:
+        by_cfg.setdefault((r["bands"], r["rows_per_band"]), {})[
+            r["jaccard_decile"]
+        ] = r["n_pairs"]
+    committed = by_cfg[(LSH_BANDS, LSH_ROWS)]
+    for d, n42 in committed.items():
+        n24 = by_cfg.get((2, 4), {}).get(d, 0)
+        n18 = by_cfg.get((1, 8), {}).get(d, 0)
+        assert n42 >= n24 >= n18, (d, n42, n24, n18)
+    cal = minhash_calibration(spark, sf_dir).collect()
+    cal_totals: dict[int, int] = {}
+    for r in cal:
+        cal_totals[r["jaccard_decile"]] = (
+            cal_totals.get(r["jaccard_decile"], 0) + r["n_pairs"]
+        )
+    assert committed == cal_totals
+
+
+def test_band_tuning_s_curve_endpoints_and_duplicates(spark, tmp_path):
+    """Exact duplicates land in every config's decile-10 cell with the
+    theoretical curve at exactly 10^8 (certain candidacy); the S-curve
+    column is the exact integer 10^8 − (10^r − d^r)^b at every decile."""
+    from parquet_near_storage_compute_spark.operators.dedup import (
+        ORACLE_SQL as DEDUP_SQL,
+        minhash_band_tuning,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    out, con = _docs_dir(
+        spark, tmp_path, {1: text, 2: text, 3: "completely different words here"}
+    )
+    rows = minhash_band_tuning(spark, out).collect()
+    assert rows, "no candidate pairs on the planted corpus"
+    for r in rows:
+        b, rr, d = r["bands"], r["rows_per_band"], r["jaccard_decile"]
+        want = 10**8 - (10**rr - d**rr) ** b
+        assert r["p_candidate_1e8"] == want, r
+    dup_cells = {
+        (r["bands"], r["rows_per_band"]): r["n_pairs"]
+        for r in rows
+        if r["jaccard_decile"] == 10
+    }
+    assert dup_cells == {(4, 2): 1, (2, 4): 1, (1, 8): 1}
+    compare(
+        minhash_band_tuning(spark, out),
+        con,
+        DEDUP_SQL["dedup_minhash_band_tuning"],
+    )

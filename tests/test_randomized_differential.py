@@ -152,6 +152,10 @@ CONTRACTS = [
     # and must drop out on both engines)
     "dedup_minhash_calibration",
     "text_ngram_novelty",
+    # band tuning under the same shapes: the dup cluster fills the
+    # all-bands-agree configs at decile 10; near-dups exercise the
+    # partial agreement patterns the config masks branch on
+    "dedup_minhash_band_tuning",
     # r10 integer-cents conversions on random float values (the cents
     # rounding device must agree across engines on arbitrary 2-decimal
     # money, not just the fixed corpus)

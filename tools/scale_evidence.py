@@ -671,6 +671,17 @@ def _curation_section(
         "dimension-sized at any scale",
     }
 
+    sec, n_rows = _timed(D.minhash_band_tuning(spark, big))
+    out["dedup_minhash_band_tuning"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "row_bound": len(D.BAND_CONFIGS) * 11,
+        "verify_join_pairs": int(n_cand),
+        "law": "same capped verify join as calibration (the agreement "
+        "pattern rides along); every tightening config evaluated from "
+        "the ONE materialized candidate set; report ≤ configs × 11 rows",
+    }
+
     sh = fan_out(docs).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),

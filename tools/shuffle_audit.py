@@ -111,6 +111,7 @@ HEADLINE = [
     # and the stride-schedule interleave (two global_positions passes)
     "time_resample_interpolate",
     "train_interleave_datasets",
+    "dedup_minhash_band_tuning",
 ]
 
 
