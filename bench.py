@@ -130,6 +130,9 @@ R10_ADDED = [
     "time_resample_interpolate",
     "train_interleave_datasets",
     "dedup_minhash_band_tuning",
+    # ANN recall@k evaluation: the 4 quantized variants against the
+    # exact baseline in one report (pays all five top-k plans)
+    "sim_recall_report",
 ]
 
 HEADLINE = CORE22 + R6_ADDED + R7_ADDED + R8_ADDED + R9_ADDED + R10_ADDED
@@ -197,7 +200,7 @@ BARS = {
     # r10 table
     "dedup_minhash_calibration": 1.7560, "text_ngram_novelty": 1.0904,
     "time_resample_interpolate": 0.7774, "train_interleave_datasets": 1.1578,
-    "dedup_minhash_band_tuning": 2.1905,
+    "dedup_minhash_band_tuning": 2.1905, "sim_recall_report": 1.5501,
 }
 
 

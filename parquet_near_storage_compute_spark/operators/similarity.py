@@ -1774,8 +1774,75 @@ def topk_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The quantized ANN variants the recall report evaluates, in report
+#: order. All four rank on exact integer algebra (registered bit-exact
+#: contracts), so the report's hit sets are as engine-stable as the
+#: exact baseline itself.
+RECALL_VARIANTS = ("ivf_pq", "ivf_sq8", "pq", "sq8")
+
+
+def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation as a first-class operator (r10 continuation):
+    recall@TOP_K of every quantized variant against the exact cosine
+    baseline, in one report — the build (sim_topk_*) → tune
+    (tools/nprobe_curve.py, pq_train_sweep.py) → **evaluate** leg a
+    deployed index pipeline runs on every reindex, turned from test-side
+    constants into an oracle-checked query. For each variant: the exact
+    baseline's (query, cand) top-k pairs left-joined against the
+    variant's, hits counted, and recall emitted as exact integer
+    per-mille ((1000·hits) div expected — no float ratio).
+
+    Scale shape: the exact baseline is the N_QUERIES-row probe frame
+    against the corpus (the sim_topk_bruteforce shape — N_QUERIES bounds
+    the evaluation cost by design; a production evaluation samples its
+    query set exactly like this); each variant side is its registered
+    top-k plan; the joins are on (query_id, cand_id) over
+    N_QUERIES·TOP_K-row frames — dimension-sized. Output: one row per
+    variant (declared sort). Determinism: the four variants score in
+    exact integer algebra, the baseline is the registered bruteforce
+    contract; hit counting compares ID SETS, so the report is as stable
+    as its inputs — evaluated on the committed corpora, where their
+    rank-boundary margins are measured (the ivf_mp/prefix_rerank
+    randomized-differential exclusion rationale)."""
+    fns = {
+        "ivf_pq": topk_ivf_pq,
+        "ivf_sq8": topk_ivf_sq8,
+        "pq": topk_pq,
+        "sq8": topk_sq8,
+    }
+    exact = topk_bruteforce(spark, sf_dir).select("query_id", "cand_id")
+    parts = []
+    for label in RECALL_VARIANTS:
+        v = fns[label](spark, sf_dir).select(
+            "query_id", "cand_id", F.lit(1).alias("hit")
+        )
+        agg = (
+            exact.join(v, ["query_id", "cand_id"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(label).alias("variant"),
+                F.col("n_exact").cast("bigint").alias("n_exact"),
+                "n_hits",
+                F.expr("CAST((1000 * n_hits) div n_exact AS BIGINT)").alias(
+                    "recall_permille"
+                ),
+            )
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("variant")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
+    "sim_recall_report": recall_report,
     "sim_dedup_decisions": embedding_dedup_decisions,
     "sim_topk_numpy": topk_numpy,
     "sim_topk_lsh": topk_lsh,
@@ -2422,3 +2489,31 @@ ORACLE_SQL: dict[str, str] = {
         FROM scored GROUP BY label
     """,
 }
+
+
+def _recall_report_oracle() -> str:
+    """Compose the recall-report oracle from the variants' own oracle
+    SELECTs (each is self-contained, so it nests as a parenthesized
+    subquery — the exact baseline and each variant are computed by the
+    same SQL the driver already hash-checks independently)."""
+    exact = ORACLE_SQL["sim_topk_bruteforce"]
+    arms = []
+    for label in RECALL_VARIANTS:
+        variant = ORACLE_SQL[f"sim_topk_{label}"]
+        arms.append(
+            f"""
+        SELECT '{label}' AS variant,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN x.cand_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST((1000 * SUM(CASE WHEN x.cand_id IS NOT NULL
+                             THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                 AS recall_permille
+        FROM ({exact}) e
+        LEFT JOIN ({variant}) x
+          ON e.query_id = x.query_id AND e.cand_id = x.cand_id"""
+        )
+    return " UNION ALL ".join(arms) + " ORDER BY variant"
+
+
+ORACLE_SQL["sim_recall_report"] = _recall_report_oracle()

@@ -30,14 +30,15 @@ calibration table; `text_ngram_novelty`, the per-doc novel-trigram
 report; `time_resample_interpolate`, regular-grid linear-interpolation
 resampling; `train_interleave_datasets`, the deterministic stride-
 schedule mixture order; `dedup_minhash_band_tuning`, the banding-config
-S-curve table) + 4 modified (the integer-cents exactness conversions,
-VERDICT r9 #6) lead, then the oldest **41** of the 48 contracts whose
+S-curve table; `sim_recall_report`, ANN recall@k evaluation as an
+operator) + 4 modified (the integer-cents exactness conversions,
+VERDICT r9 #6) lead, then the oldest **40** of the 48 contracts whose
 newest driver row is CORRECTNESS_r06, in CORRECTNESS_r06 key order
 (computed from the r0*.json history exactly as
 tests/test_registry_window.py does — never hand-counted). The remaining
-7 r6 rows (`agg_pricing_summary`, `agg_over_expression`, `agg_distinct`,
-`agg_rollup`, `agg_cube`, `agg_grouping_sets`, `join_range` — last in r6
-key order) rotate in round 11.
+8 r6 rows (`agg_pricing_summary`, `agg_over_expression`, `agg_distinct`,
+`agg_rollup`, `agg_cube`, `agg_grouping_sets`, `join_range`, `join_asof`
+— last in r6 key order) rotate in round 11.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -91,12 +92,16 @@ _MODULES = [
 #: candidate counts per tightening config × decile next to the exact-
 #: integer theoretical curve) — calibration's "trust the signature"
 #: companion answering "which banding to run".
+#: sim_recall_report: recall@k of every quantized ANN variant vs the
+#: exact baseline, as one oracle-checked report (integer per-mille) —
+#: the evaluate leg of build → tune → evaluate.
 NEW_IN_R10 = [
     "dedup_minhash_calibration",
     "text_ngram_novelty",
     "time_resample_interpolate",
     "train_interleave_datasets",
     "dedup_minhash_band_tuning",
+    "sim_recall_report",
 ]
 
 #: Contracts round 10 modifies that already carry driver rows — the
@@ -112,15 +117,15 @@ MODIFIED_IN_R10 = [
     "stream_stateful_user_stats",
 ]
 
-#: The round-10 driver correctness window (VERDICT r9 #2): the 5 new + 4
-#: modified contracts lead; then the oldest 41 of the 48 contracts whose
+#: The round-10 driver correctness window (VERDICT r9 #2): the 6 new + 4
+#: modified contracts lead; then the oldest 40 of the 48 contracts whose
 #: newest driver row is CORRECTNESS_r06, in CORRECTNESS_r06 key order.
-#: The remaining 7 r6 rows (agg_pricing_summary / agg_over_expression /
-#: agg_distinct / agg_rollup / agg_cube / agg_grouping_sets / join_range)
-#: rotate in round 11, after which no live contract's newest driver row
-#: is older than round 7.
+#: The remaining 8 r6 rows (agg_pricing_summary / agg_over_expression /
+#: agg_distinct / agg_rollup / agg_cube / agg_grouping_sets / join_range
+#: / join_asof) rotate in round 11, after which no live contract's
+#: newest driver row is older than round 7.
 _PRIORITY = NEW_IN_R10 + MODIFIED_IN_R10 + [
-    # the oldest 41 round-6-row contracts, CORRECTNESS_r06 key order
+    # the oldest 40 round-6-row contracts, CORRECTNESS_r06 key order
     "types_variant_json",
     "sketch_countmin",
     "sketch_bloom_membership",
@@ -161,7 +166,6 @@ _PRIORITY = NEW_IN_R10 + MODIFIED_IN_R10 + [
     "join_anti",
     "join_cross_pct",
     "join_window_pct",
-    "join_asof",
 ]
 
 

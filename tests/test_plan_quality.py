@@ -41,6 +41,9 @@ BNLJ_WHITELIST = {
     # multiprobe IVF: the same ~k-row codebook cross join; candidate
     # search equi-joins on the cell key across the query's NPROBE cells
     "sim_topk_ivf_mp",
+    # recall evaluation: unions the exact baseline + all four quantized
+    # variants, so it inherits each parent's whitelisted probe shape
+    "sim_recall_report",
     # corpus-vocabulary constant: 1-row countDistinct frame broadcast
     # onto the bigram term frame (the text_tfidf_topk shape)
     "text_lm_perplexity",
@@ -112,6 +115,8 @@ GLOBAL_SORT_DECLARED = {
     "dedup_threshold_curve",
     # ≤ len(BAND_CONFIGS)·11-row S-curve report, dimension-sized
     "dedup_minhash_band_tuning",
+    # one row per evaluated ANN variant (4), dimension-sized
+    "sim_recall_report",
     "events_anomaly_mad",
     "events_cumulative_users",
     "events_funnel",

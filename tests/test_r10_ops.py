@@ -432,3 +432,29 @@ def test_band_tuning_s_curve_endpoints_and_duplicates(spark, tmp_path):
         con,
         DEDUP_SQL["dedup_minhash_band_tuning"],
     )
+
+
+# ---------------------------------- r10 continuation: recall report
+def test_recall_report_values_are_pinned_per_fixture(spark, sf_dir):
+    """The report must reproduce the recall constants the ANN docs cite:
+    on the committed sf0.001 corpus, sq8 933‰ / pq 700‰ and the
+    single-probe IVF compositions at 33‰ (the cell restriction is the
+    binding loss on this near-random corpus — SURVEY §8.5's honest
+    finding, now an oracle-checked output). n_exact is always
+    N_QUERIES·TOP_K and the per-mille column is the exact integer
+    quotient."""
+    from parquet_near_storage_compute_spark.operators.similarity import (
+        N_QUERIES,
+        RECALL_VARIANTS,
+        TOP_K,
+        recall_report,
+    )
+
+    rows = {r["variant"]: r for r in recall_report(spark, sf_dir).collect()}
+    assert set(rows) == set(RECALL_VARIANTS)
+    for r in rows.values():
+        assert r["n_exact"] == N_QUERIES * TOP_K
+        assert 0 <= r["n_hits"] <= r["n_exact"]
+        assert r["recall_permille"] == (1000 * r["n_hits"]) // r["n_exact"]
+    got = {v: rows[v]["recall_permille"] for v in rows}
+    assert got == {"sq8": 933, "pq": 700, "ivf_sq8": 33, "ivf_pq": 33}, got

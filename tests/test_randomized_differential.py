@@ -174,7 +174,10 @@ CONTRACTS = [
     # BITWISE, so the quality tie falls through to the doc_id break in
     # every cluster — the fixed corpus rarely ties
     "dedup_keep_best",
-    # DELIBERATELY absent: sim_topk_ivf_mp and sim_topk_prefix_rerank
+    # DELIBERATELY absent: sim_recall_report joins the float-ranked
+    # bruteforce baseline's top-k SET, so it inherits the same
+    # random-corpus boundary-tie caveat as its baseline (below);
+    # likewise sim_topk_ivf_mp and sim_topk_prefix_rerank
     # (like sim_topk_ivf / sim_topk_lsh / sim_topk_bruteforce) rank on
     # raw float cosines, whose cut boundaries (probe rank NPROBE|+1,
     # stage-1 rank RERANK_M|+1) carry measured margins only on the

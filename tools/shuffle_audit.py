@@ -112,6 +112,9 @@ HEADLINE = [
     "time_resample_interpolate",
     "train_interleave_datasets",
     "dedup_minhash_band_tuning",
+    # r10 continuation: ANN recall evaluation (4 quantized variants vs
+    # the exact baseline, one report)
+    "sim_recall_report",
 ]
 
 
