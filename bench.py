@@ -133,6 +133,9 @@ R10_ADDED = [
     # ANN recall@k evaluation: the 4 quantized variants against the
     # exact baseline in one report (pays all five top-k plans)
     "sim_recall_report",
+    # character-entropy quality signal (char explode + two combinable
+    # exchanges — SF-scaling)
+    "text_char_entropy",
 ]
 
 HEADLINE = CORE22 + R6_ADDED + R7_ADDED + R8_ADDED + R9_ADDED + R10_ADDED
@@ -205,6 +208,7 @@ BARS = {
     "dedup_minhash_calibration": 1.7560, "text_ngram_novelty": 1.0904,
     "time_resample_interpolate": 0.7774, "train_interleave_datasets": 1.1578,
     "dedup_minhash_band_tuning": 2.1905, "sim_recall_report": 1.5501,
+    "text_char_entropy": 0.9814,
 }
 
 

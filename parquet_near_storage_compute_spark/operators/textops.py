@@ -733,8 +733,96 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed-point scale for per-count logs in the entropy report — the
+#: lm_perplexity device: scaling by 2^20 is an exact exponent shift, so
+#: the only cross-engine hazard is ln's last-ulp wobble landing on a
+#: floor boundary, and tests/test_r10_ops.py measures the distance for
+#: every count in the committed corpora (ln(1) = 0.0 is exact in any
+#: correct libm, so the c = 1 "boundary" is deterministic, not a hazard).
+ENTROPY_SCALE = 1 << 20
+
+#: Low-entropy gate: 1.5 nats/char in ENTROPY_SCALE fixed point (exact —
+#: 1.5·2^20). Natural English text runs ~2.4–3.2 nats/char; a doc under
+#: 1.5 is dominated by repeated characters/runs (the boilerplate /
+#: gibberish / decompression-bomb signal). The flag is a pure integer
+#: comparison (entropy_fp < gate·n), so it cannot flip across engines.
+ENTROPY_LOW_FP = 3 << 19  # = 1.5 * ENTROPY_SCALE, exact
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (r10 continuation): per-document
+    Shannon entropy of the character distribution, in nats — the cheap
+    detector for repeated-run boilerplate, gibberish, and
+    compression-bomb text that length/stopword heuristics
+    (`text_quality_scores`), the hashed classifier, and the bigram-LM
+    perplexity gate all miss in different ways (a megabyte of "aaaa…"
+    has perfect word-shape features but ~0 entropy). Fourth rung of the
+    quality ladder.
+
+    Exact-integer form: H = ln(n) − (Σ c_i·ln(c_i))/n is emitted as
+    ``entropy_fp = n·⌊ln(n)·2^20⌋ − Σ c_i·⌊ln(c_i)·2^20⌋`` — every term
+    an exact BIGINT given the floors, and the floors sit measured
+    margins away from ln's cross-engine last-ulp wobble (the
+    lm_perplexity fixed-point discipline; ln(1) = 0 exactly, so
+    single-occurrence characters contribute an exact 0). The
+    ``low_entropy`` gate compares integers; ``entropy_nats`` re-derives
+    from the integers by one exactly-determined division. A
+    single-character-repeated doc scores exactly 0.
+
+    Scale shape: one char explode (corpus chars) → map-side-combining
+    (doc, char) count — a hot doc's rows spread across its ≤alphabet
+    distinct keys — then a per-doc aggregate over ≤alphabet rows each.
+    Two combinable exchanges, no window, no join. Empty documents have
+    no characters and drop out on both engines (documented; the
+    sequence() guard below keeps Spark's auto-descending sequence(1, 0)
+    from fabricating rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        fan_out(docs)
+        .filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        )
+        .select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    lq = F.floor(
+        F.log(F.col("c").cast("double")) * F.lit(float(ENTROPY_SCALE))
+    ).cast("bigint")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.sum(F.col("c") * lq).cast("bigint").alias("s"),
+    )
+    nq = F.floor(
+        F.log(F.col("n_chars").cast("double")) * F.lit(float(ENTROPY_SCALE))
+    ).cast("bigint")
+    with_fp = per_doc.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        (F.col("n_chars") * nq - F.col("s")).alias("entropy_fp"),
+    )
+    return with_fp.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        "entropy_fp",
+        (
+            F.col("entropy_fp").cast("double")
+            / (F.col("n_chars").cast("double") * float(ENTROPY_SCALE))
+        ).alias("entropy_nats"),
+        (F.col("entropy_fp") < F.lit(ENTROPY_LOW_FP) * F.col("n_chars")).alias(
+            "low_entropy"
+        ),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_classifier": quality_classifier,
+    "text_char_entropy": char_entropy,
     "text_ngram_novelty": ngram_novelty,
     "text_lm_perplexity": lm_perplexity,
     "text_duplicate_window_fraction": duplicate_window_fraction,
@@ -795,6 +883,47 @@ _QC_GRAMS_CTE = f"""
   )"""
 
 ORACLE_SQL: dict[str, str] = {
+    # mirrored op-for-op (see char_entropy): per-position substr explode,
+    # (doc, char) counts, floor-quantized logs, integer entropy_fp, one
+    # exactly-determined division for the nats view
+    "text_char_entropy": f"""
+        WITH chars AS (
+          SELECT doc_id,
+                 substr(text, CAST(i AS INT), 1) AS ch
+          FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                     1, CAST(length(text) AS BIGINT))) AS i
+            FROM documents WHERE length(text) >= 1
+          )
+        ),
+        counts AS (
+          SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+          FROM chars GROUP BY doc_id, ch
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_chars,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                 CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE))
+                                         * {ENTROPY_SCALE}) AS BIGINT))
+                      AS BIGINT) AS s
+          FROM counts GROUP BY doc_id
+        ),
+        fp AS (
+          SELECT doc_id, n_chars, n_distinct_chars,
+                 CAST(n_chars * CAST(floor(ln(CAST(n_chars AS DOUBLE))
+                                           * {ENTROPY_SCALE}) AS BIGINT)
+                      - s AS BIGINT) AS entropy_fp
+          FROM per_doc
+        )
+        SELECT doc_id, n_chars, n_distinct_chars, entropy_fp,
+               CAST(entropy_fp AS DOUBLE)
+                 / (CAST(n_chars AS DOUBLE) * {ENTROPY_SCALE}.0)
+                 AS entropy_nats,
+               entropy_fp < {ENTROPY_LOW_FP} * n_chars AS low_entropy
+        FROM fp
+    """,
     "text_quality_classifier": f"""
         WITH {_QC_GRAMS_CTE}
         SELECT doc_id, n_features, margin, quality_bucket FROM buckets

@@ -31,14 +31,17 @@ report; `time_resample_interpolate`, regular-grid linear-interpolation
 resampling; `train_interleave_datasets`, the deterministic stride-
 schedule mixture order; `dedup_minhash_band_tuning`, the banding-config
 S-curve table; `sim_recall_report`, ANN recall@k evaluation as an
-operator) + 4 modified (the integer-cents exactness conversions,
-VERDICT r9 #6) lead, then the oldest **40** of the 48 contracts whose
-newest driver row is CORRECTNESS_r06, in CORRECTNESS_r06 key order
-(computed from the r0*.json history exactly as
-tests/test_registry_window.py does — never hand-counted). The remaining
-8 r6 rows (`agg_pricing_summary`, `agg_over_expression`, `agg_distinct`,
-`agg_rollup`, `agg_cube`, `agg_grouping_sets`, `join_range`, `join_asof`
-— last in r6 key order) rotate in round 11.
+operator; `text_char_entropy`, the character-entropy quality signal) +
+4 modified (the integer-cents exactness conversions, VERDICT r9 #6)
+lead, then the oldest **39** of the 48 contracts whose newest driver
+row is CORRECTNESS_r06, in CORRECTNESS_r06 key order (computed from the
+r0*.json history exactly as tests/test_registry_window.py does — never
+hand-counted). The remaining 9 r6 rows (`agg_pricing_summary`,
+`agg_over_expression`, `agg_distinct`, `agg_rollup`, `agg_cube`,
+`agg_grouping_sets`, `join_range`, `join_asof`, `join_window_pct` —
+last in r6 key order) rotate in round 11 (one past VERDICT r9 #2's
+"≤ ~8" guide — the trade for three extra new operators landing driver
+rows this round).
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -95,6 +98,9 @@ _MODULES = [
 #: sim_recall_report: recall@k of every quantized ANN variant vs the
 #: exact baseline, as one oracle-checked report (integer per-mille) —
 #: the evaluate leg of build → tune → evaluate.
+#: text_char_entropy: per-doc character-entropy quality signal (integer
+#: fixed-point — the fourth quality rung beside heuristics, classifier,
+#: and LM perplexity).
 NEW_IN_R10 = [
     "dedup_minhash_calibration",
     "text_ngram_novelty",
@@ -102,6 +108,7 @@ NEW_IN_R10 = [
     "train_interleave_datasets",
     "dedup_minhash_band_tuning",
     "sim_recall_report",
+    "text_char_entropy",
 ]
 
 #: Contracts round 10 modifies that already carry driver rows — the
@@ -117,15 +124,15 @@ MODIFIED_IN_R10 = [
     "stream_stateful_user_stats",
 ]
 
-#: The round-10 driver correctness window (VERDICT r9 #2): the 6 new + 4
-#: modified contracts lead; then the oldest 40 of the 48 contracts whose
+#: The round-10 driver correctness window (VERDICT r9 #2): the 7 new + 4
+#: modified contracts lead; then the oldest 39 of the 48 contracts whose
 #: newest driver row is CORRECTNESS_r06, in CORRECTNESS_r06 key order.
-#: The remaining 8 r6 rows (agg_pricing_summary / agg_over_expression /
+#: The remaining 9 r6 rows (agg_pricing_summary / agg_over_expression /
 #: agg_distinct / agg_rollup / agg_cube / agg_grouping_sets / join_range
-#: / join_asof) rotate in round 11, after which no live contract's
-#: newest driver row is older than round 7.
+#: / join_asof / join_window_pct) rotate in round 11, after which no
+#: live contract's newest driver row is older than round 7.
 _PRIORITY = NEW_IN_R10 + MODIFIED_IN_R10 + [
-    # the oldest 40 round-6-row contracts, CORRECTNESS_r06 key order
+    # the oldest 39 round-6-row contracts, CORRECTNESS_r06 key order
     "types_variant_json",
     "sketch_countmin",
     "sketch_bloom_membership",
@@ -165,7 +172,6 @@ _PRIORITY = NEW_IN_R10 + MODIFIED_IN_R10 + [
     "join_semi",
     "join_anti",
     "join_cross_pct",
-    "join_window_pct",
 ]
 
 

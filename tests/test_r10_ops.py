@@ -458,3 +458,82 @@ def test_recall_report_values_are_pinned_per_fixture(spark, sf_dir):
         assert r["recall_permille"] == (1000 * r["n_hits"]) // r["n_exact"]
     got = {v: rows[v]["recall_permille"] for v in rows}
     assert got == {"sq8": 933, "pq": 700, "ivf_sq8": 33, "ivf_pq": 33}, got
+
+
+# --------------------------------- r10 continuation: char entropy
+def test_char_entropy_floor_margin_is_corpus_independent():
+    """Stronger than the lm_perplexity margin (which is per-corpus): the
+    entropy quantizer's log arguments are always INTEGERS, so the floor
+    margin can be proved once for every count up to a bound. Worst
+    margin of ln(c)·2^20 to a floor boundary over c ∈ 2..300000 is
+    ≥ 1e-7 scaled units (measured 4.8e-7 at c = 118955), vs ln's
+    cross-engine last-ulp wobble ~5e-9 — two orders of magnitude of
+    headroom for any corpus whose documents stay under 300k chars; a
+    committed-corpus bound check keeps the proof applicable."""
+    import math
+
+    from parquet_near_storage_compute_spark.operators.textops import (
+        ENTROPY_SCALE,
+    )
+
+    worst = 1.0
+    for c in range(2, 300001):
+        s = math.log(c) * ENTROPY_SCALE
+        worst = min(worst, s - math.floor(s), math.ceil(s) - s)
+    assert worst >= 1e-7, worst
+
+
+def test_char_entropy_corpora_stay_under_the_margin_bound(spark):
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mx = con.execute(
+            "SELECT COALESCE(MAX(length(text)), 0) FROM "
+            f"'/root/testdata/{sf}/documents.parquet'"
+        ).fetchone()[0]
+        assert mx <= 300000, (sf, mx)
+
+
+def test_char_entropy_planted_values(spark, tmp_path):
+    """A single-repeated-char doc scores exactly 0 fp and flags low; a
+    two-char alternating doc scores exactly n·⌊ln2·S⌋ − n·⌊ln(n/2)·S⌋
+    ... computed by Python ints; an empty doc drops out; exact
+    duplicates share entropy_fp bitwise. Oracle-compared on the same
+    corpus."""
+    import math
+
+    from parquet_near_storage_compute_spark.operators.textops import (
+        ENTROPY_SCALE,
+        ORACLE_SQL as TX_SQL,
+        char_entropy,
+    )
+
+    def fp(counts):
+        n = sum(counts)
+        s = sum(c * math.floor(math.log(c) * ENTROPY_SCALE) for c in counts)
+        return n * math.floor(math.log(n) * ENTROPY_SCALE) - s
+
+    out, con = _docs_dir(
+        spark,
+        tmp_path,
+        {
+            1: "aaaaaaaa",            # one char repeated: entropy 0, low
+            2: "abababab",            # two chars, 4+4
+            3: "",                    # empty: no row
+            4: "the quick brown fox jumps over the lazy dog",
+            5: "the quick brown fox jumps over the lazy dog",  # dup of 4
+        },
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(spark, out).collect()}
+    assert set(rows) == {1, 2, 4, 5}
+    assert rows[1]["entropy_fp"] == 0 and rows[1]["low_entropy"]
+    assert rows[2]["entropy_fp"] == fp([4, 4])
+    from collections import Counter
+
+    pangram_counts = list(
+        Counter("the quick brown fox jumps over the lazy dog").values()
+    )
+    assert rows[4]["entropy_fp"] == rows[5]["entropy_fp"] == fp(pangram_counts)
+    assert not rows[4]["low_entropy"]
+    compare(char_entropy(spark, out), con, TX_SQL["text_char_entropy"])

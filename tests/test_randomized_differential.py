@@ -156,6 +156,11 @@ CONTRACTS = [
     # all-bands-agree configs at decile 10; near-dups exercise the
     # partial agreement patterns the config masks branch on
     "dedup_minhash_band_tuning",
+    # char entropy under the same shapes: empty docs drop out, the dup
+    # cluster shares entropy_fp BITWISE, single-char docs score exactly
+    # 0; the floor margin is corpus-INDEPENDENT (proved for all integer
+    # counts <= 300k in test_r10_ops), so random counts cannot flake
+    "text_char_entropy",
     # r10 integer-cents conversions on random float values (the cents
     # rounding device must agree across engines on arbitrary 2-decimal
     # money, not just the fixed corpus)

@@ -1,11 +1,11 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
-contract. Round 10's window (VERDICT r9 #2) = 6 new contracts + the 4
+contract. Round 10's window (VERDICT r9 #2) = 7 new contracts + the 4
 contracts round 10 modifies (the integer-cents exactness conversions), then
-the oldest 40 of the 48 contracts whose newest driver row is CORRECTNESS_r06
+the oldest 39 of the 48 contracts whose newest driver row is CORRECTNESS_r06
 (the stale backlog, computed from the r0*.json history — never hand-counted;
 the r7 miscount is the cautionary tale), in CORRECTNESS_r06 key order. The
-remaining 8 r6 rows rotate in round 11."""
+remaining 9 r6 rows rotate in round 11."""
 
 from __future__ import annotations
 
@@ -66,9 +66,9 @@ def test_window_head_leads_with_unchecked_then_modified():
 
 
 def test_backlog_slots_are_the_oldest_r6_rows_in_r06_key_order():
-    """The 40 backlog slots must be exactly the OLDEST round-6-row
+    """The 39 backlog slots must be exactly the OLDEST round-6-row
     contracts in CORRECTNESS_r06 key order — a stable, history-derived
-    order, so the pinned list is reproducible and the 8 leftover rows
+    order, so the pinned list is reproducible and the 9 leftover rows
     (the newest in r6 key order) are a conscious r11 deferral."""
     latest = _latest_row()
     live = set(all_queries())
@@ -82,7 +82,7 @@ def test_backlog_slots_are_the_oldest_r6_rows_in_r06_key_order():
     window_slots = [k for k in _PRIORITY if k not in head]
     assert window_slots == backlog[: len(window_slots)]
     leftover = backlog[len(window_slots):]
-    assert len(leftover) == 8, leftover  # the r11 remainder
+    assert len(leftover) == 9, leftover  # the r11 remainder
 
 
 def test_every_registered_contract_has_a_row_or_a_slot():

@@ -115,6 +115,9 @@ HEADLINE = [
     # r10 continuation: ANN recall evaluation (4 quantized variants vs
     # the exact baseline, one report)
     "sim_recall_report",
+    # r10 continuation: character-entropy quality signal (two
+    # map-side-combining exchanges, fixed-point integer logs)
+    "text_char_entropy",
 ]
 
 
