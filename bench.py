@@ -138,7 +138,92 @@ R10_ADDED = [
     "text_char_entropy",
 ]
 
-HEADLINE = CORE22 + R6_ADDED + R7_ADDED + R8_ADDED + R9_ADDED + R10_ADDED
+#: round-11 additions: the tokenizer-fertility bucket report (the BPE
+#: encode's (lang, source) marginals), the context-length planning table
+#: (constant ×4 explode + combinable agg), and the duplicate-cluster size
+#: histogram (components + two dimension-sized aggs) — all SF-scaling.
+R11_ADDED: list[str] = [
+    "train_token_fertility",
+    "train_context_length_fit",
+    "dedup_cluster_size_histogram",
+]
+
+#: cohort → members, in round order. The stdout headline reports ONE
+#: subtotal per cohort (bounded: one number per round, ever), while the
+#: full per-query timings map lives in BENCH_DETAIL.json → ``queries``.
+COHORTS = {
+    "core22": CORE22,
+    "r6": R6_ADDED,
+    "r7": R7_ADDED,
+    "r8": R8_ADDED,
+    "r9": R9_ADDED,
+    "r10": R10_ADDED,
+    "r11": R11_ADDED,
+}
+
+HEADLINE = [q for cohort in COHORTS.values() for q in cohort]
+
+#: Session-drift alarm (ADVICE r10, medium): the normalized breach gate
+#: divides by the session median ratio-to-bar, so a UNIFORM suite-wide
+#: slowdown raises the median and produces zero normalized breaches —
+#: exactly the regression class bars exist to catch. Gate the median
+#: itself: a session whose median ratio exceeds this is flagged in
+#: BENCH_DETAIL → session_drift_alarm regardless of per-query outliers.
+#: 1.4 sits above the observed ±20% virtualized-box swing (today's five
+#: identical-tree runs spanned 0.85–1.25 median) and well below a real
+#: framework regression (a 1.5× uniform slowdown medians at ~1.5).
+SESSION_DRIFT_ALARM_RATIO = 1.4
+
+#: Cross-round consecutive-breach guard (VERDICT r10 #5): the drift
+#: normalization forgives anything the session median forgives, so a
+#: query could creep past its bar every round and never gate as long as
+#: the box also drifted. Rule: a query whose RAW best-of-N exceeded its
+#: bar in ≥2 consecutive recorded bench runs (BENCH_HISTORY.jsonl — one
+#: appended line per invocation at the default sf, seeded retroactively
+#: from the r9/r10 artifacts) is flagged in bar_breaches_consecutive
+#: regardless of session drift.
+BENCH_HISTORY = "BENCH_HISTORY.jsonl"
+
+
+def consecutive_breaches(
+    history: list[dict], current_breaches: set[str], sf: float
+) -> list[str]:
+    """Names raw-breaching both now and in the most recent prior recorded
+    run at the same sf. Pure so tests can pin the rule."""
+    prior = [h for h in history if h.get("sf") == sf]
+    if not prior:
+        return []
+    return sorted(current_breaches & set(prior[-1].get("raw_breaches", [])))
+
+
+def build_headline_line(
+    total: float, timings: dict[str, float], sf: float
+) -> str:
+    """The ONE stdout JSON line. Bounded by construction: ``queries``
+    carries the FROZEN r1 core-22 composition only (round-over-round
+    comparability + the driver contract's per-query map), and each later
+    round contributes exactly one cohort subtotal — stdout no longer
+    scales with query count (bench.py:663's former assert killed the
+    driver's r10 bench at 60 headline queries; tests/test_bench_bars.py
+    now pins a worst-case serialized length instead). The full per-query
+    map lives in BENCH_DETAIL.json → ``queries``."""
+    cohort_sec = {
+        cname: round(sum(timings.get(q, 0.0) for q in members), 4)
+        for cname, members in COHORTS.items()
+    }
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: timings[n] for n in CORE22 if n in timings},
+            "sf": sf,
+            "core22_sec": cohort_sec["core22"],
+            "cohort_sec": cohort_sec,
+            "n_queries": len(timings),
+        },
+        separators=(",", ":"),
+    )
 
 #: Per-query regression bars (the BASELINE.md bar tables, ALL of them):
 #: a timed query above 1.5× its bar base is recorded in BENCH_DETAIL →
@@ -208,7 +293,15 @@ BARS = {
     "dedup_minhash_calibration": 1.7560, "text_ngram_novelty": 1.0904,
     "time_resample_interpolate": 0.7774, "train_interleave_datasets": 1.1578,
     "dedup_minhash_band_tuning": 2.1905, "sim_recall_report": 1.5501,
-    "text_char_entropy": 0.9814,
+    # re-baselined r11: the linear split(text,'') char iterator
+    # (VERDICT r10 #2) replaces the O(len²) substr form the 0.9814 bar
+    # measured — dedicated best-of-7 on the new plan (the sf0.1 docs are
+    # short, so the asymptotic win reads as ~1.2× here; the 24× win is
+    # on long docs, pinned by tests/test_r11_ops.py)
+    "text_char_entropy": 0.8165,
+    # r11 table: quiet-box best-of-7 interleaved (load < 2.2 at start)
+    "train_token_fertility": 0.8416, "train_context_length_fit": 0.1825,
+    "dedup_cluster_size_histogram": 0.2191,
 }
 
 
@@ -315,6 +408,29 @@ def main() -> None:
         if name in BARS
         and timings[name] > 1.5 * max(median_ratio, 1.0) * BARS[name]
     }
+    # ADVICE r10 (medium): the normalized gate is blind to a UNIFORM
+    # suite-wide slowdown (it raises the median it divides by) — gate the
+    # median itself so a framework-wide regression still fails.
+    session_drift_alarm = median_ratio > SESSION_DRIFT_ALARM_RATIO
+    # VERDICT r10 #5: consecutive-raw-breach guard — slow-creep that the
+    # drift normalization would forgive round after round.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    history_path = os.path.join(repo_dir, BENCH_HISTORY)
+    history: list[dict] = []
+    if os.path.exists(history_path):
+        with open(history_path) as fh:
+            history = [json.loads(ln) for ln in fh if ln.strip()]
+    bar_breaches_consecutive = consecutive_breaches(
+        history, set(bar_breaches), sf
+    )
+    with open(history_path, "a") as fh:
+        fh.write(json.dumps({
+            "ts": round(time.time(), 1),
+            "sf": sf,
+            "total_sec": total,
+            "median_ratio_to_bar": round(median_ratio, 3),
+            "raw_breaches": sorted(bar_breaches),
+        }, separators=(",", ":")) + "\n")
 
     # The thesis experiment (BASELINE.md parity observables): per-rung
     # wall-clock + v2-style planned bytes + selectivity % across the named
@@ -549,6 +665,15 @@ def main() -> None:
 
     disk_path = _disk_run()
 
+    # Chained network→disk observable (VERDICT r10 missing-item #1): the
+    # reference's network_disk server measures TCP receive → bounded
+    # channel → parallel O_DIRECT writers as ONE overlapped path
+    # (microbenchmarks/src/network_disk/server.rs:61-115) — the combined
+    # number the separate network_path / disk_path legs can't show.
+    from tools.netdisk_microbench import run as _netdisk_run
+
+    network_disk_path = _netdisk_run()
+
     # Opt-in big-scan rung (SPARK_GRAFT_BIG_SCAN=1): at sf0.1 the 10 MB
     # table is dominated by the ~0.2 s scheduling floor, so engine "gbps"
     # measures overhead, not throughput. Replicating lineitem to ~1 GB
@@ -611,25 +736,18 @@ def main() -> None:
         print(json.dumps(scale_out, separators=(",", ":")), file=sys.stderr)
 
     # The driver records only the LAST ~2000 chars of stdout: the headline
-    # line must stay alone on stdout and compact (round 3's combined line
-    # overflowed the capture and the round's artifact recorded parsed:null).
-    # Ladder / row-group / projection / scan detail goes to a sidecar file
-    # and stderr instead.
-    headline_line = json.dumps(
-        {
-            "metric": "headline_queries_total_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            # r1-composition subtotal: compare THIS to prior rounds'
-            # totals; "value" additionally includes the len(r6_added)
-            # (= 8) queries added in round 6
-            "core22_sec": core22_total,
-        },
-        separators=(",", ":"),
-    )
+    # line must stay alone on stdout and BOUNDED (round 3's combined line
+    # overflowed the capture; round 10's grew past its own 1800-char guard
+    # assert and killed the run — VERDICT r10 #1). build_headline_line is
+    # bounded by construction (frozen core-22 map + one subtotal per
+    # cohort); tests/test_bench_bars.py pins a worst-case serialized
+    # length, so this can never scale with query count again. Everything
+    # else — including the FULL per-query timings map — goes to the
+    # BENCH_DETAIL.json sidecar and stderr.
+    headline_line = build_headline_line(total, timings, sf)
     detail = {
+        "queries": timings,
+        "headline_total_sec": total,
         "ladder": ladder,
         "ladder_rowgroup": ladder_rg,
         "projection_width": projection,
@@ -642,15 +760,19 @@ def main() -> None:
         "r8_added_queries": R8_ADDED,
         "r9_added_queries": R9_ADDED,
         "r10_added_queries": R10_ADDED,
+        "r11_added_queries": R11_ADDED,
         "bar_breaches": bar_breaches,
         "bar_breaches_normalized": bar_breaches_normalized,
+        "bar_breaches_consecutive": bar_breaches_consecutive,
         "session_median_ratio_to_bar": round(median_ratio, 3),
+        "session_drift_alarm": session_drift_alarm,
         "per_query_spread_pct_best_of_3_interleaved": spread_pct,
         # plan construction, timed separately from execution: nonzero
         # jobs here = eager statistics probes (see the dfs-build comment)
         "plan_construction_sec": construction_sec,
         "network_path": network_path,
         "disk_path": disk_path,
+        "network_disk_path": network_disk_path,
         "ladder_wide92": ladder_wide92,
         "resource_trace": _trace.summary(),
     }
@@ -660,7 +782,14 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     print(json.dumps(detail, separators=(",", ":")), file=sys.stderr)
-    assert len(headline_line) <= 1800, len(headline_line)
+    # Unreachable with the bounded headline (the guard test proves worst
+    # case < 1500), but NEVER crash the run over stdout size again —
+    # degrade to the subtotals-only form instead of dying (the r10 assert
+    # destroyed the artifact it existed to protect).
+    if len(headline_line) > 1800:
+        slim = json.loads(headline_line)
+        slim["queries"] = {}
+        headline_line = json.dumps(slim, separators=(",", ":"))
     print(headline_line)
     spark.stop()
 

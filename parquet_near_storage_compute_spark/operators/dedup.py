@@ -347,6 +347,61 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (r11): the dedup audit artifact
+    the literature plots before committing a dedup policy — per cluster
+    size: how many clusters, how many documents they hold, and how many
+    documents a keep-one-per-cluster pass removes. Web corpora show a
+    power-law here; a histogram dominated by one giant component usually
+    means the LSH threshold (not the corpus) is wrong — this table is how
+    that's caught BEFORE deleting 30% of the corpus. Size-1 row =
+    documents in no candidate pair (clusters of one), computed as
+    total − clustered so the histogram partitions the corpus exactly:
+    Σ n_docs == |documents|.
+
+    Scale shape: `propagate_min_labels`'s bounded label rounds (shared
+    with dedup_connected_components), then two tiny aggregates — clusters
+    (one row per duplicate cluster) and the histogram (one row per
+    DISTINCT SIZE, ≤ log-ish many under a power law). The singleton count
+    is a 1×1 cross join of two scalar aggregates — no corpus-scale
+    sort, no new shuffle beyond the components' own."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _lsh_candidates(_minhash_signatures(docs)).localCheckpoint()
+    comp = propagate_min_labels(edges)
+    clusters = comp.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    singleton = (
+        docs.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(comp.agg(F.count(F.lit(1)).alias("n_clustered")))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_clustered"))
+            .cast("bigint")
+            .alias("n_clusters"),
+        )
+    )
+    return (
+        hist.select(F.col("cluster_size").cast("bigint"), "n_clusters")
+        .unionByName(singleton)
+        .filter(F.col("n_clusters") > 0)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs_removed"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level canonical selection (r8): `dedup_connected_components`
     says WHICH documents form a duplicate cluster; this op decides WHICH
@@ -540,6 +595,19 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: never materializes and would need a full re-banding pass — that cost
 #: asymmetry is itself the operational point the table documents.
 BAND_CONFIGS = ((4, 2), (2, 4), (1, 8))
+
+# The exact-integer S-curve in minhash_band_tuning (and its oracle) is a
+# CASE hardcoded per rows_per_band arm (WHEN 2 / WHEN 4 / ELSE = 8, each
+# assuming r·b = MINHASH_K = 8): editing BAND_CONFIGS without rewriting
+# BOTH CASE expressions would silently route a new config through the
+# wrong arm and emit a wrong theoretical curve with no failure — fail at
+# import instead (ADVICE r10).
+assert all(r * b == MINHASH_K for b, r in BAND_CONFIGS), BAND_CONFIGS
+assert {r for _, r in BAND_CONFIGS} == {2, 4, 8}, (
+    "BAND_CONFIGS rows_per_band set changed — rewrite the S-curve CASE "
+    "arms in minhash_band_tuning AND its ORACLE_SQL to match",
+    BAND_CONFIGS,
+)
 
 
 def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,6 +966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_blocked_jaccard": blocked_jaccard,
     "dedup_simhash": simhash,
     "dedup_connected_components": connected_components,
+    "dedup_cluster_size_histogram": cluster_size_histogram,
     "dedup_keep_best": keep_best,
     "dedup_incremental": incremental_dedup,
     "minhash_dedup_decisions": lambda spark, sf_dir: (
@@ -952,6 +1021,27 @@ _SHINGLE_CTE = f"""
     WHERE s.n <= {LSH_BUCKET_CAP}
   )
 """
+
+#: Shared connected-components oracle CTEs (DuckDB recursive reachability
+#: over the capped LSH candidate graph) — used by the
+#: dedup_connected_components and dedup_cluster_size_histogram oracles.
+_CC_ORACLE_CTES = f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION ALL
+          SELECT doc_b, doc_a FROM cand
+        ),
+        reach AS (
+          SELECT src AS node, src AS lbl FROM edges
+          UNION
+          SELECT e.dst AS node, r.lbl
+          FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT node AS doc_id, MIN(lbl) AS cluster_rep
+          FROM reach GROUP BY node
+        )"""
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_incremental": """
@@ -1294,29 +1384,34 @@ ORACLE_SQL: dict[str, str] = {
                  AS keep
         FROM q JOIN best b USING (cluster_rep) JOIN sizes s USING (cluster_rep)
     """,
-    "dedup_connected_components": f"""
-        WITH RECURSIVE {_SHINGLE_CTE},
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM cand
-          UNION ALL
-          SELECT doc_b, doc_a FROM cand
-        ),
-        reach AS (
-          SELECT src AS node, src AS lbl FROM edges
-          UNION
-          SELECT e.dst AS node, r.lbl
-          FROM reach r JOIN edges e ON e.src = r.node
-        ),
-        comp AS (
-          SELECT node AS doc_id, MIN(lbl) AS cluster_rep
-          FROM reach GROUP BY node
-        )
+    "dedup_connected_components": _CC_ORACLE_CTES + """
         SELECT c.doc_id, c.cluster_rep,
                CAST(s.n AS BIGINT) AS cluster_size
         FROM comp c
         JOIN (SELECT cluster_rep, COUNT(*) AS n FROM comp GROUP BY cluster_rep) s
           USING (cluster_rep)
         ORDER BY c.doc_id
+    """,
+    # components → per-cluster sizes → per-size histogram; the size-1 row
+    # is total − clustered, so Σ n_docs partitions the corpus exactly
+    "dedup_cluster_size_histogram": _CC_ORACLE_CTES + """,
+        cl AS (
+          SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY cluster_rep
+        ),
+        h AS (
+          SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+          FROM cl GROUP BY cluster_size
+          UNION ALL
+          SELECT 1,
+                 (SELECT COUNT(*) FROM documents)
+                   - (SELECT COUNT(*) FROM comp)
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+               CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * n_clusters AS BIGINT)
+                 AS n_docs_removed
+        FROM h WHERE n_clusters > 0 ORDER BY cluster_size
     """,
     # dedup_embedding_lsh oracle is assigned at module end (it needs the
     # hyperplane literals from operators.similarity)

@@ -773,19 +773,25 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, char) count — a hot doc's rows spread across its ≤alphabet
     distinct keys — then a per-doc aggregate over ≤alphabet rows each.
     Two combinable exchanges, no window, no join. Empty documents have
-    no characters and drop out on both engines (documented; the
-    sequence() guard below keeps Spark's auto-descending sequence(1, 0)
-    from fabricating rows)."""
+    no characters and drop out on both engines.
+
+    Char iteration is ONE ``split(text, '')`` pass (VERDICT r10 #2): the
+    original ``explode(sequence(1, length)) + substr(text, i, 1)`` form
+    re-scanned the UTF8String from byte 0 on every call — O(len²) per
+    doc, 24× slower at 80k chars and melting exactly on the megabyte
+    "aaaa…" compression-bomb docs this op exists to catch. Spark's
+    empty-regex split yields the code-point sequence (astral chars stay
+    whole — Java regex boundaries never land inside a surrogate pair;
+    pinned vs the substr form by
+    tests/test_r11_ops.py::test_char_entropy_multibyte_equivalence); the
+    ``!= ''`` filter guards the empty-string regex artifact some
+    split implementations emit at the boundaries."""
     docs = load_table(spark, sf_dir, "documents")
     chars = (
         fan_out(docs)
         .filter(F.length("text") >= 1)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-        )
-        .select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
     )
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     lq = F.floor(
@@ -883,9 +889,12 @@ _QC_GRAMS_CTE = f"""
   )"""
 
 ORACLE_SQL: dict[str, str] = {
-    # mirrored op-for-op (see char_entropy): per-position substr explode,
-    # (doc, char) counts, floor-quantized logs, integer entropy_fp, one
-    # exactly-determined division for the nats view
+    # deliberately a DIFFERENT char iterator than the Spark side (r11):
+    # the oracle keeps the per-position substr explode (fine at oracle
+    # scale; independently pins the code-point semantics the Spark side
+    # now gets from split(text, '')), then the same (doc, char) counts,
+    # floor-quantized logs, integer entropy_fp, one exactly-determined
+    # division for the nats view
     "text_char_entropy": f"""
         WITH chars AS (
           SELECT doc_id,

@@ -453,9 +453,13 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch SECONDS (the sessionize device; event ties broken by event_id,
     grid rows sort after same-second events), values integer cents, and
     the interpolated value is emitted in integer MILLI-units via
-    ``(c0·10·(t1−t) + c1·10·(t−t0)) div (t1−t0)`` — floor-quantized
-    linear interpolation (weights and cents non-negative, so div is
-    exact floor) that cannot drift across engines or partitionings.
+    ``(c0·10·(t1−t) + c1·10·(t−t0)) div (t1−t0)`` — integer-quantized
+    linear interpolation. Quantization is truncation-toward-ZERO, not
+    floor (ADVICE r10): cents can be negative (event values are signed),
+    and both Spark ``div`` and DuckDB ``//`` truncate toward zero on a
+    negative numerator — the engines agree bit-for-bit either way, which
+    is the property that matters; the weights (time deltas) are
+    non-negative, so the numerator's sign is the blended value's sign.
     Every grid point has both neighbours by construction: slots lie in
     [first, last], an event at t0 == t short-circuits to c0·10 (also the
     t1-is-null case when the last event sits exactly on the grid).

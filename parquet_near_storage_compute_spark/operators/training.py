@@ -805,6 +805,123 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report (r11): per (lang, source) corpus bucket,
+    what the trained BPE DOES to that slice — docs, words, tokens, UTF-8
+    bytes, tokens-per-word (fertility) and bytes-per-token (compression),
+    both as exact integer per-mille. THE table a pipeline reads before
+    committing a tokenizer to a data mixture: a language bucket whose
+    fertility runs 2-3× the corpus median pays that multiple in context
+    budget, and bytes-per-token is the effective compression the context
+    window buys on that slice. Complements `train_bpe_encode` (per-doc
+    view) with the per-bucket marginals mixture decisions are made on.
+
+    Everything integer: bucket totals are exact sums; the two ratios are
+    ``(1000·num) div den`` on bucket TOTALS (not averages of per-doc
+    ratios — the totals ratio is the corpus-correct estimator and stays
+    engine-exact). Buckets with zero words/tokens report -1 (absent
+    denominators; both engines agree by the same CASE).
+
+    Scale shape: `_bpe_doc_counts`'s vocabulary-sized encode (corpus
+    touched twice through one persisted narrow projection), one 1:1
+    doc_id join back to the (lang, source, bytes) projection, then a
+    map-side-combining groupBy on a dimension-sized (lang × source) key.
+    No new corpus-scale shuffle beyond the encode's own."""
+    counts = _bpe_doc_counts(spark, sf_dir)
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.octet_length("text").alias("n_bytes")
+    )
+    buckets = (
+        counts.join(meta, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+    )
+    return buckets.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_bytes",
+        F.expr(
+            "CAST(CASE WHEN n_words > 0 THEN (1000 * n_tokens) div n_words "
+            "ELSE -1 END AS BIGINT)"
+        ).alias("fertility_permille"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN (1000 * n_bytes) div n_tokens "
+            "ELSE -1 END AS BIGINT)"
+        ).alias("bytes_per_token_milli"),
+    ).orderBy("lang", "source")
+
+
+#: Candidate context lengths for the fit report — spans the committed
+#: corpora's token distribution (sf docs run ~tens to ~hundreds of words).
+CONTEXT_LENGTHS = (128, 256, 512, 1024)
+
+
+def context_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning table (r11): for each candidate sequence
+    length L, the exact cost of the two standard layouts —
+    one-doc-per-sequence (truncate over-long docs, pad short ones) vs
+    concat-and-chunk (no padding, but document boundaries get split).
+    Columns per L: docs fitting whole, tokens lost to truncation, padding
+    tokens paid by the fit-whole docs, and the per-mille utilization of
+    the padded layout — the numbers that decide a training run's context
+    length BEFORE paying for it. Uses whitespace tokens (the
+    tokenizer-free baseline, same definition as `train_pack_sequences`);
+    `train_token_fertility` supplies the BPE correction factor per
+    bucket.
+
+    All integer: per-doc min/max against L, summed; utilization is
+    ``(1000·used) div (L·n_docs_fit)``. Scale shape: ONE narrow projection
+    exploded by len(CONTEXT_LENGTHS) (a constant ×4 pre-aggregate map,
+    combinable into 4 groups map-side) — no join, no window, no second
+    scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        _ws_tokens().alias("n_tokens")
+    )
+    per_len = docs.select(
+        "n_tokens",
+        F.explode(
+            F.array(*[F.lit(length) for length in CONTEXT_LENGTHS])
+        ).alias("context_len"),
+    )
+    fits = F.col("n_tokens") <= F.col("context_len")
+    agg = per_len.groupBy("context_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(fits.cast("bigint")).alias("n_docs_fit"),
+        F.sum(
+            F.when(fits, F.col("n_tokens")).otherwise(F.col("context_len"))
+        ).cast("bigint").alias("tokens_kept"),
+        F.sum(
+            F.when(fits, F.lit(0)).otherwise(
+                F.col("n_tokens") - F.col("context_len")
+            )
+        ).cast("bigint").alias("tokens_truncated"),
+        F.sum(
+            F.when(fits, F.col("context_len") - F.col("n_tokens")).otherwise(
+                F.lit(0)
+            )
+        ).cast("bigint").alias("padding_tokens"),
+    )
+    return agg.select(
+        F.col("context_len").cast("int").alias("context_len"),
+        "n_docs",
+        "n_docs_fit",
+        "tokens_kept",
+        "tokens_truncated",
+        "padding_tokens",
+        F.expr(
+            "CAST((1000 * tokens_kept) div (context_len * n_docs) AS BIGINT)"
+        ).alias("utilization_permille"),
+    ).orderBy("context_len")
+
+
 def pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing on the REAL tokenizer's counts: the composition a
     production pipeline actually runs — `train_bpe_merges` trains the
@@ -1203,6 +1320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_bpe_pair_counts": bpe_pair_counts,
     "train_bpe_merges": bpe_merges,
     "train_bpe_encode": bpe_encode,
+    "train_token_fertility": token_fertility,
+    "train_context_length_fit": context_length_fit,
     "train_pack_bpe": pack_bpe,
     "train_uniform_sample": uniform_sample,
     "train_quality_resample": quality_resample,
@@ -1260,6 +1379,65 @@ ORACLE_SQL: dict[str, str] = {
     "train_bpe_encode": _bpe_encode_oracle_sql(),
     # Encode chain + the packing cumsum: pack on the tokenizer's counts.
     "train_pack_bpe": _bpe_pack_oracle_sql(),
+    # Encode chain + (lang, source) bucket totals; ratios on TOTALS via
+    # integer //; strlen = UTF-8 bytes (Spark octet_length).
+    "train_token_fertility": _bpe_encode_ctes() + """,
+        meta AS (
+          SELECT d.doc_id, d.lang, d.source,
+                 CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+                 CAST(COALESCE(pd.n_words, 0) AS BIGINT) AS n_words,
+                 CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens
+          FROM documents d LEFT JOIN pd USING (doc_id)
+        ),
+        b AS (
+          SELECT lang, source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_words) AS BIGINT) AS n_words,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(SUM(n_bytes) AS BIGINT) AS n_bytes
+          FROM meta GROUP BY lang, source
+        )
+        SELECT lang, source, n_docs, n_words, n_tokens, n_bytes,
+               CAST(CASE WHEN n_words > 0
+                         THEN (1000 * n_tokens) // n_words
+                         ELSE -1 END AS BIGINT) AS fertility_permille,
+               CAST(CASE WHEN n_tokens > 0
+                         THEN (1000 * n_bytes) // n_tokens
+                         ELSE -1 END AS BIGINT) AS bytes_per_token_milli
+        FROM b ORDER BY lang, source
+    """,
+    # Per-L truncation/padding algebra over whitespace token counts;
+    # unnest fans each doc to len(CONTEXT_LENGTHS) rows like the Spark
+    # explode.
+    "train_context_length_fit": f"""
+        WITH t AS (
+          SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 unnest([{", ".join(map(str, CONTEXT_LENGTHS))}])
+                   AS context_len
+          FROM documents
+        ),
+        a AS (
+          SELECT context_len,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN n_tokens <= context_len
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fit,
+                 CAST(SUM(CASE WHEN n_tokens <= context_len
+                               THEN n_tokens ELSE context_len END)
+                      AS BIGINT) AS tokens_kept,
+                 CAST(SUM(CASE WHEN n_tokens <= context_len
+                               THEN 0 ELSE n_tokens - context_len END)
+                      AS BIGINT) AS tokens_truncated,
+                 CAST(SUM(CASE WHEN n_tokens <= context_len
+                               THEN context_len - n_tokens ELSE 0 END)
+                      AS BIGINT) AS padding_tokens
+          FROM t GROUP BY context_len
+        )
+        SELECT CAST(context_len AS INT) AS context_len, n_docs, n_docs_fit,
+               tokens_kept, tokens_truncated, padding_tokens,
+               CAST((1000 * tokens_kept) // (context_len * n_docs)
+                    AS BIGINT) AS utilization_permille
+        FROM a ORDER BY context_len
+    """,
     # Fixed-size deterministic sample: hash ranking, n smallest draws.
     "train_uniform_sample": f"""
         SELECT doc_id, lang, source,

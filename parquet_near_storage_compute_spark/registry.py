@@ -24,24 +24,25 @@ Round 9's window (VERDICT r8 #2) was 3 new + 5 modified + all 41 r5-row
 contracts + 1 r6 fill — 50/50 green (CORRECTNESS_r09), so after it the
 stalest live rows are the 48 round-6 rows.
 
-Round 10's window (VERDICT r9 #2): 5 new contracts
-(`dedup_minhash_calibration`, the signature-agreement vs exact-Jaccard
-calibration table; `text_ngram_novelty`, the per-doc novel-trigram
-report; `time_resample_interpolate`, regular-grid linear-interpolation
-resampling; `train_interleave_datasets`, the deterministic stride-
-schedule mixture order; `dedup_minhash_band_tuning`, the banding-config
-S-curve table; `sim_recall_report`, ANN recall@k evaluation as an
-operator; `text_char_entropy`, the character-entropy quality signal) +
-4 modified (the integer-cents exactness conversions, VERDICT r9 #6)
-lead, then the oldest **39** of the 48 contracts whose newest driver
-row is CORRECTNESS_r06, in CORRECTNESS_r06 key order (computed from the
-r0*.json history exactly as tests/test_registry_window.py does — never
-hand-counted). The remaining 9 r6 rows (`agg_pricing_summary`,
-`agg_over_expression`, `agg_distinct`, `agg_rollup`, `agg_cube`,
-`agg_grouping_sets`, `join_range`, `join_asof`, `join_window_pct` —
-last in r6 key order) rotate in round 11 (one past VERDICT r9 #2's
-"≤ ~8" guide — the trade for three extra new operators landing driver
-rows this round).
+Round 10's window (VERDICT r9 #2) was 7 new contracts + 4 modified (the
+integer-cents exactness conversions) + the oldest 39 of the 48 r6-row
+contracts — 50/50 green (CORRECTNESS_r10), leaving staleness
+{r6: 9, r7: 42, r8: 46, r9: 48, r10: 50}.
+
+Round 11's window (VERDICT r10 #3): 3 new contracts
+(`train_token_fertility`, the per-(lang, source) BPE fertility /
+bytes-per-token table; `train_context_length_fit`, the per-context-length
+truncation/padding planning table; `dedup_cluster_size_histogram`, the
+duplicate-cluster size distribution with exact corpus partition) + 1
+modified (`text_char_entropy` — its char iterator moved from the O(len²)
+``explode(sequence)+substr`` pair to one ``split(text, '')`` pass,
+VERDICT r10 #2, so its r10 row is invalidated) lead; then the LAST 9
+r6-row contracts (closing the r6 backlog entirely) and the oldest 37 of
+the 42 contracts whose newest driver row is CORRECTNESS_r07, both in
+their round-file key order (computed from the r0*.json history exactly
+as tests/test_registry_window.py does — never hand-counted). The 5
+leftover r7 rows rotate in round 12; after this round no live contract's
+newest driver row is older than round 7.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -78,100 +79,88 @@ _MODULES = [
 ]
 
 
-#: New in round 10 — enter the window immediately:
-#: dedup_minhash_calibration: the MinHash estimator calibration table —
-#: per (signature-agreement count, exact Jaccard decile) candidate-pair
-#: counts, the artifact an operator reads to size the signature before
-#: trusting it (all-integer cells, one extra corpus aggregation);
-#: text_ngram_novelty: per-doc novel-trigram report (grams appearing in
-#: no other doc, exact integer per-mille) — the informativeness /
-#: memorization-risk signal next to the duplicate-fraction family;
-#: time_resample_interpolate: per-user regular-grid linear interpolation
-#: (integer milli-unit algebra — the align-before-correlate step next to
-#: gap_fill/EWMA/OHLC); train_interleave_datasets: the deterministic
-#: stride-schedule mixture order a multi-source training loader feeds
-#: (two global_positions passes, never a per-source corpus window).
-#: dedup_minhash_band_tuning: the banding-config S-curve table (observed
-#: candidate counts per tightening config × decile next to the exact-
-#: integer theoretical curve) — calibration's "trust the signature"
-#: companion answering "which banding to run".
-#: sim_recall_report: recall@k of every quantized ANN variant vs the
-#: exact baseline, as one oracle-checked report (integer per-mille) —
-#: the evaluate leg of build → tune → evaluate.
-#: text_char_entropy: per-doc character-entropy quality signal (integer
-#: fixed-point — the fourth quality rung beside heuristics, classifier,
-#: and LM perplexity).
-NEW_IN_R10 = [
-    "dedup_minhash_calibration",
-    "text_ngram_novelty",
-    "time_resample_interpolate",
-    "train_interleave_datasets",
-    "dedup_minhash_band_tuning",
-    "sim_recall_report",
+#: New in round 11 — enter the window immediately:
+#: train_token_fertility: per (lang, source) bucket, what the trained BPE
+#: does to that corpus slice — tokens-per-word (fertility) and
+#: bytes-per-token as exact integer per-mille on bucket TOTALS — the
+#: table a pipeline reads before committing a tokenizer to a mixture;
+#: train_context_length_fit: per candidate context length, the exact
+#: truncation / padding / utilization cost of the one-doc-per-sequence
+#: layout — the context-length planning table;
+#: dedup_cluster_size_histogram: duplicate-cluster size distribution
+#: (clusters / docs / docs-removed per size, singletons included so
+#: Σ n_docs partitions the corpus) — the audit artifact that catches a
+#: wrong LSH threshold before it deletes a third of the corpus.
+NEW_IN_R11 = [
+    "train_token_fertility",
+    "train_context_length_fit",
+    "dedup_cluster_size_histogram",
+]
+
+#: Contracts round 11 modifies that already carry driver rows — the
+#: change invalidates the old row, so they re-enter the window:
+#: text_char_entropy's char iterator moved from the O(len²)
+#: ``explode(sequence(1, length)) + substr(text, i, 1)`` pair to one
+#: linear ``split(text, '')`` pass (VERDICT r10 #2); the fixed-point
+#: entropy algebra is unchanged.
+MODIFIED_IN_R11 = [
     "text_char_entropy",
 ]
 
-#: Contracts round 10 modifies that already carry driver rows — the
-#: change invalidates the old row, so they re-enter the window: the four
-#: money-typed members of the former float-ulp drift set (VERDICT r9 #6)
-#: now sum integer CENTS (2-decimal money columns) with one
-#: exactly-determined /100.0 at the end — bit-exact vs DuckDB where the
-#: old double sums drifted ~1e-16 with the engines' accumulation order.
-MODIFIED_IN_R10 = [
-    "window_running_total",
-    "time_sessionize",
-    "time_session_window_native",
-    "stream_stateful_user_stats",
-]
-
-#: The round-10 driver correctness window (VERDICT r9 #2): the 7 new + 4
-#: modified contracts lead; then the oldest 39 of the 48 contracts whose
-#: newest driver row is CORRECTNESS_r06, in CORRECTNESS_r06 key order.
-#: The remaining 9 r6 rows (agg_pricing_summary / agg_over_expression /
-#: agg_distinct / agg_rollup / agg_cube / agg_grouping_sets / join_range
-#: / join_asof / join_window_pct) rotate in round 11, after which no
-#: live contract's newest driver row is older than round 7.
-_PRIORITY = NEW_IN_R10 + MODIFIED_IN_R10 + [
-    # the oldest 39 round-6-row contracts, CORRECTNESS_r06 key order
-    "types_variant_json",
-    "sketch_countmin",
-    "sketch_bloom_membership",
-    "join_skew_salted",
-    "dedup_incremental",
-    "relational_merge_upsert",
-    "sink_compaction",
-    "sink_zorder_layout",
-    "stream_upsert_foreachbatch",
-    "sketch_hll_distinct",
-    "sketch_kmv_distinct",
-    "pipeline_incremental_ingest",
-    "time_ohlc_bars",
-    "sketch_kmv_overlap",
-    "source_dpp_star_join",
-    "agg_bitmap_distinct",
-    "relational_scd2_history",
-    "events_markov_transitions",
-    "agg_approx_percentile_sketch",
-    "join_runtime_bloom_filtered",
-    "sim_dedup_decisions",
-    "time_ewma",
-    "text_fingerprint",
-    "v1_footer_only_agg",
-    "v1_flagship",
-    "v1_ladder_real",
-    "v1_ladder_worst",
-    "v1_grammar_boolean",
-    "v1_grammar_extended",
-    "v1_count_semantics",
-    "v1_projection_rows",
-    "snowset_selectivity_distribution",
-    "join_theta",
-    "join_self",
-    "join_broadcast_inner",
-    "join_multiway",
-    "join_semi",
-    "join_anti",
-    "join_cross_pct",
+#: The round-11 driver correctness window (VERDICT r10 #3): the 3 new +
+#: 1 modified contracts lead; then the LAST 9 round-6-row contracts
+#: (closing the r6 backlog) and the oldest 37 of the 42 round-7-row
+#: contracts, each cohort in its round-file key order. The 5 leftover r7
+#: rows rotate in round 12.
+_PRIORITY = NEW_IN_R11 + MODIFIED_IN_R11 + [
+    # the remaining 9 round-6-row contracts, CORRECTNESS_r06 key order
+    "join_window_pct",
+    "join_asof",
+    "join_range",
+    "agg_pricing_summary",
+    "agg_over_expression",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    # the oldest 37 round-7-row contracts, CORRECTNESS_r07 key order
+    "text_quality_classifier",
+    "train_quality_resample",
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "dedup_video_fingerprint",
+    "pipeline_modality_dedup_report",
+    "sim_topk_sq8",
+    "sim_topk_ivf_sq8",
+    "stream_phash_ingest",
+    "mm_decode_quarantine",
+    "text_lm_perplexity",
+    "train_bpe_merges",
+    "sim_topk_ivf_mp",
+    "train_bpe_encode",
+    "text_duplicate_window_fraction",
+    "sim_topk_prefix_rerank",
+    "train_uniform_sample",
+    "sim_knn_join",
+    "sim_range_search",
+    "agg_min_max_by",
+    "agg_percentile",
+    "agg_stats",
+    "iter_kmeans_lite",
+    "stream_dedup_exact",
+    "stream_stream_join",
+    "stream_windowed_counts",
+    "train_profile_columns",
+    "train_stratified_sample",
+    "train_test_split",
+    "window_first_last_nth",
+    "window_lag_lead",
+    "window_mode_per_group",
+    "window_moving_sum",
+    "window_ntile",
+    "window_percent_rank_cume",
+    "window_rank_dense_rank",
+    "window_topk_per_group",
 ]
 
 

@@ -15,6 +15,9 @@ from parquet_near_storage_compute_spark.registry import all_queries
 #: baseline, SimHash's vocab × 16-bit grid, the verbatim Snowset comma-join).
 BNLJ_WHITELIST = {
     "join_cross_pct",
+    # the singleton-count row: a 1×1 cross join of two scalar aggregates
+    # (total docs × clustered docs) — both sides single rows forever
+    "dedup_cluster_size_histogram",
     # global HLL estimate row: 1-row union-sketch frame × 1-row exact-count
     # frame (the J2 pct-of-total shape; the corpus sees only aggregates)
     "sketch_hll_distinct",
@@ -115,6 +118,9 @@ GLOBAL_SORT_DECLARED = {
     "dedup_threshold_curve",
     # ≤ len(BAND_CONFIGS)·11-row S-curve report, dimension-sized
     "dedup_minhash_band_tuning",
+    # one row per distinct cluster size (≤ log-ish under a power law),
+    # dimension-sized report sort
+    "dedup_cluster_size_histogram",
     # one row per evaluated ANN variant (4), dimension-sized
     "sim_recall_report",
     "events_anomaly_mad",
@@ -161,6 +167,10 @@ GLOBAL_SORT_DECLARED = {
     "train_interleave_datasets",
     "train_global_shuffle",
     "train_mixture_sample",
+    # (lang × source)-bucket and len(CONTEXT_LENGTHS)-row reports,
+    # dimension-sized presentation sorts
+    "train_token_fertility",
+    "train_context_length_fit",
     "train_pack_bpe",
     "train_pack_sequences",
     "train_profile_columns",

@@ -1,0 +1,294 @@
+"""Focused properties for the round-11 changes, beyond the registry
+oracle compare: the linear-time char iterator in `text_char_entropy`
+(VERDICT r10 #2 — the r10 form's ``explode(sequence) + substr(text, i, 1)``
+re-scanned the UTF8String per position, O(len²) per doc), and the three
+new operators (`train_token_fertility`, `train_context_length_fit`,
+`dedup_cluster_size_histogram`)."""
+
+from __future__ import annotations
+
+import time
+
+import duckdb
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.operators.dedup import (
+    ORACLE_SQL as DEDUP_ORACLES,
+    cluster_size_histogram,
+    connected_components,
+)
+from parquet_near_storage_compute_spark.operators.textops import (
+    ORACLE_SQL as TEXT_ORACLES,
+    char_entropy,
+)
+from parquet_near_storage_compute_spark.operators.training import (
+    CONTEXT_LENGTHS,
+    ORACLE_SQL as TRAIN_ORACLES,
+    bpe_encode,
+    context_length_fit,
+    token_fertility,
+)
+from parquet_near_storage_compute_spark.tables import load_table
+from tests.oracle import compare
+
+
+def _docs_dir(spark, tmp_path, docs: dict[int, str]) -> tuple[str, object]:
+    """Write a synthetic documents table; return (sf_dir, duckdb con)."""
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(2).write.mode("overwrite").parquet(out + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{out}/documents.parquet/*.parquet'"
+    )
+    return out, con
+
+
+# ------------------------------------------ char entropy: linear iterator
+def test_char_entropy_multibyte_equivalence(spark, tmp_path):
+    """The split(text, '') iterator must produce code-point pieces — NOT
+    UTF-16 code units — on multibyte (2–3 byte) and astral (surrogate-pair)
+    characters. Pinned two ways on a planted corpus: (a) against the
+    DuckDB oracle, which deliberately keeps the independent per-position
+    substr iterator; (b) against the old Spark substr form computed
+    inline (byte-identical (doc, ch, count) multiset)."""
+    docs = {
+        1: "héllo wörld é",          # 2-byte code points
+        2: "漢字漢字テスト",            # 3-byte CJK
+        3: "x\U0001f600y\U0001f600z\U0001f680",  # astral: surrogate pairs
+        4: "plain ascii text",
+        5: "\U0001f600" * 7,          # astral-only repeated run
+    }
+    out, con = _docs_dir(spark, tmp_path, docs)
+    compare(char_entropy(spark, out), con, TEXT_ORACLES["text_char_entropy"])
+
+    base = spark.read.parquet(out + "/documents.parquet")
+    new_counts = (
+        base.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .count()
+    )
+    old_counts = (
+        base.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        )
+        .select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+        .groupBy("doc_id", "ch")
+        .count()
+    )
+    assert new_counts.exceptAll(old_counts).count() == 0
+    assert old_counts.exceptAll(new_counts).count() == 0
+    # astral-only doc: 7 chars of ONE distinct code point → entropy 0
+    rows = {r["doc_id"]: r for r in char_entropy(spark, out).collect()}
+    assert rows[5]["n_chars"] == 7
+    assert rows[5]["n_distinct_chars"] == 1
+    assert rows[5]["entropy_fp"] == 0 and rows[5]["low_entropy"]
+
+
+def test_char_entropy_plan_has_no_positional_substr(spark, sf_dir):
+    """Structural pin of the r11 fix: the optimized plan must not contain
+    the sequence()/per-position substring pair (each substr call scanned
+    the string from byte 0 — quadratic in doc length)."""
+    plan = char_entropy(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert "sequence(" not in plan, plan
+    assert "substring(" not in plan, plan
+    assert "split(" in plan, plan
+
+
+def test_char_entropy_long_doc_is_linear_not_quadratic(spark, tmp_path):
+    """The megabyte repeated-run compression-bomb doc is exactly what this
+    op exists to catch and exactly where the O(len²) substr plan melted
+    (measured r10: 15.2 s at 80k chars → ~95 s at 200k; the split form
+    runs it in well under a second). Bound 25 s keeps a 4× box-noise
+    margin on the linear form while sitting far below the quadratic
+    form's floor."""
+    bomb = "ab" * 100_000  # 200k chars, 2 distinct
+    out, _ = _docs_dir(spark, tmp_path, {1: bomb, 2: "short control doc"})
+    df = char_entropy(spark, out)
+    t0 = time.perf_counter()
+    rows = {r["doc_id"]: r for r in df.collect()}
+    elapsed = time.perf_counter() - t0
+    assert rows[1]["n_chars"] == 200_000
+    assert rows[1]["n_distinct_chars"] == 2
+    # H = ln 2 exactly (balanced 2-symbol doc): entropy_nats ≈ 0.693 < 1.5
+    assert rows[1]["low_entropy"]
+    assert abs(rows[1]["entropy_nats"] - 0.6931471805599453) < 1e-5
+    assert elapsed < 25.0, f"entropy on a 200k-char doc took {elapsed:.1f}s"
+
+
+# --------------------------------------------- token fertility (r11)
+def test_fertility_buckets_match_per_doc_encode_totals(spark, sf_dir):
+    """The bucket report is exactly the (lang, source) marginal of the
+    registered per-doc encode: re-aggregate train_bpe_encode's output
+    with the documents metadata and compare totals."""
+    enc = bpe_encode(spark, sf_dir)
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.octet_length("text").alias("b")
+    )
+    expect = {
+        (r["lang"], r["source"]): (
+            r["n_docs"], r["n_words"], r["n_tokens"], r["n_bytes"]
+        )
+        for r in enc.join(meta, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("b").alias("n_bytes"),
+        )
+        .collect()
+    }
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"], r["n_words"], r["n_tokens"], r["n_bytes"]
+        )
+        for r in token_fertility(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the ratios are integer per-mille on bucket TOTALS
+    for r in token_fertility(spark, sf_dir).collect():
+        if r["n_words"] > 0:
+            assert r["fertility_permille"] == (
+                1000 * r["n_tokens"]
+            ) // r["n_words"]
+        else:
+            assert r["fertility_permille"] == -1
+
+
+def test_fertility_multibyte_bytes_and_empty_bucket(spark, tmp_path):
+    """UTF-8 byte accounting (octet_length vs DuckDB strlen) and the -1
+    absent-denominator branch, oracle-compared on a planted corpus."""
+    out = str(tmp_path / "corpus")
+    rows = [
+        (1, "héllo wörld", "de", "web"),   # 13 bytes, 2 words
+        (2, "漢字", "ja", "web"),           # 6 bytes, 1 word
+        (3, "", "xx", "empty"),             # 0 bytes, 0 words (filtered)
+        (4, "plain text here", "en", "web"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(out + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{out}/documents.parquet/*.parquet'"
+    )
+    compare(
+        token_fertility(spark, out), con, TRAIN_ORACLES["train_token_fertility"]
+    )
+    got = {
+        (r["lang"], r["source"]): r
+        for r in token_fertility(spark, out).collect()
+    }
+    assert got[("de", "web")]["n_bytes"] == 13  # é, ö are 2 bytes each
+    assert got[("ja", "web")]["n_bytes"] == 6
+    assert got[("xx", "empty")]["n_words"] == 0
+    assert got[("xx", "empty")]["fertility_permille"] == -1
+    assert got[("xx", "empty")]["bytes_per_token_milli"] == -1
+
+
+# ----------------------------------------- context length fit (r11)
+def test_context_fit_hand_computed_and_invariants(spark, tmp_path):
+    """Planted token counts with hand-computed truncation/padding at each
+    L, plus the algebraic invariants that hold on any corpus."""
+    texts = {
+        1: "w",                 # 1 token
+        2: " ".join(["w"] * 200),   # 200 tokens
+        3: " ".join(["w"] * 600),   # 600 tokens
+        4: " ".join(["w"] * 2000),  # 2000 tokens
+    }
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(out + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{out}/documents.parquet/*.parquet'"
+    )
+    compare(
+        context_length_fit(spark, out),
+        con,
+        TRAIN_ORACLES["train_context_length_fit"],
+    )
+    rows = {
+        r["context_len"]: r for r in context_length_fit(spark, out).collect()
+    }
+    assert set(rows) == set(CONTEXT_LENGTHS)
+    # L=128: fits {1}; truncation (200-128)+(600-128)+(2000-128)=2516
+    assert rows[128]["n_docs_fit"] == 1
+    assert rows[128]["tokens_truncated"] == 72 + 472 + 1872
+    assert rows[128]["padding_tokens"] == 127
+    # L=1024: fits {1,200,600}; truncated 2000-1024=976
+    assert rows[1024]["n_docs_fit"] == 3
+    assert rows[1024]["tokens_truncated"] == 976
+    assert rows[1024]["padding_tokens"] == (1024 - 1) + (1024 - 200) + (
+        1024 - 600
+    )
+    total_tokens = 1 + 200 + 600 + 2000
+    lengths = sorted(CONTEXT_LENGTHS)
+    for i, length in enumerate(lengths):
+        r = rows[length]
+        assert r["tokens_kept"] + r["tokens_truncated"] == total_tokens
+        assert r["utilization_permille"] == (1000 * r["tokens_kept"]) // (
+            length * r["n_docs"]
+        )
+        if i:
+            prev = rows[lengths[i - 1]]
+            assert r["n_docs_fit"] >= prev["n_docs_fit"]
+            assert r["tokens_truncated"] <= prev["tokens_truncated"]
+
+
+# ----------------------------------- cluster size histogram (r11)
+def test_cluster_histogram_partitions_the_corpus(spark, sf_dir):
+    """Σ n_docs across sizes == |documents| (singletons included), and
+    the size ≥ 2 mass equals the connected-components frame exactly."""
+    n_total = load_table(spark, sf_dir, "documents").count()
+    rows = cluster_size_histogram(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    comp_rows = connected_components(spark, sf_dir).count()
+    assert (
+        sum(r["n_docs"] for r in rows if r["cluster_size"] >= 2) == comp_rows
+    )
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_docs_removed"] == (r["cluster_size"] - 1) * r["n_clusters"]
+
+
+def test_cluster_histogram_planted_clusters(spark, tmp_path):
+    """3 identical docs + 2 identical docs + 1 unique → rows (1,1), (2,1),
+    (3,1); oracle-compared on the same corpus."""
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different words about spark shuffles and parquet files"
+    docs = {1: a, 2: a, 3: a, 4: b, 5: b,
+            6: "unique text with its own distinct shingle set entirely"}
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(out + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{out}/documents.parquet/*.parquet'"
+    )
+    compare(
+        cluster_size_histogram(spark, out),
+        con,
+        DEDUP_ORACLES["dedup_cluster_size_histogram"],
+    )
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in cluster_size_histogram(spark, out).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}

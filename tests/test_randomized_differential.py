@@ -179,6 +179,15 @@ CONTRACTS = [
     # BITWISE, so the quality tie falls through to the doc_id break in
     # every cluster — the fixed corpus rarely ties
     "dedup_keep_best",
+    # r11: fertility bucket totals under skewed sources + empty /
+    # single-word docs (the -1 absent-denominator branch fires on
+    # degenerate buckets); context-length fit over the same token-count
+    # extremes (all-truncated and all-padded Ls both occur); the cluster
+    # histogram under the dup cluster (one fat component + singletons —
+    # the Σ n_docs corpus partition must hold on every shape)
+    "train_token_fertility",
+    "train_context_length_fit",
+    "dedup_cluster_size_histogram",
     # DELIBERATELY absent: sim_recall_report joins the float-ranked
     # bruteforce baseline's top-k SET, so it inherits the same
     # random-corpus boundary-tie caveat as its baseline (below);

@@ -707,8 +707,15 @@ def _curation_section(
     from parquet_near_storage_compute_spark.operators import timeseries as TS
 
     ev_path = _os.path.join(big, "events.parquet")
-    if not _os.path.isdir(ev_path):
-        base_ev = load_table(spark, sf_dir, "events")
+    base_ev = load_table(spark, sf_dir, "events")
+    expected_rows = base_ev.count() * n_reps
+    # ADVICE r10: an existing replication may have been built at a
+    # DIFFERENT n_reps (rung rerun against the same directory) — validate
+    # the row count before reusing, rebuild on mismatch.
+    if (
+        not _os.path.isdir(ev_path)
+        or spark.read.parquet(ev_path).count() != expected_rows
+    ):
         reps = None
         for r in range(n_reps):
             part = base_ev.withColumn(

@@ -118,6 +118,12 @@ HEADLINE = [
     # r10 continuation: character-entropy quality signal (two
     # map-side-combining exchanges, fixed-point integer logs)
     "text_char_entropy",
+    # r11: fertility bucket totals over the BPE encode, the per-L
+    # truncation/padding planning table (constant ×4 explode), and the
+    # duplicate-cluster size distribution (components + two tiny aggs)
+    "train_token_fertility",
+    "train_context_length_fit",
+    "dedup_cluster_size_histogram",
 ]
 
 
