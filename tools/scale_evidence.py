@@ -773,6 +773,80 @@ def _curation_section(
         "hottest domain into one task",
     }
 
+    # --- r11: char entropy (the r10 op without a rung — VERDICT r10 #2
+    # done-criterion) plus the three r11 curation operators.
+    chars_stats = docs.agg(
+        F.sum(F.length("text")).alias("corpus_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).collect()[0]
+    count_rows = (
+        fan_out(docs)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .count()
+        .count()
+    )
+    sec, n_rows = _timed(TX.char_entropy(spark, big))
+    out["text_char_entropy"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "corpus_chars": int(chars_stats.corpus_chars),
+        "count_shuffle_rows": int(count_rows),
+        "law": "one linear split-explode over corpus chars (the r11 fix "
+        "— the substr form was quadratic per doc); the count shuffle "
+        "carries ≤ docs × alphabet rows (map-side combined), independent "
+        "of document LENGTH",
+    }
+
+    # fertility: bucket keys are (lang, source), kept VERBATIM by the
+    # replication — the report must stay the SAME size at every rung;
+    # the encode's join side is the distinct-word vocabulary (sublinear:
+    # replication adds only ' r{n}' suffix words)
+    n_vocab = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .distinct()
+        .count()
+    )
+    sec, n_rows = _timed(T.token_fertility(spark, big))
+    out["train_token_fertility"] = {
+        "sec": sec,
+        "bucket_rows": n_rows,
+        "vocab_rows": int(n_vocab),
+        "law": "report rows = |lang × source| — constant under "
+        "replication; the encode joins the corpus against the "
+        "vocabulary (sublinear), never corpus × corpus",
+    }
+
+    sec, n_rows = _timed(T.context_length_fit(spark, big))
+    out["train_context_length_fit"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "explode_rows": int(chars_stats.n_docs) * len(T.CONTEXT_LENGTHS),
+        "law": "constant ×len(CONTEXT_LENGTHS) pre-aggregate explode, "
+        "map-side combined into exactly len(CONTEXT_LENGTHS) groups; "
+        "report rows constant at any scale",
+    }
+
+    # cluster histogram: bounded by the same capped LSH candidate graph
+    # as the components op; the report is one row per DISTINCT size
+    n_clustered = D.propagate_min_labels(
+        D._lsh_candidates(D._minhash_signatures(docs)).localCheckpoint()
+    ).count()
+    sec, n_rows = _timed(D.cluster_size_histogram(spark, big))
+    out["dedup_cluster_size_histogram"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "clustered_docs": int(n_clustered),
+        "verify_join_pairs": int(n_cand),
+        "law": "label propagation over the capped candidate graph "
+        "(shared with connected components); report = one row per "
+        "distinct cluster size; Σ n_docs partitions the corpus exactly",
+    }
+
 
 def _knn_section(spark, S, big: str, out: dict) -> dict:
     _ivf_dupwin_section(spark, big, out)
