@@ -30,11 +30,12 @@ import time
 import pyspark.sql.functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # runnable without PYTHONPATH, like shuffle_audit
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "10"))
 #: Comma-separated list of higher rungs (e.g. "30,100").
 HIGH_REPS = [
     int(x)
-    for x in os.environ.get("SPARK_GRAFT_SCALE_HIGH_REPS", "30").split(",")
+    for x in os.environ.get("SPARK_GRAFT_SCALE_HIGH_REPS", "30,100").split(",")
     if x.strip()
 ]
 ID_STRIDE = 20_000_000  # multiple of EVAL_MOD: doc_id % 20 classes survive
