@@ -146,6 +146,9 @@ R11_ADDED: list[str] = [
     "train_token_fertility",
     "train_context_length_fit",
     "dedup_cluster_size_histogram",
+    # fixed-bucket LTTB plot downsampling (one centroid aggregate + one
+    # bucket-frame window + the per-bucket argmax — SF-scaling)
+    "time_downsample_lttb",
 ]
 
 #: cohort → members, in round order. The stdout headline reports ONE
@@ -308,7 +311,7 @@ BARS = {
     "text_char_entropy": 0.8165,
     # r11 table: quiet-box best-of-7 interleaved (load < 2.2 at start)
     "train_token_fertility": 0.8416, "train_context_length_fit": 0.1825,
-    "dedup_cluster_size_histogram": 0.2191,
+    "dedup_cluster_size_histogram": 0.2191, "time_downsample_lttb": 1.0830,
 }
 
 

@@ -526,6 +526,117 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LTTB bucket span (6 hours — the resample grid's step, so the two
+#: downsampling views align): one representative point kept per
+#: (user, non-empty bucket).
+LTTB_BUCKET_SEC = 21600
+
+
+def downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets plot downsampling (r11), the
+    fixed-bucket CENTROID variant: per user and 6-hour bucket, keep the
+    ONE point forming the largest triangle with the neighbouring
+    buckets' centroids — the standard visual-fidelity reducer
+    (Steinarsson 2013; what Grafana/Influx apply before plotting) that
+    keeps spikes and inflection points where per-bucket avg/OHLC smear
+    them. Completes the downsampling family: gap_fill (regularize),
+    EWMA (smooth), OHLC (summarize), resample (interpolate), LTTB
+    (select). The canonical LTTB ranks against the previously SELECTED
+    point — an inherently sequential chain per series; this variant
+    substitutes the previous bucket's centroid (the same simplification
+    the parallel implementations ship), which keeps the op one window +
+    one aggregate and makes every bucket independent. First/last
+    buckets keep the user's first/last point verbatim (the LTTB
+    endpoint rule); a single-bucket user keeps its earliest point.
+
+    Exact-integer form: times are truncated epoch seconds, values
+    integer cents (ROUND(value·100) — the resample device). The triangle
+    area for point P against prev-centroid A = (pt/pn, pv/pn) and
+    next-centroid C = (nt/nn, nv/nn) is compared via the integer
+    numerator ``|(pt − pn·sec)·(nv − nn·cents) − (pv − pn·cents)·
+    (nt − nn·sec)|`` — 2·area·pn·nn, a constant multiple within the
+    bucket, so the argmax is the true LTTB argmax with NO division and
+    no float. Each factor is a neighbour-local DIFFERENCE (origin
+    cancels: pt − pn·sec = Σ(t_i − sec)), so magnitudes are bounded by
+    points-per-bucket × neighbour time/value spread — < 2^63 up to
+    ~10k-point buckets × year-long gaps × $100k values; the committed
+    corpora sit ~8 orders below. Ties (equal areas — exact duplicates)
+    break by (sec, event_id): a total order, bit-stable across engines
+    and partitionings.
+
+    Scale shape: one map-side-combining (user, bucket) centroid
+    aggregate; one user-keyed window over the BUCKET frame (rows =
+    non-empty buckets, not events) for the neighbour sums; one 1:1 join
+    back to the event stream (bucket-keyed — co-partitioned with the
+    centroid exchange); one per-(user, bucket) argmax window whose
+    partition is a single bucket's points (the per-key bound OHLC
+    carries). Output = one row per non-empty (user, bucket) — the
+    downsampling ratio IS the bound. No self-join, nothing quadratic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev = ev.withColumn(
+        "bucket", F.expr(f"sec div {LTTB_BUCKET_SEC}").cast("long")
+    )
+    cent = ev.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+        F.sum("sec").cast("bigint").alias("st"),
+        F.sum("cents").cast("bigint").alias("sv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    nb = cent.select(
+        "user_id",
+        "bucket",
+        "n_pts",
+        F.lag("n_pts").over(w).alias("pn"),
+        F.lag("st").over(w).alias("pt"),
+        F.lag("sv").over(w).alias("pv"),
+        F.lead("n_pts").over(w).alias("nn"),
+        F.lead("st").over(w).alias("nt"),
+        F.lead("sv").over(w).alias("nv"),
+    )
+    pts = ev.join(nb, ["user_id", "bucket"]).withColumn(
+        "kind",
+        F.when(F.col("pn").isNull(), "first")
+        .when(F.col("nn").isNull(), "last")
+        .otherwise("mid"),
+    )
+    score = F.abs(
+        (F.col("pt") - F.col("pn") * F.col("sec"))
+        * (F.col("nv") - F.col("nn") * F.col("cents"))
+        - (F.col("pv") - F.col("pn") * F.col("cents"))
+        * (F.col("nt") - F.col("nn") * F.col("sec"))
+    )
+    scored = pts.withColumn(
+        "score", F.when(F.col("kind") == "mid", score)
+    )
+    # one total order serving all three kinds: first = (sec, event_id)
+    # asc; last = the same desc (negated); mid = largest area first,
+    # ties by (sec, event_id)
+    o1 = (
+        F.when(F.col("kind") == "first", F.col("sec"))
+        .when(F.col("kind") == "last", -F.col("sec"))
+        .otherwise(-F.col("score"))
+    )
+    o2 = F.when(F.col("kind") == "last", -F.col("sec")).otherwise(
+        F.col("sec")
+    )
+    o3 = F.when(F.col("kind") == "last", -F.col("event_id")).otherwise(
+        F.col("event_id")
+    )
+    wsel = Window.partitionBy("user_id", "bucket").orderBy(o1, o2, o3)
+    return (
+        scored.withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "bucket", "event_id", "sec", "cents", "n_pts", "kind"
+        )
+    )
+
+
 def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling (candlestick bars): per (hour, event_type), the
     opening value, high, low, closing value, and volume — the standard
@@ -611,6 +722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_datetime_parts": datetime_parts,
     "time_gap_fill": gap_fill_hourly,
     "time_resample_interpolate": resample_interpolate,
+    "time_downsample_lttb": downsample_lttb,
     "events_funnel": events_funnel,
     "events_retention_cohorts": retention_cohorts,
     "events_cumulative_users": cumulative_distinct_users,
@@ -786,6 +898,67 @@ ORACLE_SQL: dict[str, str] = {
         FROM one, (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
              AS s(stage, stage_name)
         ORDER BY stage
+    """,
+    # mirrored op-for-op (see downsample_lttb): integer triangle-area
+    # numerators against neighbour-bucket centroid sums, the same
+    # three-kind total order, ROW_NUMBER argmax per (user, bucket)
+    "time_downsample_lttb": f"""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                 event_id,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        bk AS (
+          SELECT *, CAST(sec // {LTTB_BUCKET_SEC} AS BIGINT) AS bucket
+          FROM ev
+        ),
+        cent AS (
+          SELECT user_id, bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_pts,
+                 CAST(SUM(sec) AS BIGINT) AS st,
+                 CAST(SUM(cents) AS BIGINT) AS sv
+          FROM bk GROUP BY user_id, bucket
+        ),
+        nb AS (
+          SELECT user_id, bucket, n_pts,
+                 LAG(n_pts) OVER w AS pn, LAG(st) OVER w AS pt,
+                 LAG(sv) OVER w AS pv,
+                 LEAD(n_pts) OVER w AS nn, LEAD(st) OVER w AS nt,
+                 LEAD(sv) OVER w AS nv
+          FROM cent
+          WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+        ),
+        pts AS (
+          SELECT bk.user_id, bk.bucket, bk.sec, bk.event_id, bk.cents,
+                 nb.n_pts, nb.pn, nb.pt, nb.pv, nb.nn, nb.nt, nb.nv,
+                 CASE WHEN nb.pn IS NULL THEN 'first'
+                      WHEN nb.nn IS NULL THEN 'last'
+                      ELSE 'mid' END AS kind
+          FROM bk JOIN nb USING (user_id, bucket)
+        ),
+        scored AS (
+          SELECT *,
+                 CASE WHEN kind = 'mid' THEN
+                   abs((pt - pn * sec) * (nv - nn * cents)
+                       - (pv - pn * cents) * (nt - nn * sec))
+                 END AS score
+          FROM pts
+        ),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY
+                   CASE WHEN kind = 'first' THEN sec
+                        WHEN kind = 'last' THEN -sec
+                        ELSE -score END,
+                   CASE WHEN kind = 'last' THEN -sec ELSE sec END,
+                   CASE WHEN kind = 'last' THEN -event_id
+                        ELSE event_id END) AS rn
+          FROM scored
+        )
+        SELECT user_id, bucket, event_id, sec, cents, n_pts, kind
+        FROM ranked WHERE rn = 1
     """,
     # mirrored op-for-op (see resample_interpolate): truncated epoch
     # seconds, integer cents, grid rows sorting after same-second events

@@ -29,18 +29,20 @@ integer-cents exactness conversions) + the oldest 39 of the 48 r6-row
 contracts — 50/50 green (CORRECTNESS_r10), leaving staleness
 {r6: 9, r7: 42, r8: 46, r9: 48, r10: 50}.
 
-Round 11's window (VERDICT r10 #3): 3 new contracts
+Round 11's window (VERDICT r10 #3): 4 new contracts
 (`train_token_fertility`, the per-(lang, source) BPE fertility /
 bytes-per-token table; `train_context_length_fit`, the per-context-length
 truncation/padding planning table; `dedup_cluster_size_histogram`, the
-duplicate-cluster size distribution with exact corpus partition) + 1
+duplicate-cluster size distribution with exact corpus partition;
+`time_downsample_lttb`, fixed-bucket LTTB plot downsampling in exact
+integer areas) + 1
 modified (`text_char_entropy` — its char iterator moved from the O(len²)
 ``explode(sequence)+substr`` pair to one ``split(text, '')`` pass,
 VERDICT r10 #2, so its r10 row is invalidated) lead; then the LAST 9
-r6-row contracts (closing the r6 backlog entirely) and the oldest 37 of
+r6-row contracts (closing the r6 backlog entirely) and the oldest 36 of
 the 42 contracts whose newest driver row is CORRECTNESS_r07, both in
 their round-file key order (computed from the r0*.json history exactly
-as tests/test_registry_window.py does — never hand-counted). The 5
+as tests/test_registry_window.py does — never hand-counted). The 6
 leftover r7 rows rotate in round 12; after this round no live contract's
 newest driver row is older than round 7.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
@@ -91,10 +93,15 @@ _MODULES = [
 #: (clusters / docs / docs-removed per size, singletons included so
 #: Σ n_docs partitions the corpus) — the audit artifact that catches a
 #: wrong LSH threshold before it deletes a third of the corpus.
+#: time_downsample_lttb: largest-triangle-three-buckets plot
+#: downsampling (fixed-bucket centroid variant) — one spike-preserving
+#: representative point per (user, 6h bucket), exact-integer triangle
+#: areas, completing the downsampling family next to OHLC/resample.
 NEW_IN_R11 = [
     "train_token_fertility",
     "train_context_length_fit",
     "dedup_cluster_size_histogram",
+    "time_downsample_lttb",
 ]
 
 #: Contracts round 11 modifies that already carry driver rows — the
@@ -107,10 +114,10 @@ MODIFIED_IN_R11 = [
     "text_char_entropy",
 ]
 
-#: The round-11 driver correctness window (VERDICT r10 #3): the 3 new +
+#: The round-11 driver correctness window (VERDICT r10 #3): the 4 new +
 #: 1 modified contracts lead; then the LAST 9 round-6-row contracts
-#: (closing the r6 backlog) and the oldest 37 of the 42 round-7-row
-#: contracts, each cohort in its round-file key order. The 5 leftover r7
+#: (closing the r6 backlog) and the oldest 36 of the 42 round-7-row
+#: contracts, each cohort in its round-file key order. The 6 leftover r7
 #: rows rotate in round 12.
 _PRIORITY = NEW_IN_R11 + MODIFIED_IN_R11 + [
     # the remaining 9 round-6-row contracts, CORRECTNESS_r06 key order
@@ -123,7 +130,7 @@ _PRIORITY = NEW_IN_R11 + MODIFIED_IN_R11 + [
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    # the oldest 37 round-7-row contracts, CORRECTNESS_r07 key order
+    # the oldest 36 round-7-row contracts, CORRECTNESS_r07 key order
     "text_quality_classifier",
     "train_quality_resample",
     "dedup_image_phash",
@@ -160,7 +167,6 @@ _PRIORITY = NEW_IN_R11 + MODIFIED_IN_R11 + [
     "window_ntile",
     "window_percent_rank_cume",
     "window_rank_dense_rank",
-    "window_topk_per_group",
 ]
 
 

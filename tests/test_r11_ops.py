@@ -21,6 +21,11 @@ from parquet_near_storage_compute_spark.operators.textops import (
     ORACLE_SQL as TEXT_ORACLES,
     char_entropy,
 )
+from parquet_near_storage_compute_spark.operators.timeseries import (
+    LTTB_BUCKET_SEC,
+    ORACLE_SQL as TS_ORACLES,
+    downsample_lttb,
+)
 from parquet_near_storage_compute_spark.operators.training import (
     CONTEXT_LENGTHS,
     ORACLE_SQL as TRAIN_ORACLES,
@@ -292,3 +297,120 @@ def test_cluster_histogram_planted_clusters(spark, tmp_path):
         for r in cluster_size_histogram(spark, out).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ------------------------------------------- LTTB downsampling (r11)
+def _events_dir(spark, tmp_path, rows) -> tuple[str, object]:
+    """rows: (event_id, ts, user_id, event_type, value, props)."""
+    out = str(tmp_path / "evcorpus")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(out + "/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{out}/events.parquet/*.parquet'"
+    )
+    return out, con
+
+
+def test_lttb_keeps_the_spike_and_the_endpoints(spark, tmp_path):
+    """A flat series with one spike in a middle bucket: LTTB must keep
+    the spike point there (max triangle area against the flat neighbour
+    centroids), the first bucket's EARLIEST point, and the last bucket's
+    LATEST point — the canonical property avg/OHLC-close downsampling
+    lacks. Oracle-compared on the same corpus."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # buckets 0..3, four points each, value 10.0 everywhere except one
+    # 500.0 spike as the SECOND point of bucket 2
+    for b in range(4):
+        for i in range(4):
+            val = 500.0 if (b == 2 and i == 1) else 10.0
+            rows.append(
+                (eid, base + dt.timedelta(seconds=b * LTTB_BUCKET_SEC + i * 600 + 60),
+                 1, "view", val, "{}")
+            )
+            eid += 1
+    out, con = _events_dir(spark, tmp_path, rows)
+    compare(downsample_lttb(spark, out), con, TS_ORACLES["time_downsample_lttb"])
+    got = {r["bucket"]: r for r in downsample_lttb(spark, out).collect()}
+    assert len(got) == 4
+    buckets = sorted(got)
+    first, last = got[buckets[0]], got[buckets[-1]]
+    assert first["kind"] == "first" and first["event_id"] == 0
+    assert last["kind"] == "last" and last["event_id"] == 15
+    spike_bucket = got[buckets[2]]
+    assert spike_bucket["kind"] == "mid"
+    assert spike_bucket["event_id"] == 9  # the 500.0 spike point
+    assert spike_bucket["cents"] == 50000
+    assert spike_bucket["n_pts"] == 4
+
+
+def test_lttb_tie_break_and_single_bucket_user(spark, tmp_path):
+    """All-identical values in a mid bucket tie on area 0 → the
+    (sec, event_id) break keeps the earliest point; a user whose events
+    all land in one bucket is kind 'first' and keeps its earliest."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1: three buckets, mid bucket has identical values (area ties)
+    eid = 100
+    for b in range(3):
+        for i in range(3):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=b * LTTB_BUCKET_SEC + i * 900),
+                 1, "view", 25.0, "{}")
+            )
+            eid += 1
+    # user 2: single bucket
+    rows.append((200, base + dt.timedelta(seconds=500), 2, "view", 1.25, "{}"))
+    rows.append((201, base + dt.timedelta(seconds=400), 2, "view", 9.75, "{}"))
+    out, con = _events_dir(spark, tmp_path, rows)
+    compare(downsample_lttb(spark, out), con, TS_ORACLES["time_downsample_lttb"])
+    rows_out = downsample_lttb(spark, out).collect()
+    u1 = sorted(
+        (r for r in rows_out if r["user_id"] == 1), key=lambda r: r["bucket"]
+    )
+    assert [r["kind"] for r in u1] == ["first", "mid", "last"]
+    # mid bucket: every area is 0 (collinear flat series) → earliest wins
+    assert u1[1]["event_id"] == 103
+    # last bucket keeps the LATEST point
+    assert u1[2]["event_id"] == 108
+    (u2,) = [r for r in rows_out if r["user_id"] == 2]
+    assert u2["kind"] == "first" and u2["event_id"] == 201  # earliest sec
+
+
+def test_lttb_output_is_one_row_per_nonempty_bucket(spark, sf_dir):
+    """Row count == distinct (user, bucket) pairs — the downsampling
+    ratio is structural, and kinds partition correctly per user."""
+    from pyspark.sql import functions as F
+
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"unix_timestamp(ts) div {LTTB_BUCKET_SEC}"
+        ).alias("bucket"),
+    )
+    n_buckets = ev.distinct().count()
+    out = downsample_lttb(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == n_buckets
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    for _user, rs in per_user.items():
+        kinds = [r["kind"] for r in sorted(rs, key=lambda r: r["bucket"])]
+        if len(kinds) == 1:
+            assert kinds == ["first"]
+        else:
+            assert kinds[0] == "first" and kinds[-1] == "last"
+            assert all(k == "mid" for k in kinds[1:-1])

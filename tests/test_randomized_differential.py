@@ -188,6 +188,10 @@ CONTRACTS = [
     "train_token_fertility",
     "train_context_length_fit",
     "dedup_cluster_size_histogram",
+    # LTTB under hot users / identical timestamps / negative values:
+    # exact-duplicate points tie on the integer area and fall through
+    # to the (sec, event_id) break the fixed corpus rarely exercises
+    "time_downsample_lttb",
     # DELIBERATELY absent: sim_recall_report joins the float-ranked
     # bruteforce baseline's top-k SET, so it inherits the same
     # random-corpus boundary-tie caveat as its baseline (below);

@@ -1,11 +1,11 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
-contract. Round 11's window (VERDICT r10 #3) = 3 new contracts + 1 modified
+contract. Round 11's window (VERDICT r10 #3) = 4 new contracts + 1 modified
 (`text_char_entropy`'s linear char iterator invalidates its r10 row), then
 the LAST 9 contracts whose newest driver row is CORRECTNESS_r06 (closing the
-r6 backlog) and the oldest 37 of the 42 whose newest row is CORRECTNESS_r07
+r6 backlog) and the oldest 36 of the 42 whose newest row is CORRECTNESS_r07
 — both computed from the r0*.json history (never hand-counted; the r7
-miscount is the cautionary tale), in round-file key order. The 5 leftover r7
+miscount is the cautionary tale), in round-file key order. The 6 leftover r7
 rows rotate in round 12."""
 
 from __future__ import annotations
@@ -71,7 +71,7 @@ def test_backlog_slots_are_the_stalest_rows_in_round_key_order():
     contract (9 — the backlog closes this round) in CORRECTNESS_r06 key
     order, then the OLDEST r7-row contracts in CORRECTNESS_r07 key order —
     a stable, history-derived order, so the pinned list is reproducible
-    and the 5 leftover r7 rows are a conscious r12 deferral."""
+    and the 6 leftover r7 rows are a conscious r12 deferral."""
     latest = _latest_row()
     live = set(all_queries())
     head = set(NEW_IN_R11 + MODIFIED_IN_R11)
@@ -91,7 +91,7 @@ def test_backlog_slots_are_the_stalest_rows_in_round_key_order():
     backlog = backlog_r6 + backlog_r7
     assert window_slots == backlog[: len(window_slots)]
     leftover = backlog[len(window_slots):]
-    assert len(leftover) == 5, leftover  # the r12 remainder
+    assert len(leftover) == 6, leftover  # the r12 remainder
 
 
 def test_every_registered_contract_has_a_row_or_a_slot():

@@ -133,6 +133,9 @@ HEADLINE = [
     "train_token_fertility",
     "train_context_length_fit",
     "dedup_cluster_size_histogram",
+    # r11 continuation: fixed-bucket LTTB plot downsampling (centroid
+    # aggregate + bucket-frame window + per-bucket argmax)
+    "time_downsample_lttb",
 ]
 
 

@@ -832,6 +832,31 @@ def _curation_section(
         "report rows constant at any scale",
     }
 
+    # LTTB (r11 continuation): replication strides event_id but keeps
+    # user_id + timestamps VERBATIM (rate ×reps, constant span) — the
+    # output (one row per non-empty (user, bucket)) must stay CONSTANT
+    # across rungs while the per-bucket argmax partition grows ×reps
+    max_bucket_pts = (
+        ev.groupBy(
+            "user_id",
+            F.expr(f"unix_timestamp(ts) div {TS.LTTB_BUCKET_SEC}"),
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    sec, n_rows = _timed(TS.downsample_lttb(spark, big))
+    out["time_downsample_lttb"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "events_rows": ev.count(),
+        "max_bucket_points": int(max_bucket_pts or 0),
+        "law": "output rows = non-empty (user, bucket) pairs — CONSTANT "
+        "in event-rate replication (spans verbatim); the argmax window "
+        "partition is ONE bucket's points (per-key bounded, the OHLC "
+        "bound); centroid aggregate map-side combined",
+    }
+
     # cluster histogram: bounded by the same capped LSH candidate graph
     # as the components op; the report is one row per DISTINCT size
     n_clustered = D.propagate_min_labels(
