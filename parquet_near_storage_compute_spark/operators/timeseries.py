@@ -556,11 +556,18 @@ def downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator ``|(pt − pn·sec)·(nv − nn·cents) − (pv − pn·cents)·
     (nt − nn·sec)|`` — 2·area·pn·nn, a constant multiple within the
     bucket, so the argmax is the true LTTB argmax with NO division and
-    no float. Each factor is a neighbour-local DIFFERENCE (origin
-    cancels: pt − pn·sec = Σ(t_i − sec)), so magnitudes are bounded by
-    points-per-bucket × neighbour time/value spread — < 2^63 up to
-    ~10k-point buckets × year-long gaps × $100k values; the committed
-    corpora sit ~8 orders below. Ties (equal areas — exact duplicates)
+    no float. Overflow envelope (corrected r12): each FACTOR is a
+    neighbour-local DIFFERENCE (origin cancels: pt − pn·sec =
+    Σ(t_i − sec)), bounded by points-per-bucket × neighbour time/value
+    spread, and must fit int64 — holds to ~10k-point buckets with
+    ~30M-year gaps, far past real data. The PRODUCTS would NOT fit
+    int64 at the extremes (two n×spread factors multiply: year-long
+    gaps × $100k cents cross 2^63 at ~120 points/bucket), so they are
+    computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): any two
+    int64 factors' product < 8.6e37 is exact, and the score difference
+    is exact up to 10^38−1 (HUGEINT to 1.7e38) — ~10^19× past the raw
+    int64 product envelope; the committed corpora sit ~8 orders below
+    even the factor bound. Ties (equal areas — exact duplicates)
     break by (sec, event_id): a total order, bit-stable across engines
     and partitionings.
 
@@ -604,12 +611,20 @@ def downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("nn").isNull(), "last")
         .otherwise("mid"),
     )
-    score = F.abs(
-        (F.col("pt") - F.col("pn") * F.col("sec"))
-        * (F.col("nv") - F.col("nn") * F.col("cents"))
-        - (F.col("pv") - F.col("pn") * F.col("cents"))
-        * (F.col("nt") - F.col("nn") * F.col("sec"))
-    )
+    # The four factors are neighbour-local differences, exact in int64 up
+    # to points-per-bucket × neighbour spread < 2^63; the PRODUCTS are
+    # taken in decimal so two near-full factors can't wrap (r12, ADVICE):
+    # each |factor| < 2^63 has ≤ 19 digits, so each product < 8.6e37 fits
+    # DECIMAL(38,0) exactly and their difference is exact up to 10^38−1
+    # (the oracle's HUGEINT is exact to 1.7e38 — identical argmax
+    # everywhere both are exact; past 10^38 Spark non-ANSI yields NULL
+    # rather than a silently wrong argmax).
+    d19 = "decimal(19,0)"
+    f_pt = (F.col("pt") - F.col("pn") * F.col("sec")).cast(d19)
+    f_nv = (F.col("nv") - F.col("nn") * F.col("cents")).cast(d19)
+    f_pv = (F.col("pv") - F.col("pn") * F.col("cents")).cast(d19)
+    f_nt = (F.col("nt") - F.col("nn") * F.col("sec")).cast(d19)
+    score = F.abs(f_pt * f_nv - f_pv * f_nt)
     scored = pts.withColumn(
         "score", F.when(F.col("kind") == "mid", score)
     )
@@ -939,10 +954,14 @@ ORACLE_SQL: dict[str, str] = {
           FROM bk JOIN nb USING (user_id, bucket)
         ),
         scored AS (
+          -- products in HUGEINT (int128): exact for ANY int64 factors,
+          -- mirroring the Spark side's DECIMAL(38,0) products (r12)
           SELECT *,
                  CASE WHEN kind = 'mid' THEN
-                   abs((pt - pn * sec) * (nv - nn * cents)
-                       - (pv - pn * cents) * (nt - nn * sec))
+                   abs(CAST(pt - pn * sec AS HUGEINT)
+                         * (nv - nn * cents)
+                       - CAST(pv - pn * cents AS HUGEINT)
+                         * (nt - nn * sec))
                  END AS score
           FROM pts
         ),

@@ -878,7 +878,11 @@ def context_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket.
 
     All integer: per-doc min/max against L, summed; utilization is
-    ``(1000·used) div (L·n_docs_fit)``. Scale shape: ONE narrow projection
+    ``(1000·tokens_kept) div (L·n_docs)`` — the non-pad share of the
+    one-sequence-per-doc layout over ALL docs (every doc occupies exactly
+    one L-token window: fit-whole docs keep n_tokens of it, truncated
+    docs fill all L), matching what both engines compute. Scale shape:
+    ONE narrow projection
     exploded by len(CONTEXT_LENGTHS) (a constant ×4 pre-aggregate map,
     combinable into 4 groups map-side) — no join, no window, no second
     scan."""

@@ -414,3 +414,64 @@ def test_lttb_output_is_one_row_per_nonempty_bucket(spark, sf_dir):
         else:
             assert kinds[0] == "first" and kinds[-1] == "last"
             assert all(k == "mid" for k in kinds[1:-1])
+
+
+def test_lttb_product_overflow_regime_decimal_exact(spark, tmp_path):
+    """r12 (ADVICE): the triangle-area score multiplies two int64-bounded
+    factors, so at ~year-long neighbour gaps × large cents spreads the raw
+    int64 PRODUCT wraps at just ~hundreds of points per bucket — the old
+    form silently picked a wrong argmax while DuckDB raised. The products
+    now run in DECIMAL(38,0) / HUGEINT. This corpus is built INSIDE the
+    wrap regime (asserted below) and checks (a) the engines still agree
+    and (b) the kept point is the exact-arithmetic argmax."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    year = dt.timedelta(days=365)
+    rows = []
+    eid = 0
+    # prev bucket: 200 points, cents 0, at T0
+    for i in range(200):
+        rows.append((eid, base + dt.timedelta(seconds=i * 60), 1,
+                     "view", 0.0, "{}"))
+        eid += 1
+    # mid bucket: 5 points one year later, small varying cents
+    mid_vals = [1.0, 2.0, 3.0, 5.0, 4.0]
+    for i, v in enumerate(mid_vals):
+        rows.append((eid, base + year + dt.timedelta(seconds=i * 60), 1,
+                     "view", v, "{}"))
+        eid += 1
+    # next bucket: 200 points two years later, cents 1e9 ($10M)
+    for i in range(200):
+        rows.append((eid, base + 2 * year + dt.timedelta(seconds=i * 60),
+                     1, "view", 1.0e7, "{}"))
+        eid += 1
+    out, con = _events_dir(spark, tmp_path, rows)
+
+    # exact reference argmax (Python ints never wrap) + wrap-regime proof
+    def sec_of(ts):
+        return int(ts.timestamp())
+
+    prev = [(sec_of(base + dt.timedelta(seconds=i * 60)), 0)
+            for i in range(200)]
+    mid = [(sec_of(base + year + dt.timedelta(seconds=i * 60)),
+            round(v * 100)) for i, v in enumerate(mid_vals)]
+    nxt = [(sec_of(base + 2 * year + dt.timedelta(seconds=i * 60)),
+            int(1.0e9)) for i in range(200)]
+    pn, pt, pv = len(prev), sum(t for t, _ in prev), sum(c for _, c in prev)
+    nn, nt, nv = len(nxt), sum(t for t, _ in nxt), sum(c for _, c in nxt)
+    scores = []
+    for sec, cents in mid:
+        p1 = (pt - pn * sec) * (nv - nn * cents)
+        p2 = (pv - pn * cents) * (nt - nn * sec)
+        scores.append((abs(p1 - p2), p1))
+    assert max(abs(p1) for _, p1 in scores) > 2**63  # inside wrap regime
+    best_i = max(range(len(mid)), key=lambda i: (scores[i][0], -mid[i][0]))
+    want_eid = 200 + best_i
+
+    compare(downsample_lttb(spark, out), con,
+            TS_ORACLES["time_downsample_lttb"])
+    got = sorted(downsample_lttb(spark, out).collect(),
+                 key=lambda r: r["bucket"])
+    assert [r["kind"] for r in got] == ["first", "mid", "last"]
+    assert got[1]["event_id"] == want_eid

@@ -99,6 +99,8 @@ def run_one(
     write_done = [0.0]
     received = [0]
 
+    writer_errors: list[str] = []
+
     def writer() -> None:
         fd = os.open(target, open_flags, 0o644)
         # O_DIRECT needs block-aligned user buffers; an anonymous mmap is
@@ -108,15 +110,27 @@ def run_one(
         try:
             while True:
                 item = chan.get()
-                if item is None:
+                # task_done in a finally: a failed pwritev (EINVAL on a
+                # non-sector-aligned O_DIRECT tail, ENOSPC, ...) must not
+                # strand the item's join() accounting — the bench would
+                # deadlock in chan.join(); instead the error is recorded,
+                # the writer keeps draining, and run_one surfaces it.
+                try:
+                    if item is None:
+                        return
+                    offset, data = item
+                    if not writer_errors:
+                        buf[: len(data)] = data
+                        os.pwritev(
+                            fd, [memoryview(buf)[: len(data)]], offset
+                        )
+                except OSError as exc:
+                    writer_errors.append(repr(exc))
+                finally:
                     chan.task_done()
-                    return
-                offset, data = item
-                buf[: len(data)] = data
-                os.pwritev(fd, [memoryview(buf)[: len(data)]], offset)
-                chan.task_done()
         finally:
-            os.fsync(fd)
+            with contextlib.suppress(OSError):
+                os.fsync(fd)
             buf.close()
             os.close(fd)
 
@@ -193,6 +207,7 @@ def run_one(
         "channel_size": channel_size,
         "block_kib": BLOCK_SIZE // 1024,
         "odirect": use_odirect,
+        "writer_errors": writer_errors,
     }
 
 
