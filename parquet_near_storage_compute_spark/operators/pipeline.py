@@ -310,7 +310,7 @@ def modality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated the same way — so this contract re-verifies all five
     pipelines end-to-end through one hash."""
     from parquet_near_storage_compute_spark.operators.dedup import (
-        minhash_dedup_decisions,
+        minhash_decisions_cached,
     )
     from parquet_near_storage_compute_spark.operators.multimodal import (
         audio_fingerprint_dedup,
@@ -321,14 +321,13 @@ def modality_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_dedup_decisions,
     )
 
-    # single-scan discipline (test_pipeline_single_scan): the text branch
-    # consumes the corpus twice (signature subtree + member mapping), so
-    # the narrow projection is persisted like every other composite's
-    docs = fan_out(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).persist()
+    # every member pipeline comes from its registered (memoized) frame —
+    # the report is the 5-way aggregate of the SAME decision trees the
+    # per-modality contracts pin, built once per session (r12, VERDICT #3;
+    # the text branch's internal bands persist covers its two corpus
+    # consumers, so no extra projection cache is needed here)
     parts = [
-        ("text", minhash_dedup_decisions(docs)),
+        ("text", minhash_decisions_cached(spark, sf_dir)),
         ("embedding", embedding_dedup_decisions(spark, sf_dir)),
         ("image", image_phash_dedup(spark, sf_dir)),
         ("audio", audio_fingerprint_dedup(spark, sf_dir)),

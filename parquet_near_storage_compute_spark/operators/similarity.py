@@ -17,6 +17,7 @@ the DuckDB oracle (list_dot_product on DOUBLE[]) matches bitwise-to-epsilon.
 
 from __future__ import annotations
 
+import functools
 import math
 from collections.abc import Callable
 
@@ -32,7 +33,29 @@ from parquet_near_storage_compute_spark.functions.vectors import (
     random_hyperplanes,
     sql_plane_literal,
 )
+from parquet_near_storage_compute_spark.plans.memo import PlanMemo
 from parquet_near_storage_compute_spark.tables import fan_out, load_table
+
+#: Query-frame memo (r12, VERDICT r11 #3): `sim_recall_report` composes
+#: five registered top-k variants and `pipeline_modality_dedup_report`
+#: composes the embedding decisions — each variant costs 1.5-4 s of eager
+#: construction (PQ codebook train collect, occupancy probes, deep-plan
+#: analysis) that was re-paid per composite. Every memoized frame is
+#: deterministic (EXACTNESS-pinned), so consumers can't observe sharing.
+_SIM_MEMO = PlanMemo(tables=("embeddings",))
+
+
+def _memoized(label: str):
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _SIM_MEMO.get(
+                spark, sf_dir, label, lambda: fn(spark, sf_dir)
+            )
+
+        return wrapped
+
+    return deco
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 3
@@ -51,6 +74,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nrm", norm(F.col("v")))
 
 
+@_memoized("topk_bruteforce")
 def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest others."""
     v = _vectors(spark, sf_dir)
@@ -212,6 +236,7 @@ def _sq8_codes(v: DataFrame) -> DataFrame:
     )
 
 
+@_memoized("topk_sq8")
 def topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via int8 scalar quantization (SQ8 flat scan) — the memory-
     bandwidth scale path, complementing the blocking scale paths (LSH
@@ -359,6 +384,7 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_memoized("topk_ivf_sq8")
 def topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-SQ8 ANN (FAISS IVFScalarQuantizer with by_residual=false): the
     two scale levers composed — the inverted-file layout bounds WHAT is
@@ -825,6 +851,7 @@ def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_memoized("dedup_decisions")
 def embedding_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector keep/drop decisions for the ≥τ cosine relation — the
     actionable step for embedding-space dedup, mirroring
@@ -1448,6 +1475,7 @@ def _pq_recon(v: DataFrame) -> DataFrame:
     )
 
 
+@_memoized("topk_pq")
 def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via product quantization (PQ, asymmetric/ADC scoring — the
     FAISS IndexPQ default: the query stays unquantized, only candidates
@@ -1521,6 +1549,7 @@ def topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_memoized("topk_ivf_pq")
 def topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ shape, by_residual=false): the coarse
     inverted file bounds WHAT is scanned (the query's cell, exactly

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_near_storage_compute_spark.functions.text import shingles, words
+from parquet_near_storage_compute_spark.plans.memo import PlanMemo
 from parquet_near_storage_compute_spark.tables import load_table
 
 #: Tokens per packed training sequence (contract-pinned).
@@ -676,6 +677,48 @@ def _bpe_loop(toks: DataFrame) -> tuple[list[DataFrame], DataFrame]:
     return rounds, toks
 
 
+#: The merge loop (two eager checkpoints per round) was rebuilt by FOUR
+#: contracts — merges, encode, fertility, pack — at 3-4 s of construction
+#: each (BENCH_DETAIL plan_construction_sec, VERDICT r11 #3). One memoized
+#: training pass now serves them all: (per-round best frames, final vocab
+#: frame, persisted (doc_id, word) frame), over the FULL length ≥ 1
+#: vocabulary. bpe_merges historically trained on the length ≥ 2 subset;
+#: the trajectories are identical because 1-char words contribute no
+#: adjacent pairs (pinned independently of this code path by
+#: tests/test_bpe_lm_ivfpq.py::test_bpe_encode_trains_the_same_merges),
+#: so sharing the ≥ 1 loop changes no output.
+_BPE_MEMO = PlanMemo(tables=("documents",))
+
+
+def _bpe_trained(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame, DataFrame]:
+    """Memoized shared BPE training pass: (rounds, final, wordsf)."""
+    from parquet_near_storage_compute_spark.tables import fan_out
+
+    def build() -> tuple[list[DataFrame], DataFrame, DataFrame]:
+        docs = load_table(spark, sf_dir, "documents")
+        # persisted: feeds the vocabulary build AND the per-doc mapping
+        wordsf = (
+            fan_out(docs)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("raw"))
+            .select(
+                "doc_id",
+                F.translate(F.col("raw"), BPE_L + BPE_R, "").alias("word"),
+            )
+            .filter(F.length("word") >= 1)
+            .persist()
+        )
+        vocab = wordsf.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        toks = vocab.select(
+            "word", "n", _bpe_pack().alias("t")
+        ).localCheckpoint()
+        rounds, final = _bpe_loop(toks)
+        return rounds, final, wordsf
+
+    return _BPE_MEMO.get(spark, sf_dir, "bpe_trained", build)
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer induction, full merge loop (round 4 extension): run
     BPE_MERGE_ROUNDS rounds of the byte-pair-encoding trainer and emit the
@@ -699,23 +742,10 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side data moves — with ``localCheckpoint`` truncating the
     per-round lineage exactly like ``iter_kmeans_lite``. At 100 TB: one
     corpus shuffle + R vocab-sized aggregations, the textbook distributed
-    BPE recipe."""
-    from parquet_near_storage_compute_spark.tables import fan_out
-
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        fan_out(docs)
-        .select(F.explode(F.split("text", " ")).alias("raw"))
-        .select(
-            F.translate(F.col("raw"), BPE_L + BPE_R, "").alias("word")
-        )
-        .filter(F.length("word") >= 2)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    toks = vocab.select("word", "n", _bpe_pack().alias("t")).localCheckpoint()
-
-    rounds, _ = _bpe_loop(toks)
+    BPE recipe. Since r12 the loop itself is the memoized `_bpe_trained`
+    pass shared with encode/fertility/pack (trajectory-equivalence note
+    there)."""
+    rounds, _, _ = _bpe_trained(spark, sf_dir)
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionAll(r)
@@ -744,22 +774,8 @@ def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is touched twice through one persisted narrow projection).
     Exhausted merge rounds are no-ops (the loop's coalesce guard), so the
     contract is total on any corpus."""
-    from parquet_near_storage_compute_spark.tables import fan_out
-
     docs = load_table(spark, sf_dir, "documents")
-    # persisted: feeds the vocabulary build AND the per-doc mapping
-    wordsf = (
-        fan_out(docs)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("raw"))
-        .select(
-            "doc_id", F.translate(F.col("raw"), BPE_L + BPE_R, "").alias("word")
-        )
-        .filter(F.length("word") >= 1)
-        .persist()
-    )
-    vocab = wordsf.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-    toks = vocab.select("word", "n", _bpe_pack().alias("t")).localCheckpoint()
-    _, final = _bpe_loop(toks)
+    _, final, wordsf = _bpe_trained(spark, sf_dir)
     word_tokens = final.select(
         "word",
         F.size(
