@@ -29,22 +29,27 @@ integer-cents exactness conversions) + the oldest 39 of the 48 r6-row
 contracts — 50/50 green (CORRECTNESS_r10), leaving staleness
 {r6: 9, r7: 42, r8: 46, r9: 48, r10: 50}.
 
-Round 11's window (VERDICT r10 #3): 4 new contracts
-(`train_token_fertility`, the per-(lang, source) BPE fertility /
-bytes-per-token table; `train_context_length_fit`, the per-context-length
-truncation/padding planning table; `dedup_cluster_size_histogram`, the
-duplicate-cluster size distribution with exact corpus partition;
-`time_downsample_lttb`, fixed-bucket LTTB plot downsampling in exact
-integer areas) + 1
-modified (`text_char_entropy` — its char iterator moved from the O(len²)
-``explode(sequence)+substr`` pair to one ``split(text, '')`` pass,
-VERDICT r10 #2, so its r10 row is invalidated) lead; then the LAST 9
-r6-row contracts (closing the r6 backlog entirely) and the oldest 36 of
-the 42 contracts whose newest driver row is CORRECTNESS_r07, both in
-their round-file key order (computed from the r0*.json history exactly
-as tests/test_registry_window.py does — never hand-counted). The 6
-leftover r7 rows rotate in round 12; after this round no live contract's
-newest driver row is older than round 7.
+Round 11's window (VERDICT r10 #3) was 4 new + 1 modified + the last 9
+r6-row contracts + the oldest 36 r7-row contracts — 50/50 green
+(CORRECTNESS_r11), leaving staleness {r7: 6, r8: 46, r9: 48, r10: 49,
+r11: 50}.
+
+Round 12's window (VERDICT r11 #1): 1 new contract
+(`stream_minhash_ingest` — streaming MinHash admission via foreachBatch:
+banded state join → exact shingle-Jaccard verify → within-batch
+min-wins → generation-dir state publishing; the text sibling of
+`stream_phash_ingest`, recursive-CTE replay oracle) + 2 modified
+(`time_downsample_lttb` — the triangle-area products moved from raw
+int64 to DECIMAL(38,0)/HUGEINT, closing the ADVICE r11 overflow
+envelope; `train_bpe_merges` — its merge loop is now the shared
+`_bpe_trained` pass over the length ≥ 1 vocabulary, trajectory-identical
+by the pinned 1-char-words-contribute-no-pairs equivalence) lead; then
+ALL 6 remaining r7-row contracts (closing the r7 backlog) and the oldest
+41 of the 46 contracts whose newest driver row is CORRECTNESS_r08, both
+in their round-file key order (computed from the r0*.json history
+exactly as tests/test_registry_window.py does — never hand-counted).
+The 5 leftover r8 rows rotate in round 13; after this round no live
+contract's newest driver row is older than round 8.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -81,92 +86,87 @@ _MODULES = [
 ]
 
 
-#: New in round 11 — enter the window immediately:
-#: train_token_fertility: per (lang, source) bucket, what the trained BPE
-#: does to that corpus slice — tokens-per-word (fertility) and
-#: bytes-per-token as exact integer per-mille on bucket TOTALS — the
-#: table a pipeline reads before committing a tokenizer to a mixture;
-#: train_context_length_fit: per candidate context length, the exact
-#: truncation / padding / utilization cost of the one-doc-per-sequence
-#: layout — the context-length planning table;
-#: dedup_cluster_size_histogram: duplicate-cluster size distribution
-#: (clusters / docs / docs-removed per size, singletons included so
-#: Σ n_docs partitions the corpus) — the audit artifact that catches a
-#: wrong LSH threshold before it deletes a third of the corpus.
-#: time_downsample_lttb: largest-triangle-three-buckets plot
-#: downsampling (fixed-bucket centroid variant) — one spike-preserving
-#: representative point per (user, 6h bucket), exact-integer triangle
-#: areas, completing the downsampling family next to OHLC/resample.
-NEW_IN_R11 = [
-    "train_token_fertility",
-    "train_context_length_fit",
-    "dedup_cluster_size_histogram",
-    "time_downsample_lttb",
+#: New in round 12 — enter the window immediately:
+#: stream_minhash_ingest: streaming MinHash admission (VERDICT r11 #4) —
+#: micro-batches admitted against accepted-signature state via
+#: foreachBatch (banded state join → exact shingle-Jaccard verify →
+#: within-batch min-wins → write-then-publish state generations), the
+#: text sibling of stream_phash_ingest, replayed sequentially by a
+#: recursive-CTE DuckDB oracle.
+NEW_IN_R12 = [
+    "stream_minhash_ingest",
 ]
 
-#: Contracts round 11 modifies that already carry driver rows — the
+#: Contracts round 12 modifies that already carry driver rows — the
 #: change invalidates the old row, so they re-enter the window:
-#: text_char_entropy's char iterator moved from the O(len²)
-#: ``explode(sequence(1, length)) + substr(text, i, 1)`` pair to one
-#: linear ``split(text, '')`` pass (VERDICT r10 #2); the fixed-point
-#: entropy algebra is unchanged.
-MODIFIED_IN_R11 = [
-    "text_char_entropy",
+#: time_downsample_lttb's triangle-area products moved from raw int64 to
+#: DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), fixing the ADVICE r11
+#: overflow envelope (two n×spread factors multiply past 2^63 at ~120
+#: points/bucket under year-long gaps × $100k spreads);
+#: train_bpe_merges' merge loop is now the memoized `_bpe_trained` pass
+#: over the length ≥ 1 vocabulary shared with encode/fertility/pack
+#: (trajectory-identical: 1-char words contribute no adjacent pairs,
+#: pinned by test_bpe_encode_trains_the_same_merges).
+MODIFIED_IN_R12 = [
+    "time_downsample_lttb",
+    "train_bpe_merges",
 ]
 
-#: The round-11 driver correctness window (VERDICT r10 #3): the 4 new +
-#: 1 modified contracts lead; then the LAST 9 round-6-row contracts
-#: (closing the r6 backlog) and the oldest 36 of the 42 round-7-row
-#: contracts, each cohort in its round-file key order. The 6 leftover r7
-#: rows rotate in round 12.
-_PRIORITY = NEW_IN_R11 + MODIFIED_IN_R11 + [
-    # the remaining 9 round-6-row contracts, CORRECTNESS_r06 key order
-    "join_window_pct",
-    "join_asof",
-    "join_range",
-    "agg_pricing_summary",
-    "agg_over_expression",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    # the oldest 36 round-7-row contracts, CORRECTNESS_r07 key order
-    "text_quality_classifier",
-    "train_quality_resample",
-    "dedup_image_phash",
-    "dedup_audio_fingerprint",
-    "dedup_video_fingerprint",
-    "pipeline_modality_dedup_report",
-    "sim_topk_sq8",
-    "sim_topk_ivf_sq8",
-    "stream_phash_ingest",
-    "mm_decode_quarantine",
-    "text_lm_perplexity",
-    "train_bpe_merges",
-    "sim_topk_ivf_mp",
-    "train_bpe_encode",
-    "text_duplicate_window_fraction",
-    "sim_topk_prefix_rerank",
-    "train_uniform_sample",
-    "sim_knn_join",
-    "sim_range_search",
-    "agg_min_max_by",
-    "agg_percentile",
-    "agg_stats",
-    "iter_kmeans_lite",
-    "stream_dedup_exact",
-    "stream_stream_join",
-    "stream_windowed_counts",
-    "train_profile_columns",
-    "train_stratified_sample",
-    "train_test_split",
-    "window_first_last_nth",
-    "window_lag_lead",
-    "window_mode_per_group",
-    "window_moving_sum",
-    "window_ntile",
-    "window_percent_rank_cume",
-    "window_rank_dense_rank",
+#: The round-12 driver correctness window (VERDICT r11 #1): the 1 new +
+#: 2 modified contracts lead; then ALL 6 remaining round-7-row contracts
+#: (closing the r7 backlog) and the oldest 41 of the 46 round-8-row
+#: contracts, each cohort in its round-file key order. The 5 leftover r8
+#: rows rotate in round 13.
+_PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
+    # the remaining 6 round-7-row contracts, CORRECTNESS_r07 key order
+    "window_topk_per_group",
+    "time_gap_fill",
+    "events_funnel",
+    "agg_histogram",
+    "window_range_frame",
+    "text_ngram_topk",
+    # the oldest 41 round-8-row contracts, CORRECTNESS_r08 key order
+    "text_dedup_trim",
+    "dedup_semantic_clusters",
+    "train_pack_bpe",
+    "train_pack_sequences",
+    "dedup_blocked_jaccard",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_key",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "dedup_simhash",
+    "events_anomaly_mad",
+    "events_cumulative_users",
+    "events_retention_cohorts",
+    "minhash_dedup_decisions",
+    "mm_resize",
+    "relational_lateral_topn",
+    "sim_label_centroid",
+    "sim_lsh_bucket_histogram",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "sim_topk_numpy",
+    "source_csv_scan",
+    "source_partitioned_scan",
+    "stream_append_closed_windows",
+    "stream_sliding_counts",
+    "text_language_id",
+    "text_pii_scrub",
+    "text_quality_filter",
+    "text_quality_scores",
+    "text_repetition_filter",
+    "text_tfidf_topk",
+    "text_token_counts",
+    "train_bpe_pair_counts",
+    "train_chunk_documents",
+    "train_contamination_check",
+    "train_curriculum_order",
+    "train_mixture_sample",
+    "udtf_tokenize",
 ]
 
 

@@ -966,6 +966,87 @@ def _knn_section(spark, S, big: str, out: dict) -> dict:
     return out
 
 
+def run_text_rung(spark, sf_dir: str, n_reps: int) -> dict:
+    """One extra rung for the two steepest text shuffle laws (VERDICT r11
+    #5): `text_dedup_trim` (its window frame is inherently corpus-sized —
+    Lee et al. semantics) and `text_char_entropy` (docs × alphabet count
+    shuffle). Replicates ONLY the documents table (same ' r{n}' suffix
+    scheme as `_replicate`, built with one lateral range join instead of
+    an n-way union so a 300× plan stays shallow) and records the same
+    observables the 10×/30×/100× rungs carry, so the fitted exponent
+    rests on more than two points past the knee."""
+    from parquet_near_storage_compute_spark.operators import textops as TX
+    from parquet_near_storage_compute_spark.tables import fan_out, load_table
+
+    big = os.path.join(REPO, ".tmp", f"scale_evidence_text_x{n_reps}")
+    if not os.path.isdir(os.path.join(big, "documents.parquet")):
+        docs = load_table(spark, sf_dir, "documents")
+        reps = docs.crossJoin(
+            spark.range(n_reps).select(F.col("id").alias("_r"))
+        ).select(
+            (F.col("doc_id") + F.col("_r") * ID_STRIDE).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" r"), F.col("_r")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        reps.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(big, "documents.parquet")
+        )
+
+    out: dict = {"reps": n_reps, "base_sf_dir": sf_dir}
+    docs = load_table(spark, big, "documents")
+
+    # text_dedup_trim measured DIRECTLY (the earlier rungs measured its
+    # shared window frame via text_duplicate_window_fraction)
+    wins = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode(shingles(words("text"), TX.TEXT_DUP_WINDOW)).alias("gm"),
+        )
+        .select("doc_id", F.md5("gm").alias("h"))
+    )
+    per_doc_h = wins.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("m"))
+    collapsed_rows = per_doc_h.count()
+    sec, n_rows = _timed(TX.dedup_trim(spark, big))
+    out["text_dedup_trim"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "collapsed_doc_window_rows": int(collapsed_rows),
+        "max_task_rows_window_shuffle": _max_partition_rows(per_doc_h),
+        "law": "collapsed (doc, window-hash) frame linear in corpus "
+        "(corpus-proportional by the Lee et al. semantics), hot-key-free; "
+        "cover pass per doc",
+    }
+
+    chars_stats = docs.agg(
+        F.sum(F.length("text")).alias("corpus_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).collect()[0]
+    count_rows = (
+        fan_out(docs)
+        .filter(F.length("text") >= 1)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .count()
+        .count()
+    )
+    sec, n_rows = _timed(TX.char_entropy(spark, big))
+    out["text_char_entropy"] = {
+        "sec": sec,
+        "rows": n_rows,
+        "corpus_chars": int(chars_stats.corpus_chars),
+        "count_shuffle_rows": int(count_rows),
+        "law": "one linear split-explode over corpus chars; count shuffle "
+        "≤ docs × alphabet rows, independent of document LENGTH",
+    }
+    return out
+
+
 def main() -> None:
     from parquet_near_storage_compute_spark.session import get_spark
 
@@ -982,6 +1063,26 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--text-rung" in sys.argv:
+        # incremental mode (VERDICT r11 #5): append/refresh ONLY the
+        # 300×-class text rung in the existing SCALE_EVIDENCE.json
+        n = int(sys.argv[sys.argv.index("--text-rung") + 1])
+        path = os.path.join(REPO, "SCALE_EVIDENCE.json")
+        with open(path) as fh:
+            existing = json.load(fh)
+        existing.setdefault("text_rungs", [])
+        existing["text_rungs"] = [
+            r for r in existing["text_rungs"] if r.get("reps") != n
+        ] + [run_text_rung(spark, sf_dir, n)]
+        with open(path, "w") as fh:
+            json.dump(existing, fh, indent=1)
+        print(json.dumps(existing["text_rungs"], separators=(",", ":")),
+              file=sys.stderr)
+        print(f"wrote {path} (text rung {n}x)", file=sys.stderr)
+        spark.stop()
+        return
+
     out = run(spark, sf_dir, REPS)
     high = [r for r in HIGH_REPS if r > REPS]
     if high:
