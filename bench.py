@@ -151,6 +151,16 @@ R11_ADDED: list[str] = [
     "time_downsample_lttb",
 ]
 
+#: r12 batch addition. `stream_minhash_ingest` is deliberately NOT here:
+#: streaming contracts execute inside foreachBatch at construction time,
+#: which the noop-sink timing protocol cannot meaningfully time (same
+#: status as stream_phash_ingest).
+R12_ADDED: list[str] = [
+    # exact-integer greedy MMR exemplar selection (relevance top-POOL
+    # TakeOrdered + K bounded broadcast-join rounds)
+    "sim_mmr_select",
+]
+
 #: cohort → members, in round order. The stdout headline reports ONE
 #: subtotal per cohort (bounded: one number per round, ever), while the
 #: full per-query timings map lives in BENCH_DETAIL.json → ``queries``.
@@ -162,6 +172,7 @@ COHORTS = {
     "r9": R9_ADDED,
     "r10": R10_ADDED,
     "r11": R11_ADDED,
+    "r12": R12_ADDED,
 }
 
 HEADLINE = [q for cohort in COHORTS.values() for q in cohort]
@@ -320,6 +331,10 @@ BARS = {
     # r11 table: quiet-box best-of-7 interleaved (load < 2.2 at start)
     "train_token_fertility": 0.8416, "train_context_length_fit": 0.1825,
     "dedup_cluster_size_histogram": 0.2191, "time_downsample_lttb": 1.0830,
+    # r12 table: quiet-box best-of-7 (the greedy runs on the collected
+    # ≤POOL-row frame at construction; the timed execution is the
+    # 10-row result materialization)
+    "sim_mmr_select": 0.5728,
 }
 
 
@@ -779,6 +794,7 @@ def main() -> None:
         "r9_added_queries": R9_ADDED,
         "r10_added_queries": R10_ADDED,
         "r11_added_queries": R11_ADDED,
+        "r12_added_queries": R12_ADDED,
         "bar_breaches": bar_breaches,
         "bar_breaches_normalized": bar_breaches_normalized,
         "bar_breaches_consecutive": bar_breaches_consecutive,

@@ -262,15 +262,19 @@ def minhash_decisions_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus table — shared between the registered contract and
     `pipeline_modality_dedup_report`'s text branch (r12, VERDICT #3:
     the decisions tree costs ~3 s of construction; the composite re-paid
-    it on every build)."""
-    return _CC_MEMO.get(
-        spark,
-        sf_dir,
-        "minhash_decisions",
-        lambda: minhash_dedup_decisions(
-            load_table(spark, sf_dir, "documents")
-        ),
-    )
+    it on every build). The narrow corpus projection is persisted INSIDE
+    the memoized build: the decisions tree consumes the corpus twice
+    (signature subtree + the final per-doc mapping), and the composite
+    single-scan discipline (test_pipeline_single_scan) requires every
+    consumer to read the one cached frame, not re-scan parquet."""
+
+    def build() -> DataFrame:
+        docs = fan_out(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ).persist()
+        return minhash_dedup_decisions(docs)
+
+    return _CC_MEMO.get(spark, sf_dir, "minhash_decisions", build)
 
 
 #: Convergence bound for min-label propagation. Label propagation needs

@@ -1869,6 +1869,156 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("variant")
 
 
+#: MMR diversified selection (r12): tradeoff weight λ = 7/10 carried as
+#: an integer pair so the greedy score 10·mmr = 7·rel − 3·maxsim stays
+#: in exact BIGINT algebra on both engines; K exemplars selected from a
+#: relevance top-POOL candidate set (the standard two-stage MMR a
+#: retrieval pipeline runs — the full corpus is never pairwise-touched).
+MMR_LAMBDA_NUM = 7
+MMR_LAMBDA_DEN = 10
+MMR_K = 10
+MMR_POOL = 50
+MMR_QUERY_ID = 0
+
+
+def mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance exemplar selection (Carbonell &
+    Goldstein 1998): greedily pick K vectors that are RELEVANT to a query
+    but DIVERSE among themselves — the curation step behind few-shot
+    exemplar picking, dedup-aware retrieval, and diverse-sample labeling
+    budgets (the selection-side complement of SemDeDup's drop-side rule).
+    Score per round: λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+
+    Exact-integer form: vectors on the shared PQ lattice
+    (``_lattice_expr`` — floor(x·1024 + 0.5), exact doubles → BIGINTs),
+    relevance and pairwise similarity as integer lattice DOT PRODUCTS
+    (unnormalized — at |x| ≤ 0.6 and DIM 64 the dots stay < 2^31, and
+    the committed corpora's vectors are near-unit so the dot ranks like
+    cosine), and the λ-tradeoff as ``10·score = 7·rel − 3·maxsim`` —
+    no float anywhere, ties broken by vec_id: a bit-stable total order
+    both engines replay.
+
+    Scale shape (the standard two-stage MMR): stage 1 takes the top
+    MMR_POOL candidates by (rel desc, vec_id) — a TakeOrderedAndProject
+    over one corpus pass (map-side partial top-k, no shuffle of the
+    corpus). Stage 2 collects that ≤POOL-row frame to the driver — a
+    BOUNDED statistics probe (≤ MMR_POOL·DIM ints ≈ 25 KB, constant in
+    corpus size; the `_lloyd_book` / FAISS train-on-sample split) — and
+    runs the K greedy rounds in exact arbitrary-precision Python ints:
+    K·POOL dot products over 64-dim vectors, microseconds. A fully
+    declarative per-round loop was measured at ~1 s of job-scheduling
+    overhead PER ROUND for kilobytes of data (each round needs its
+    1-row argmax materialized — lineage would otherwise expand 3^K);
+    the driver greedy is the honest plan at any scale because the pool
+    is the scale bound, not the corpus. At 100 TB only stage 1 sees
+    the corpus.
+
+    Output: (rank, vec_id, rel, score10) in selection order; rank 1's
+    score10 = 7·rel (empty selected set ⇒ no diversity penalty)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vi = fan_out(emb).select(
+        "vec_id", F.expr(_lattice_expr("embedding")).alias("v")
+    )
+    q = vi.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("v").alias("qv")
+    )
+    dot_q = F.expr(
+        "aggregate(zip_with(v, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+    )
+    pool_rows = (
+        vi.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn("rel", dot_q)
+        .select("vec_id", "rel", "v")
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .collect()  # bounded probe: ≤ MMR_POOL rows, ~25 KB
+    )
+    selected: list[tuple[int, int, int, int]] = []  # rank, id, rel, score10
+    chosen: list[list[int]] = []
+    remaining = [(r["vec_id"], r["rel"], list(r["v"])) for r in pool_rows]
+    for rank in range(1, min(MMR_K, len(remaining)) + 1):
+        best = None
+        for vec_id, rel, v in remaining:
+            if chosen:
+                maxsim = max(
+                    sum(a * b for a, b in zip(v, sv)) for sv in chosen
+                )
+                score10 = MMR_LAMBDA_NUM * rel - (
+                    MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+                ) * maxsim
+            else:
+                score10 = MMR_LAMBDA_NUM * rel
+            key = (-score10, vec_id)
+            if best is None or key < best[0]:
+                best = (key, vec_id, rel, v, score10)
+        _, vec_id, rel, v, score10 = best
+        selected.append((rank, vec_id, rel, score10))
+        chosen.append(v)
+        remaining = [t for t in remaining if t[0] != vec_id]
+    return spark.createDataFrame(
+        selected, "rank int, vec_id long, rel bigint, score10 bigint"
+    ).orderBy("rank")
+
+
+def _mmr_oracle(k: int = MMR_K) -> str:
+    """Unrolled greedy MMR in DuckDB (the BPE-unroll device): pool CTE =
+    relevance top-MMR_POOL, then one (sel_r, sel_u_r) CTE pair per round —
+    the correlated MAX over the union-so-far mirrors the Spark loop's
+    broadcast max-aggregate bit for bit. Rounds past the pool size
+    self-eliminate (NOT IN over an exhausted pool yields no row), matching
+    the Spark loop's min(K, pool) guard."""
+    num, den = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN
+    # every CTE is AS MATERIALIZED: sel{r} references sel_u{r-1} three
+    # times, so plain (inlined) CTEs expand the scan tree 4^K-fold —
+    # DuckDB then re-opens the parquet file per expanded scan instance
+    # and dies on fd exhaustion long before finishing. Materialization
+    # makes the unroll linear in K, mirroring the Spark loop's
+    # checkpoints.
+    steps = []
+    for r in range(2, k + 1):
+        prev = f"sel_u{r - 1}"
+        steps.append(f"""
+        sel{r} AS MATERIALIZED (
+          SELECT {r} AS rank, p.vec_id, p.rel, p.v,
+                 CAST({num} * p.rel - {den - num} * (
+                   SELECT MAX(CAST(list_dot_product(
+                     CAST(p.v AS DOUBLE[]), CAST(s.v AS DOUBLE[])) AS BIGINT))
+                   FROM {prev} s) AS BIGINT) AS score10
+          FROM pool p
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+          ORDER BY score10 DESC, p.vec_id LIMIT 1
+        ),
+        sel_u{r} AS MATERIALIZED
+          (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{r})""")
+    return f"""
+        WITH vi AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)) AS v
+          FROM embeddings
+        ),
+        q AS MATERIALIZED
+          (SELECT v AS qv FROM vi WHERE vec_id = {MMR_QUERY_ID}),
+        pool AS MATERIALIZED (
+          SELECT vi.vec_id,
+                 CAST(list_dot_product(CAST(vi.v AS DOUBLE[]),
+                                       CAST(q.qv AS DOUBLE[])) AS BIGINT)
+                   AS rel,
+                 vi.v
+          FROM vi, q WHERE vi.vec_id <> {MMR_QUERY_ID}
+          ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+        ),
+        sel1 AS MATERIALIZED (
+          SELECT 1 AS rank, vec_id, rel, v,
+                 CAST({num} * rel AS BIGINT) AS score10
+          FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+        ),
+        sel_u1 AS MATERIALIZED (SELECT * FROM sel1),{",".join(steps)}
+        SELECT rank, vec_id, rel, score10 FROM sel_u{k} ORDER BY rank
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bruteforce": topk_bruteforce,
     "sim_recall_report": recall_report,
@@ -1887,6 +2037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_range_search": range_search,
     "dedup_semantic_clusters": semantic_dedup,
     "sim_topk_pq": topk_pq,
+    "sim_mmr_select": mmr_select,
 }
 
 _COS = (
@@ -2546,3 +2697,4 @@ def _recall_report_oracle() -> str:
 
 
 ORACLE_SQL["sim_recall_report"] = _recall_report_oracle()
+ORACLE_SQL["sim_mmr_select"] = _mmr_oracle()

@@ -43,10 +43,12 @@ from pyspark.sql import SparkSession
 
 from parquet_near_storage_compute_spark.tables import table_path
 
-#: Frames kept alive per PlanMemo (LRU). Small on purpose: one slot per
-#: concurrently-used corpus is enough, and each slot may pin executor
-#: blocks for its checkpointed lineage.
-_CAP = 6
+#: Frames kept alive per PlanMemo (LRU). Sized for one corpus × every
+#: label a module registers (similarity carries 6) plus a couple of test
+#: corpora — small enough that pinned checkpoint blocks stay bounded,
+#: large enough that one bench/driver pass never evicts a frame a later
+#: composite still needs.
+_CAP = 16
 
 
 def _fingerprint(

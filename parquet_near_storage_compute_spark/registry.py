@@ -34,21 +34,23 @@ r6-row contracts + the oldest 36 r7-row contracts — 50/50 green
 (CORRECTNESS_r11), leaving staleness {r7: 6, r8: 46, r9: 48, r10: 49,
 r11: 50}.
 
-Round 12's window (VERDICT r11 #1): 1 new contract
+Round 12's window (VERDICT r11 #1): 2 new contracts
 (`stream_minhash_ingest` — streaming MinHash admission via foreachBatch:
 banded state join → exact shingle-Jaccard verify → within-batch
 min-wins → generation-dir state publishing; the text sibling of
-`stream_phash_ingest`, recursive-CTE replay oracle) + 2 modified
+`stream_phash_ingest`, recursive-CTE replay oracle; `sim_mmr_select` —
+exact-integer greedy MMR exemplar selection over a relevance top-POOL
+candidate set, unrolled-CTE oracle) + 2 modified
 (`time_downsample_lttb` — the triangle-area products moved from raw
 int64 to DECIMAL(38,0)/HUGEINT, closing the ADVICE r11 overflow
 envelope; `train_bpe_merges` — its merge loop is now the shared
 `_bpe_trained` pass over the length ≥ 1 vocabulary, trajectory-identical
 by the pinned 1-char-words-contribute-no-pairs equivalence) lead; then
 ALL 6 remaining r7-row contracts (closing the r7 backlog) and the oldest
-41 of the 46 contracts whose newest driver row is CORRECTNESS_r08, both
+40 of the 46 contracts whose newest driver row is CORRECTNESS_r08, both
 in their round-file key order (computed from the r0*.json history
 exactly as tests/test_registry_window.py does — never hand-counted).
-The 5 leftover r8 rows rotate in round 13; after this round no live
+The 6 leftover r8 rows rotate in round 13; after this round no live
 contract's newest driver row is older than round 8.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
@@ -93,8 +95,13 @@ _MODULES = [
 #: within-batch min-wins → write-then-publish state generations), the
 #: text sibling of stream_phash_ingest, replayed sequentially by a
 #: recursive-CTE DuckDB oracle.
+#: sim_mmr_select: Maximal-Marginal-Relevance exemplar selection — K
+#: relevant-but-diverse vectors via the exact-integer lattice greedy
+#: (10·score = 7·rel − 3·maxsim), two-stage (relevance top-POOL, then
+#: bounded greedy rounds); unrolled-CTE DuckDB oracle.
 NEW_IN_R12 = [
     "stream_minhash_ingest",
+    "sim_mmr_select",
 ]
 
 #: Contracts round 12 modifies that already carry driver rows — the
@@ -112,10 +119,10 @@ MODIFIED_IN_R12 = [
     "train_bpe_merges",
 ]
 
-#: The round-12 driver correctness window (VERDICT r11 #1): the 1 new +
+#: The round-12 driver correctness window (VERDICT r11 #1): the 2 new +
 #: 2 modified contracts lead; then ALL 6 remaining round-7-row contracts
-#: (closing the r7 backlog) and the oldest 41 of the 46 round-8-row
-#: contracts, each cohort in its round-file key order. The 5 leftover r8
+#: (closing the r7 backlog) and the oldest 40 of the 46 round-8-row
+#: contracts, each cohort in its round-file key order. The 6 leftover r8
 #: rows rotate in round 13.
 _PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
     # the remaining 6 round-7-row contracts, CORRECTNESS_r07 key order
@@ -125,7 +132,7 @@ _PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
     "agg_histogram",
     "window_range_frame",
     "text_ngram_topk",
-    # the oldest 41 round-8-row contracts, CORRECTNESS_r08 key order
+    # the oldest 40 round-8-row contracts, CORRECTNESS_r08 key order
     "text_dedup_trim",
     "dedup_semantic_clusters",
     "train_pack_bpe",
@@ -166,7 +173,6 @@ _PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
     "train_contamination_check",
     "train_curriculum_order",
     "train_mixture_sample",
-    "udtf_tokenize",
 ]
 
 

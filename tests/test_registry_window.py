@@ -1,13 +1,13 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
-contract. Round 12's window (VERDICT r11 #1) = 1 new contract
-(`stream_minhash_ingest`) + 2 modified (`time_downsample_lttb`'s decimal
+contract. Round 12's window (VERDICT r11 #1) = 2 new contracts
+(`stream_minhash_ingest`, `sim_mmr_select`) + 2 modified (`time_downsample_lttb`'s decimal
 triangle-area products and `train_bpe_merges`' shared `_bpe_trained` loop
 invalidate their r11 rows), then ALL 6 contracts whose newest driver row is
 CORRECTNESS_r07 (closing the r7 backlog) and the oldest 41 of the 46 whose
 newest row is CORRECTNESS_r08 — both computed from the r0*.json history
 (never hand-counted; the r7 miscount is the cautionary tale), in round-file
-key order. The 5 leftover r8 rows rotate in round 13."""
+key order. The 6 leftover r8 rows rotate in round 13."""
 
 from __future__ import annotations
 
@@ -68,11 +68,11 @@ def test_window_head_leads_with_unchecked_then_modified():
 
 
 def test_backlog_slots_are_the_stalest_rows_in_round_key_order():
-    """The 47 backlog slots must be exactly: every remaining r7-row
+    """The 46 backlog slots must be exactly: every remaining r7-row
     contract (6 — the backlog closes this round) in CORRECTNESS_r07 key
     order, then the OLDEST r8-row contracts in CORRECTNESS_r08 key order —
     a stable, history-derived order, so the pinned list is reproducible
-    and the 5 leftover r8 rows are a conscious r13 deferral."""
+    and the 6 leftover r8 rows are a conscious r13 deferral."""
     latest = _latest_row()
     live = set(all_queries())
     head = set(NEW_IN_R12 + MODIFIED_IN_R12)
@@ -92,7 +92,7 @@ def test_backlog_slots_are_the_stalest_rows_in_round_key_order():
     backlog = backlog_r7 + backlog_r8
     assert window_slots == backlog[: len(window_slots)]
     leftover = backlog[len(window_slots):]
-    assert len(leftover) == 5, leftover  # the r13 remainder
+    assert len(leftover) == 6, leftover  # the r13 remainder
 
 
 def test_every_registered_contract_has_a_row_or_a_slot():

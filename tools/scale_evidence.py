@@ -975,6 +975,10 @@ def run_text_rung(spark, sf_dir: str, n_reps: int) -> dict:
     an n-way union so a 300× plan stays shallow) and records the same
     observables the 10×/30×/100× rungs carry, so the fitted exponent
     rests on more than two points past the knee."""
+    from parquet_near_storage_compute_spark.functions.text import (
+        shingles,
+        words,
+    )
     from parquet_near_storage_compute_spark.operators import textops as TX
     from parquet_near_storage_compute_spark.tables import fan_out, load_table
 
