@@ -116,6 +116,9 @@ GLOBAL_SORT_DECLARED = {
     # ≤11-row decile report: the cumulative window is dimension-sized
     # by construction
     "dedup_threshold_curve",
+    # ≤MMR_K-row selection in rank order: the sort is over the 10-row
+    # LocalTableScan result of the driver-side greedy (r12)
+    "sim_mmr_select",
     # ≤ len(BAND_CONFIGS)·11-row S-curve report, dimension-sized
     "dedup_minhash_band_tuning",
     # one row per distinct cluster size (≤ log-ish under a power law),
