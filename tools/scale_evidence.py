@@ -1051,6 +1051,58 @@ def run_text_rung(spark, sf_dir: str, n_reps: int) -> dict:
     return out
 
 
+def run_r12_rung(spark, sf_dir: str, n_reps: int) -> dict:
+    """Scale rungs for the two r12 operators (reusing the standard
+    `_replicate` corpora):
+
+    - `sim_mmr_select`: the law is STRUCTURAL — the candidate pool is
+      capped at MMR_POOL and the output at MMR_K no matter the corpus;
+      only the relevance top-POOL pass (TakeOrderedAndProject) is
+      corpus-sized. Replication also plants exact query-duplicates
+      (replicas share embeddings), the degenerate-relevance case.
+    - `stream_minhash_ingest`: replicas are ≥ 0.5-Jaccard near-dups of
+      their base (the ' r{n}' suffix adds one shingle: J = (n−2)/(n−1)),
+      and ID_STRIDE ≡ 0 (mod MINHASH_INGEST_BATCHES) lands every replica
+      in its base's batch slot — so the ACCEPTED state must stay
+      ~base-corpus-sized while the input grows ×reps: the admission
+      operator's whole claim. Per-batch join cost is bounded by the
+      (bounded) state, not the input."""
+    from parquet_near_storage_compute_spark.operators import similarity as S
+    from parquet_near_storage_compute_spark.streaming import stream_ops as SO
+    from parquet_near_storage_compute_spark.tables import load_table
+
+    big = os.path.join(REPO, ".tmp", f"scale_evidence_x{n_reps}")
+    if not os.path.isdir(os.path.join(big, "documents.parquet")):
+        _replicate(spark, sf_dir, big, n_reps)
+
+    out: dict = {"reps": n_reps, "base_sf_dir": sf_dir}
+
+    t0 = time.perf_counter()
+    mmr = S.mmr_select(spark, big)
+    rows = mmr.count()
+    out["sim_mmr_select"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "rows": int(rows),
+        "pool_cap": S.MMR_POOL,
+        "law": "output = MMR_K and pool ≤ MMR_POOL at any corpus size; "
+        "only the relevance top-POOL pass is corpus-sized",
+    }
+
+    n_docs = load_table(spark, big, "documents").count()
+    t0 = time.perf_counter()
+    ing = SO.minhash_ingest(spark, big)
+    accepted = ing.count()
+    out["stream_minhash_ingest"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "input_docs": int(n_docs),
+        "accepted": int(accepted),
+        "law": "replicas are ≥0.5-Jaccard near-dups in their base's "
+        "batch slot → accepted state stays ~base-corpus-sized while "
+        "input grows ×reps; per-batch state join bounded by the state",
+    }
+    return out
+
+
 def main() -> None:
     from parquet_near_storage_compute_spark.session import get_spark
 
@@ -1084,6 +1136,25 @@ def main() -> None:
         print(json.dumps(existing["text_rungs"], separators=(",", ":")),
               file=sys.stderr)
         print(f"wrote {path} (text rung {n}x)", file=sys.stderr)
+        spark.stop()
+        return
+
+    if "--r12-rung" in sys.argv:
+        # incremental mode: append/refresh one r12-operator rung
+        n = int(sys.argv[sys.argv.index("--r12-rung") + 1])
+        path = os.path.join(REPO, "SCALE_EVIDENCE.json")
+        with open(path) as fh:
+            existing = json.load(fh)
+        existing.setdefault("r12_rungs", [])
+        existing["r12_rungs"] = [
+            r for r in existing["r12_rungs"] if r.get("reps") != n
+        ] + [run_r12_rung(spark, sf_dir, n)]
+        existing["r12_rungs"].sort(key=lambda r: r["reps"])
+        with open(path, "w") as fh:
+            json.dump(existing, fh, indent=1)
+        print(json.dumps(existing["r12_rungs"], separators=(",", ":")),
+              file=sys.stderr)
+        print(f"wrote {path} (r12 rung {n}x)", file=sys.stderr)
         spark.stop()
         return
 
