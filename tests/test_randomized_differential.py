@@ -112,6 +112,16 @@ CONTRACTS = [
     "dedup_minhash_lsh",
     "minhash_dedup_decisions",
     "dedup_connected_components",
+    # r12: streaming MinHash admission on the random shapes — the 15%
+    # exact-duplicate cluster scatters across batch slots (state
+    # rejection at random offsets), empty/single-word docs exercise the
+    # shingle-less unconditional-admit branch, and the recursive-CTE
+    # replay must track all of it batch by batch
+    "stream_minhash_ingest",
+    # r12: greedy MMR on the duplicate-heavy embeddings — exact rel ties
+    # in the pool (vec_id break) and identical selected/candidate pairs
+    # (maxsim = self-dot) the fixed corpus never produces
+    "sim_mmr_select",
     "text_tfidf_topk",
     "text_quality_filter",
     "train_chunk_documents",
