@@ -347,6 +347,95 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence segment scrub with document reassembly
+    (r12) — the ACTION half of `text_dedup_segments`' measurement and the
+    segment-granularity form of CCNet/RefinedWeb line-level dedup (Wenzek
+    et al. 2020, arXiv:1911.00359 §3.1 dedups paragraphs by hash across
+    the corpus keeping one occurrence; the synthetic docs have no
+    newlines, so the repo's established non-overlapping SEG_WORDS-word
+    grid stands in for lines): every distinct segment survives ONLY at
+    its globally first occurrence (min (doc_id, seg_idx)); every other
+    occurrence — including repeats later in the keeper doc itself — is
+    scrubbed, and each document is re-assembled from its surviving
+    segments in position order, with before/after accounting and an md5
+    of the rebuilt text for member-level verification (the
+    `text_dedup_trim` kept_hash pattern).
+
+    Scale shape — deliberately tighter than `text_dedup_segments`' count
+    join: the kept set IS the per-segment argmin row, so the op is one
+    explode → ONE segment-keyed aggregate (min(struct(doc_id, seg_idx)),
+    map-side combinable: a boilerplate segment duplicated 10M× collapses
+    to one row per map task before the exchange) → one doc-keyed
+    re-assembly aggregate → a 1:1 doc join for the totals. Two shuffles,
+    no occurrence-stream join, nothing quadratic; per-doc state is
+    bounded by the doc's own kept segments."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    ws = words("text")
+    n_segs = F.ceil(F.size(ws) / F.lit(SEG_WORDS)).cast("int")
+    seg_structs = F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("seg_idx"),
+                F.array_join(
+                    F.slice(ws, i * SEG_WORDS + 1, SEG_WORDS), " "
+                ).alias("seg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<seg_idx:bigint,seg:string>>"))
+    occ = (
+        docs.select("doc_id", F.explode(seg_structs).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.seg_idx").alias("seg_idx"),
+            F.col("s.seg").alias("seg"),
+        )
+    )
+    # (doc_id, seg_idx) pairs are unique, so the struct-min is a total
+    # order with no ties — the keeper is exactly one occurrence row.
+    keepers = occ.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("k")
+    ).select(
+        F.col("k.doc_id").alias("doc_id"),
+        F.col("k.seg_idx").alias("seg_idx"),
+        "seg",
+    )
+    per_doc = (
+        keepers.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda x: x.getField("seg"),
+                ),
+            ).alias("kept_text"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.length("kept_text").cast("bigint").alias("kept_chars"),
+            F.md5("kept_text").alias("kept_hash"),
+        )
+    )
+    totals = docs.select(
+        "doc_id",
+        F.when(F.size(ws) > 0, n_segs.cast("bigint"))
+        .otherwise(F.lit(0))
+        .alias("n_segments"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("kept_chars", F.lit(0).cast("bigint")).alias("kept_chars"),
+        F.coalesce("kept_hash", F.md5(F.lit(""))).alias("kept_hash"),
+    )
+
+
 #: Hashing-trick feature space of the linear quality model (r6).
 QC_DIM = 4096
 #: Integer weights: w(f) = hash32('qw', f) % QC_WEIGHT_MOD − QC_WEIGHT_SHIFT
@@ -843,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_topk": tfidf_topk,
     "text_pii_scrub": pii_scrub,
     "text_dedup_segments": dedup_segments,
+    "text_dedup_scrub": dedup_scrub,
 }
 
 _MARKER_SQL = {
@@ -1105,6 +1195,52 @@ ORACLE_SQL: dict[str, str] = {
                  AS n_shared_segments
         FROM segs JOIN cnt USING (seg)
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    # first-occurrence keeper = row_number 1 over (doc_id, seg_idx) — the
+    # pair is unique, so this is the same total order as the Spark side's
+    # min(struct(doc_id, seg_idx)).
+    "text_dedup_scrub": f"""
+        WITH occ AS (
+          SELECT doc_id, u.seg_idx AS seg_idx, u.seg AS seg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     range(CAST(ceil(len(ws) / {SEG_WORDS}.0) AS BIGINT)),
+                     i -> struct_pack(
+                            seg_idx := CAST(i AS BIGINT),
+                            seg := array_to_string(
+                              ws[i * {SEG_WORDS} + 1 : i * {SEG_WORDS} + {SEG_WORDS}],
+                              ' ')))) AS u
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+          )
+        ),
+        keep AS (
+          SELECT doc_id, seg_idx, seg FROM (
+            SELECT doc_id, seg_idx, seg,
+                   row_number() OVER (PARTITION BY seg
+                                      ORDER BY doc_id, seg_idx) AS rn
+            FROM occ
+          ) WHERE rn = 1
+        ),
+        perdoc AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 CAST(length(string_agg(seg, ' ' ORDER BY seg_idx)) AS BIGINT)
+                   AS kept_chars,
+                 md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_hash
+          FROM keep GROUP BY doc_id
+        ),
+        tot AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN len(string_split(text, ' ')) > 0
+                      THEN ceil(len(string_split(text, ' ')) / {SEG_WORDS}.0)
+                      ELSE 0 END AS BIGINT) AS n_segments
+          FROM documents
+        )
+        SELECT t.doc_id AS doc_id, t.n_segments AS n_segments,
+               COALESCE(p.n_kept, 0) AS n_kept,
+               COALESCE(p.kept_chars, 0) AS kept_chars,
+               COALESCE(p.kept_hash, md5('')) AS kept_hash
+        FROM tot t LEFT JOIN perdoc p USING (doc_id)
     """,
     "text_quality_scores": f"""
         WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)

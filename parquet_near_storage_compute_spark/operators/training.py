@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from parquet_near_storage_compute_spark.functions.text import shingles, words
 from parquet_near_storage_compute_spark.plans.memo import PlanMemo
-from parquet_near_storage_compute_spark.tables import load_table
+from parquet_near_storage_compute_spark.tables import fan_out, load_table
 
 #: Tokens per packed training sequence (contract-pinned).
 PACK_CAPACITY = 2048
@@ -1324,6 +1324,281 @@ def interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("position")
 
 
+#: DSIR (Xie et al. 2023, arXiv:2302.03169) hashed-feature space: unigram
+#: tokens hash into DSIR_DIM buckets (the paper's hashed n-gram device at
+#: unigram order); the target distribution is the corpus' own
+#: DSIR_TARGET_LANG slice (the "high-quality target set" stand-in the
+#: synthetic tables afford).
+DSIR_DIM = 1024
+DSIR_TARGET_LANG = "en"
+#: Fixed-point fractional bits of the log2 importance weights: every
+#: λ_b and every document score is an exact int64 — no transcendental
+#: libm calls on either engine, so the oracle comparison is bit-exact.
+DSIR_FRAC_BITS = 20
+#: Report size: the top-K highest-importance documents.
+DSIR_TOPK = 100
+
+_TWO30 = 1 << 30
+_TWO31 = 1 << 31
+
+
+def _with_ilog2fp(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Append ``dst`` = floor(log2(src) · 2^DSIR_FRAC_BITS) for integer
+    ``src`` ≥ 1, in exact int64 arithmetic: m = len(bin(x)) − 1 is the
+    integer part; x is normalized into [2^30, 2^31) by one conditional
+    shift (left shifts only happen when m ≤ 30, so the product stays
+    < 2^31 — no overflow); DSIR_FRAC_BITS squaring steps then extract
+    fractional bits (y < 2^31 ⇒ y² < 2^62 fits int64). Identical loop in
+    the generated oracle CTE chain (`_ilog2fp_ctes`). Steps are chained
+    as NAMED columns, never nested Column expressions — each step's `y`
+    feeds the next through a projection, so the expression tree stays
+    linear in DSIR_FRAC_BITS (a pure-Column fold would double the tree
+    per step: the condition and both branches all reference y)."""
+    m = (F.length(F.bin(F.col(src))) - 1).cast("int")
+    df = (
+        df.withColumn("_m", m)
+        .withColumn(
+            "_y",
+            F.when(
+                F.col("_m") <= 30, F.expr(f"shiftleft({src}, 30 - _m)")
+            )
+            .otherwise(F.expr(f"shiftright({src}, _m - 30)"))
+            .cast("long"),
+        )
+        .withColumn("_acc", F.lit(0).cast("long"))
+    )
+    for _ in range(DSIR_FRAC_BITS):
+        df = (
+            df.withColumn(
+                "_y2", F.shiftright(F.col("_y") * F.col("_y"), 30)
+            )
+            .withColumn(
+                "_acc",
+                F.when(
+                    F.col("_y2") >= F.lit(_TWO31), F.col("_acc") * 2 + 1
+                ).otherwise(F.col("_acc") * 2),
+            )
+            .withColumn(
+                "_y",
+                F.when(
+                    F.col("_y2") >= F.lit(_TWO31),
+                    F.shiftright(F.col("_y2"), 1),
+                ).otherwise(F.col("_y2")),
+            )
+        )
+    return df.withColumn(
+        dst,
+        (
+            F.col("_m").cast("long") * F.lit(1 << DSIR_FRAC_BITS)
+            + F.col("_acc")
+        ).cast("long"),
+    ).drop("_m", "_y", "_acc", "_y2")
+
+
+def _dsir_bucket(col: F.Column) -> F.Column:
+    """Hashed unigram feature id — the shared md5-prefix hash device
+    (operators/sketches.py:52, textops._hash32) modulo DSIR_DIM."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), col)), 1, 8), 16, 10
+        ).cast("long")
+        % DSIR_DIM
+    )
+
+
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling for data selection (DSIR, Xie et al. 2023,
+    arXiv:2302.03169), exact-integer end to end: tokens hash into
+    DSIR_DIM buckets; per-bucket importance λ_b is the Laplace-smoothed
+    log-likelihood ratio of the target distribution (the corpus'
+    DSIR_TARGET_LANG slice) against the raw distribution,
+
+        λ_b = lg(t_b+1) − lg(T+D) − lg(r_b+1) + lg(R+D)
+
+    with lg = floor(log2(·)·2^DSIR_FRAC_BITS) computed by the exact
+    shift-and-square loop (`_with_ilog2fp` — no libm, bit-identical in
+    DuckDB); a document's score is Σ_tokens λ_bucket(token) and the top
+    DSIR_TOPK by (score desc, doc_id) are reported. The paper samples
+    proportionally to exp(score); ranking by score is the deterministic
+    top-k form of the same ordering.
+
+    Scale shape: ONE corpus pass builds the DSIR_DIM-row bucket count
+    table (map-side combinable groupBy); the λ table derives from it in
+    tiny-frame arithmetic (the count table is localCheckpointed once so
+    its corpus lineage isn't re-executed by the totals branch); ONE more
+    corpus pass scores documents via a broadcast join against the
+    1024-row λ table (no shuffle of the token stream — the per-doc sum
+    shuffles doc-keyed partial aggregates only); the result is a
+    TakeOrderedAndProject at K=100. Nothing driver-side ever exceeds the
+    bucket table."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(words("text")).alias("w"),
+    ).withColumn("b", _dsir_bucket(F.col("w")))
+    counts = (
+        toks.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("r"),
+            F.sum(
+                (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+            ).alias("t"),
+        )
+        .localCheckpoint()
+    )
+    totals = counts.agg(
+        (F.sum("r") + DSIR_DIM).cast("long").alias("rt"),
+        (F.sum("t") + DSIR_DIM).cast("long").alias("tt"),
+    )
+    vals = (
+        counts.select(
+            "b", F.lit("t").alias("kind"), (F.col("t") + 1).cast("long").alias("val")
+        )
+        .unionByName(
+            counts.select(
+                "b",
+                F.lit("r").alias("kind"),
+                (F.col("r") + 1).cast("long").alias("val"),
+            )
+        )
+        .unionByName(
+            totals.select(
+                F.lit(None).cast("long").alias("b"),
+                F.lit("T").alias("kind"),
+                F.col("tt").alias("val"),
+            )
+        )
+        .unionByName(
+            totals.select(
+                F.lit(None).cast("long").alias("b"),
+                F.lit("R").alias("kind"),
+                F.col("rt").alias("val"),
+            )
+        )
+    )
+    lg = _with_ilog2fp(vals, "val", "lg")
+    base = (
+        lg.filter(F.col("kind").isin("t", "r"))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.when(F.col("kind") == "t", F.col("lg")).otherwise(
+                    -F.col("lg")
+                )
+            ).alias("base")
+        )
+    )
+    const = lg.filter(F.col("kind").isin("R", "T")).agg(
+        F.sum(
+            F.when(F.col("kind") == "R", F.col("lg")).otherwise(-F.col("lg"))
+        ).alias("c")
+    )
+    lam = base.crossJoin(F.broadcast(const)).select(
+        "b", (F.col("base") + F.col("c")).cast("long").alias("lam")
+    )
+    scores = (
+        toks.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lam").cast("long").alias("score_fp"),
+        )
+    )
+    return scores.orderBy(
+        F.col("score_fp").desc(), F.col("doc_id")
+    ).limit(DSIR_TOPK)
+
+
+def _ilog2fp_ctes(src_cte: str) -> str:
+    """Generated CTE chain mirroring `_with_ilog2fp` step for step over
+    rows of ``src_cte`` carrying (b, kind, val ≥ 1): n0 normalizes val
+    into [2^30, 2^31) with one conditional shift off len(bin(val))−1;
+    n1..nF are the squaring steps; `lgt` exposes (b, kind, lg)."""
+    msb = "(length(bin(val)) - 1)"
+    parts = [
+        f"""n0 AS (
+          SELECT b, kind, CAST({msb} AS BIGINT) AS m,
+                 CAST(CASE WHEN {msb} <= 30 THEN val << (30 - {msb})
+                      ELSE val >> ({msb} - 30) END AS BIGINT) AS y,
+                 CAST(0 AS BIGINT) AS acc
+          FROM {src_cte})"""
+    ]
+    for i in range(1, DSIR_FRAC_BITS + 1):
+        parts.append(
+            f"""n{i} AS (
+          SELECT b, kind, m,
+                 CASE WHEN ((y*y) >> 30) >= {_TWO31}
+                      THEN ((y*y) >> 30) >> 1 ELSE (y*y) >> 30 END AS y,
+                 CASE WHEN ((y*y) >> 30) >= {_TWO31}
+                      THEN acc*2 + 1 ELSE acc*2 END AS acc
+          FROM n{i-1})"""
+        )
+    parts.append(
+        f"""lgt AS (
+          SELECT b, kind, m * {1 << DSIR_FRAC_BITS} + acc AS lg
+          FROM n{DSIR_FRAC_BITS})"""
+    )
+    return ",\n        ".join(parts)
+
+
+def _dsir_oracle_sql() -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        bt AS (
+          SELECT doc_id, lang, source,
+                 ('0x' || substr(md5('dsir:' || w), 1, 8))::BIGINT
+                   % {DSIR_DIM} AS b
+          FROM toks
+        ),
+        cnt AS (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+                 CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS t
+          FROM bt GROUP BY b
+        ),
+        tot AS (
+          SELECT CAST(SUM(r) + {DSIR_DIM} AS BIGINT) AS rt,
+                 CAST(SUM(t) + {DSIR_DIM} AS BIGINT) AS tt
+          FROM cnt
+        ),
+        vals AS (
+          SELECT b, 't' AS kind, CAST(t + 1 AS BIGINT) AS val FROM cnt
+          UNION ALL
+          SELECT b, 'r' AS kind, CAST(r + 1 AS BIGINT) AS val FROM cnt
+          UNION ALL
+          SELECT CAST(NULL AS BIGINT) AS b, 'T' AS kind, tt AS val FROM tot
+          UNION ALL
+          SELECT CAST(NULL AS BIGINT) AS b, 'R' AS kind, rt AS val FROM tot
+        ),
+        {_ilog2fp_ctes("vals")},
+        lamb AS (
+          SELECT b,
+                 SUM(CASE WHEN kind = 't' THEN lg ELSE -lg END) AS base
+          FROM lgt WHERE kind IN ('t', 'r') GROUP BY b
+        ),
+        cons AS (
+          SELECT SUM(CASE WHEN kind = 'R' THEN lg ELSE -lg END) AS c
+          FROM lgt WHERE kind IN ('R', 'T')
+        ),
+        lam AS (
+          SELECT b, CAST(base + (SELECT c FROM cons) AS BIGINT) AS lam
+          FROM lamb
+        )
+        SELECT doc_id, lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lam) AS BIGINT) AS score_fp
+        FROM bt JOIN lam USING (b)
+        GROUP BY doc_id, lang, source
+        ORDER BY score_fp DESC, doc_id
+        LIMIT {DSIR_TOPK}
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_source_cap": source_cap,
     "train_interleave_datasets": interleave_datasets,
@@ -1345,6 +1620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_pack_bpe": pack_bpe,
     "train_uniform_sample": uniform_sample,
     "train_quality_resample": quality_resample,
+    "train_dsir_resample": dsir_resample,
 }
 
 from parquet_near_storage_compute_spark.operators.textops import (  # noqa: E402
@@ -1748,4 +2024,8 @@ ORACLE_SQL: dict[str, str] = {
           FROM lineitem
         ) ORDER BY "column"
     """,
+    # DSIR importance resampling: the shift-and-square fixed-point log2
+    # chain is generated by _ilog2fp_ctes — the same loop _with_ilog2fp
+    # runs on the Spark side, so scores compare bit-exact.
+    "train_dsir_resample": _dsir_oracle_sql(),
 }

@@ -50,8 +50,10 @@ ALL 6 remaining r7-row contracts (closing the r7 backlog) and the oldest
 40 of the 46 contracts whose newest driver row is CORRECTNESS_r08, both
 in their round-file key order (computed from the r0*.json history
 exactly as tests/test_registry_window.py does — never hand-counted).
-The 6 leftover r8 rows rotate in round 13; after this round no live
-contract's newest driver row is older than round 8.
+The continuation session added 2 more new contracts (`text_dedup_scrub`,
+`train_dsir_resample`), displacing the 2 newest r8 slots. The 8 leftover
+r8 rows rotate in round 13; after this round no live contract's newest
+driver row is older than round 8.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -99,9 +101,21 @@ _MODULES = [
 #: relevant-but-diverse vectors via the exact-integer lattice greedy
 #: (10·score = 7·rel − 3·maxsim), two-stage (relevance top-POOL, then
 #: bounded greedy rounds); unrolled-CTE DuckDB oracle.
+#: Round-12 continuation session adds two more:
+#: text_dedup_scrub: corpus-wide first-occurrence segment scrub with
+#: document reassembly (the CCNet/RefinedWeb line-dedup action at the
+#: repo's segment granularity) — one explode, one map-side-combinable
+#: argmin aggregate, one reassembly aggregate; kept_hash member-level
+#: oracle.
+#: train_dsir_resample: DSIR importance resampling (Xie et al. 2023) on
+#: an exact fixed-point log2 lattice — two corpus passes + a 1024-row
+#: broadcast λ table; bit-exact vs the generated shift-and-square CTE
+#: chain in DuckDB.
 NEW_IN_R12 = [
     "stream_minhash_ingest",
     "sim_mmr_select",
+    "text_dedup_scrub",
+    "train_dsir_resample",
 ]
 
 #: Contracts round 12 modifies that already carry driver rows — the
@@ -119,11 +133,13 @@ MODIFIED_IN_R12 = [
     "train_bpe_merges",
 ]
 
-#: The round-12 driver correctness window (VERDICT r11 #1): the 2 new +
+#: The round-12 driver correctness window (VERDICT r11 #1): the 4 new +
 #: 2 modified contracts lead; then ALL 6 remaining round-7-row contracts
-#: (closing the r7 backlog) and the oldest 40 of the 46 round-8-row
-#: contracts, each cohort in its round-file key order. The 6 leftover r8
-#: rows rotate in round 13.
+#: (closing the r7 backlog) and the oldest 38 of the 46 round-8-row
+#: contracts, each cohort in its round-file key order. The 8 leftover r8
+#: rows rotate in round 13 (the continuation session's two new contracts
+#: displaced `train_curriculum_order` and `train_mixture_sample` — a
+#: never-checked contract outranks refreshing a green r8 row).
 _PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
     # the remaining 6 round-7-row contracts, CORRECTNESS_r07 key order
     "window_topk_per_group",
@@ -171,8 +187,6 @@ _PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
     "train_bpe_pair_counts",
     "train_chunk_documents",
     "train_contamination_check",
-    "train_curriculum_order",
-    "train_mixture_sample",
 ]
 
 

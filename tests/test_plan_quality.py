@@ -50,6 +50,10 @@ BNLJ_WHITELIST = {
     # corpus-vocabulary constant: 1-row countDistinct frame broadcast
     # onto the bigram term frame (the text_tfidf_topk shape)
     "text_lm_perplexity",
+    # DSIR λ constant: the 1-row (lg(R+D) − lg(T+D)) frame broadcasts
+    # onto the DSIR_DIM-row bucket table — both sides dimension-sized
+    # forever (the corpus only ever sees equi-joins)
+    "train_dsir_resample",
     # per-round argmax: the 1-row best-pair frame broadcasts onto the
     # vocab-sized token frame, once per unrolled merge round
     "train_bpe_merges",

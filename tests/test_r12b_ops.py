@@ -1,0 +1,197 @@
+"""Focused properties for the round-12 continuation operators, beyond the
+registry oracle compare: `text_dedup_scrub` (corpus-wide first-occurrence
+segment scrub with reassembly) and `train_dsir_resample` (DSIR importance
+resampling on the exact fixed-point log2 lattice)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+from pyspark.sql import functions as F
+
+from parquet_near_storage_compute_spark.operators.textops import (
+    ORACLE_SQL as TEXT_ORACLES,
+    SEG_WORDS,
+    dedup_scrub,
+)
+from parquet_near_storage_compute_spark.operators.training import (
+    DSIR_FRAC_BITS,
+    DSIR_TOPK,
+    ORACLE_SQL as TRAIN_ORACLES,
+    _with_ilog2fp,
+    dsir_resample,
+)
+from tests.oracle import compare
+
+
+def _docs_dir(spark, tmp_path, rows) -> tuple[str, object]:
+    """Write a synthetic documents table from (doc_id, text, lang, source)
+    rows; return (sf_dir, duckdb con with the view registered)."""
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(2).write.mode("overwrite").parquet(out + "/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{out}/documents.parquet/*.parquet'"
+    )
+    return out, con
+
+
+# --------------------------------------------- exact fixed-point log2
+def _ilog2fp_py(x: int) -> int:
+    """Independent third implementation of the shift-and-square loop
+    (exact Python big-ints) — NOT derived from the Spark or SQL form."""
+    assert x >= 1
+    m = x.bit_length() - 1
+    y = x << (30 - m) if m <= 30 else x >> (m - 30)
+    acc = 0
+    for _ in range(DSIR_FRAC_BITS):
+        y = (y * y) >> 30
+        if y >= 1 << 31:
+            acc = acc * 2 + 1
+            y >>= 1
+        else:
+            acc = acc * 2
+    return m * (1 << DSIR_FRAC_BITS) + acc
+
+
+def test_ilog2fp_matches_python_reference_and_true_log2(spark):
+    """The Spark column chain must reproduce the Python big-int loop
+    bit-for-bit, and both must sit within 2 fixed-point ulps of the true
+    log2 (each truncating squaring step loses < 2^-30 of y, so the
+    accumulated error stays far below one fractional bit)."""
+    vals = [1, 2, 3, 5, 7, 1023, 1024, 1025, (1 << 31) - 1, 1 << 31,
+            (1 << 31) + 1, 123456789, (1 << 40) + 12345, (1 << 62) + 999]
+    df = spark.createDataFrame([(v,) for v in vals], "val long")
+    out = {
+        r["val"]: r["lg"]
+        for r in _with_ilog2fp(df, "val", "lg").collect()
+    }
+    for v in vals:
+        expect = _ilog2fp_py(v)
+        assert out[v] == expect, (v, out[v], expect)
+        true_fp = math.log2(v) * (1 << DSIR_FRAC_BITS)
+        assert abs(out[v] - true_fp) <= 2, (v, out[v], true_fp)
+
+
+# --------------------------------------------- first-occurrence scrub
+def _w(tag: str, n: int = SEG_WORDS) -> str:
+    """A segment-sized run of n distinct words tagged `tag`."""
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_dedup_scrub_first_occurrence_semantics(spark, tmp_path):
+    """Planted corpus pinning every branch: cross-doc duplicates scrub at
+    every occurrence but the global (doc_id, seg_idx) minimum; repeats
+    INSIDE the keeper doc also scrub; a short (sub-segment) doc is its own
+    single segment; hashes match hand reassembly."""
+    A, B, C = _w("a"), _w("b"), _w("c")
+    rows = [
+        (0, f"{A} {B}", "en", "s0"),          # keeper of A and B
+        (1, f"{B} {C}", "en", "s0"),          # B scrubbed, keeps C
+        (2, f"{A} {A}", "en", "s1"),          # both occurrences scrubbed
+        (3, "tiny doc", "en", "s1"),          # one sub-width segment
+        (4, f"{C} {A} {_w('d')}", "en", "s2"),  # C, A scrubbed; keeps d
+    ]
+    sf, con = _docs_dir(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in dedup_scrub(spark, sf).collect()}
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0].asDict() == {
+        "doc_id": 0, "n_segments": 2, "n_kept": 2,
+        "kept_chars": len(f"{A} {B}"), "kept_hash": h(f"{A} {B}"),
+    }
+    assert got[1].asDict() == {
+        "doc_id": 1, "n_segments": 2, "n_kept": 1,
+        "kept_chars": len(C), "kept_hash": h(C),
+    }
+    assert got[2].asDict() == {
+        "doc_id": 2, "n_segments": 2, "n_kept": 0,
+        "kept_chars": 0, "kept_hash": h(""),
+    }
+    assert got[3].asDict() == {
+        "doc_id": 3, "n_segments": 1, "n_kept": 1,
+        "kept_chars": len("tiny doc"), "kept_hash": h("tiny doc"),
+    }
+    assert got[4].asDict() == {
+        "doc_id": 4, "n_segments": 3, "n_kept": 1,
+        "kept_chars": len(_w("d")), "kept_hash": h(_w("d")),
+    }
+    # and the DuckDB oracle agrees on the planted corpus
+    compare(dedup_scrub(spark, sf), con, TEXT_ORACLES["text_dedup_scrub"])
+
+
+def test_dedup_scrub_total_kept_equals_distinct_segments(spark, sf_dir):
+    """Conservation law on the real table: exactly one occurrence of every
+    distinct segment survives, so Σ n_kept == #distinct segments and
+    Σ n_segments == total occurrence count."""
+    res = dedup_scrub(spark, sf_dir).agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_segments").alias("total")
+    ).collect()[0]
+    from parquet_near_storage_compute_spark.tables import load_table
+    from parquet_near_storage_compute_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = words("text")
+    n_segs = F.ceil(F.size(ws) / F.lit(SEG_WORDS)).cast("int")
+    segs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(ws, i * SEG_WORDS + 1, SEG_WORDS), " "
+                ),
+            )
+        ).alias("seg")
+    )
+    counts = segs.agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.countDistinct("seg").alias("distinct_segs"),
+    ).collect()[0]
+    assert res["kept"] == counts["distinct_segs"]
+    assert res["total"] == counts["occ"]
+
+
+# --------------------------------------------- DSIR importance resampling
+def test_dsir_prefers_target_vocabulary(spark, tmp_path):
+    """Planted corpus where the target slice (lang='en') uses a disjoint
+    vocabulary: the en-vocab documents must outrank the others, a pure
+    non-en-vocab doc must come last, and the oracle agrees bit-for-bit."""
+    en_text = " ".join(["alpha beta gamma"] * 8)
+    de_text = " ".join(["omega psi chi"] * 8)
+    rows = [
+        (0, en_text, "en", "s0"),
+        (1, en_text, "en", "s0"),
+        (2, de_text, "de", "s0"),
+        (3, de_text, "de", "s0"),
+        (4, en_text, "de", "s1"),   # en vocabulary, non-target label
+        (5, de_text, "en", "s1"),   # target label, non-target vocabulary
+    ]
+    sf, con = _docs_dir(spark, tmp_path, rows)
+    res = dsir_resample(spark, sf).collect()
+    scores = {r["doc_id"]: r["score_fp"] for r in res}
+    # docs written in the target vocabulary score above docs that aren't,
+    # regardless of their own label (DSIR scores text, not metadata) —
+    # doc 5 carries the en label but the de vocabulary and must rank low
+    assert scores[4] == scores[0] == scores[1]
+    assert scores[5] == scores[2] == scores[3]
+    assert scores[0] > scores[2]
+    compare(dsir_resample(spark, sf), con, TRAIN_ORACLES["train_dsir_resample"])
+
+
+def test_dsir_topk_is_deterministic_boundary(spark, sf_oracle_dir):
+    """The report is exactly DSIR_TOPK rows with a total (score desc,
+    doc_id asc) order — re-running yields the identical frame."""
+    a = dsir_resample(spark, sf_oracle_dir).collect()
+    b = dsir_resample(spark, sf_oracle_dir).collect()
+    assert len(a) == DSIR_TOPK
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    key = [(-r["score_fp"], r["doc_id"]) for r in a]
+    assert key == sorted(key)

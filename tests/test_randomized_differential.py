@@ -150,6 +150,16 @@ CONTRACTS = [
     # cluster contaminate their train-side copies end to end
     "text_dedup_trim",
     "train_decontaminate_trim",
+    # r12 continuation: first-occurrence segment scrub on the same
+    # shapes — the 15% exact-duplicate cluster scrubs to md5('') except
+    # one global keeper; empty/single-word docs are their own
+    # sub-width segments (keeper-or-scrubbed like any other)
+    "text_dedup_scrub",
+    # r12 continuation: DSIR over the random corpus — three languages
+    # sharing vocabulary (bucket collisions between target and raw
+    # mass), empty docs scoring only the ''-token bucket, and the
+    # duplicate cluster concentrating token mass in few buckets
+    "train_dsir_resample",
     # r9: domain capping under a skewed-source corpus (hot sources are
     # the two-phase k-min's whole reason) and the threshold curve under
     # duplicate-heavy texts (mass in the top deciles)

@@ -1052,7 +1052,7 @@ def run_text_rung(spark, sf_dir: str, n_reps: int) -> dict:
 
 
 def run_r12_rung(spark, sf_dir: str, n_reps: int) -> dict:
-    """Scale rungs for the two r12 operators (reusing the standard
+    """Scale rungs for the r12 operators (reusing the standard
     `_replicate` corpora):
 
     - `sim_mmr_select`: the law is STRUCTURAL — the candidate pool is
@@ -1099,6 +1099,46 @@ def run_r12_rung(spark, sf_dir: str, n_reps: int) -> dict:
         "law": "replicas are ≥0.5-Jaccard near-dups in their base's "
         "batch slot → accepted state stays ~base-corpus-sized while "
         "input grows ×reps; per-batch state join bounded by the state",
+    }
+
+    # continuation-session operators (same replicated corpus):
+    # text_dedup_scrub — replicas only mutate the LAST segment (the
+    # ' r{n}' suffix lands inside the final 10-word block), so the kept
+    # total must track NOVEL segments (≈ base + (reps−1)·docs), far
+    # below the ×reps occurrence growth: the argmin collapse law.
+    from parquet_near_storage_compute_spark.operators import textops as TX
+
+    t0 = time.perf_counter()
+    scrub = TX.dedup_scrub(spark, big)
+    stats = scrub.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_segments").alias("occ")
+    ).collect()[0]
+    out["text_dedup_scrub"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "rows": int(n_docs),
+        "segments_total": int(stats["occ"]),
+        "segments_kept": int(stats["kept"]),
+        "law": "occurrences grow ×reps but kept ≈ base + (reps−1)·docs "
+        "(only the suffix-mutated final segments are novel) — the "
+        "map-side-combinable argmin collapses duplicates before the "
+        "exchange",
+    }
+
+    # train_dsir_resample — structural law like sim_mmr_select: the λ
+    # table is DSIR_DIM rows and the report DSIR_TOPK rows at ANY corpus
+    # size; both corpus passes are narrow maps + combinable aggregates.
+    from parquet_near_storage_compute_spark.operators import training as TR
+
+    t0 = time.perf_counter()
+    dsir = TR.dsir_resample(spark, big)
+    rows = dsir.count()
+    out["train_dsir_resample"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "rows": int(rows),
+        "lambda_table_rows": TR.DSIR_DIM,
+        "law": "λ table fixed at DSIR_DIM rows and output at DSIR_TOPK "
+        "at any corpus size; the corpus sees one combinable bucket-count "
+        "aggregate and one broadcast-join scoring pass",
     }
     return out
 
