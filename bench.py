@@ -159,6 +159,16 @@ R12_ADDED: list[str] = [
     # exact-integer greedy MMR exemplar selection (relevance top-POOL
     # TakeOrdered + K bounded broadcast-join rounds)
     "sim_mmr_select",
+    # continuation session: first-occurrence segment scrub (one argmin
+    # collapse + one reassembly aggregate — SF-scaling) and DSIR
+    # importance scoring (the broadcast-λ scoring pass; the bucket-count
+    # pass runs once at construction via localCheckpoint)
+    "text_dedup_scrub",
+    "train_dsir_resample",
+    # exact-integer PageRank (transition-matrix pass at construction;
+    # the timed run is the ≤N-row ranked materialization, the
+    # sim_mmr_select class)
+    "events_pagerank",
 ]
 
 #: cohort → members, in round order. The stdout headline reports ONE
@@ -335,6 +345,12 @@ BARS = {
     # ≤POOL-row frame at construction; the timed execution is the
     # 10-row result materialization)
     "sim_mmr_select": 0.5728,
+    # r12 continuation (quiet-box best-of-7, load ~3 at start):
+    # scrub = explode + argmin collapse + reassembly; dsir = the
+    # token-md5 scoring pass (the 1024-row λ derivation is noise)
+    "text_dedup_scrub": 1.0130,
+    "train_dsir_resample": 2.2728,
+    "events_pagerank": 0.7568,
 }
 
 

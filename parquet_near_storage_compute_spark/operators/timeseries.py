@@ -725,10 +725,163 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PageRank fixed point: ranks are integers scaled by PR_SCALE, damping
+#: d = PR_DAMP_NUM/PR_DAMP_DEN, PR_ITERS synchronous iterations — every
+#: step a floor division, so the trajectory is engine-exact (Python
+#: big-ints on the driver, HUGEINT in the oracle's unrolled CTEs; the
+#: final ranks fit BIGINT).
+PR_SCALE = 10**12
+PR_ITERS = 8
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Brin & Page 1998) over the event-type transition graph —
+    the centrality view of `events_markov_transitions`' matrix: which
+    event types user flows concentrate on, with edge weights = transition
+    counts and dangling mass (types with no outgoing transition)
+    redistributed uniformly. Exact integer trajectory:
+
+        R_{k+1}(v) = (15·S) // (100·N)
+                   + (85·Σ_{out(u)=0} R_k(u)) // (100·N)
+                   + Σ_u (85·R_k(u)·w(u,v)) // (100·out(u))
+
+    with S = PR_SCALE, R_0(v) = S // N, every step a floor division —
+    identical in the driver loop (Python big-ints) and the oracle's
+    PR_ITERS unrolled MATERIALIZED CTEs (HUGEINT: 85·R·w can reach
+    ~1e21 at 100 TB edge counts, past int64 but far inside HUGEINT; the
+    final ranks are ≤ ~S and returned as BIGINT).
+
+    Scale shape — the sim_mmr_select / PQ-train split: ONE corpus pass
+    builds the transition matrix (the markov lag window per user + a
+    #types²-row aggregate — the user-keyed window shuffle is the whole
+    cost); the iteration then runs driver-side over the collected ≤ N²+N
+    rows, where N is the EVENT-TYPE VOCABULARY (a schema dimension, 5
+    here, maybe hundreds in a real product — never corpus-sized). A
+    declarative per-iteration loop would pay a job per round for
+    kilobytes of state. Result is a ≤N-row LocalTableScan in rank order
+    (declared presentation sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    edges = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    nodes = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    n = len(nodes)
+    out_total = {
+        v: sum(cnt for (u, _), cnt in edges.items() if u == v) for v in nodes
+    }
+    rank = {v: PR_SCALE // n for v in nodes}
+    for _ in range(PR_ITERS):
+        dangling = sum(rank[v] for v in nodes if out_total[v] == 0)
+        base = (15 * PR_SCALE) // (PR_DAMP_DEN * n) + (
+            PR_DAMP_NUM * dangling
+        ) // (PR_DAMP_DEN * n)
+        nxt = {v: base for v in nodes}
+        for (u, v), cnt in edges.items():
+            nxt[v] += (PR_DAMP_NUM * rank[u] * cnt) // (
+                PR_DAMP_DEN * out_total[u]
+            )
+        rank = nxt
+    rows = sorted(
+        ((v, out_total[v], rank[v]) for v in nodes),
+        key=lambda r: (-r[2], r[0]),
+    )
+    # declared ≤N-row presentation sort (the sim_mmr_select class: a
+    # coalesce(1) instead schedules ONE Python-RDD task and measured
+    # ~8× slower than the parallel range-sort of the tiny frame)
+    return spark.createDataFrame(
+        rows, "event_type string, out_total long, rank_fp long"
+    ).orderBy(F.col("rank_fp").desc(), "event_type")
+
+
+def _pagerank_oracle_sql() -> str:
+    """PR_ITERS unrolled MATERIALIZED CTEs mirroring the driver loop step
+    for step (the sim_mmr_select lesson: each round references the
+    previous rank frame three times, so inlined CTEs would expand the
+    scan tree exponentially)."""
+    parts = [
+        """pairs AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type,
+                 event_type AS to_type
+          FROM events
+        ),
+        w AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS HUGEINT) AS n
+          FROM pairs WHERE from_type IS NOT NULL
+          GROUP BY from_type, to_type
+        ),
+        nodes AS (SELECT DISTINCT event_type FROM events),
+        outt AS (
+          SELECT nd.event_type,
+                 CAST(COALESCE(SUM(w.n), 0) AS HUGEINT) AS out_total
+          FROM nodes nd LEFT JOIN w ON w.from_type = nd.event_type
+          GROUP BY nd.event_type
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_nodes FROM nodes),"""
+        + f"""
+        r0 AS MATERIALIZED (
+          SELECT event_type,
+                 CAST({PR_SCALE} AS HUGEINT) // (SELECT n_nodes FROM nn) AS r
+          FROM nodes
+        )"""
+    ]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""d{k} AS (
+          SELECT CAST(COALESCE(SUM(p.r), 0) AS HUGEINT) AS dang
+          FROM r{k - 1} p JOIN outt o USING (event_type)
+          WHERE o.out_total = 0
+        ),
+        c{k} AS (
+          SELECT w.to_type AS event_type,
+                 SUM(({PR_DAMP_NUM} * p.r * w.n)
+                     // ({PR_DAMP_DEN} * o.out_total)) AS contrib
+          FROM r{k - 1} p
+          JOIN w ON w.from_type = p.event_type
+          JOIN outt o ON o.event_type = p.event_type
+          GROUP BY w.to_type
+        ),
+        r{k} AS MATERIALIZED (
+          SELECT nd.event_type,
+                 ({15 * PR_SCALE} // ({PR_DAMP_DEN} * (SELECT n_nodes FROM nn)))
+                 + (({PR_DAMP_NUM} * (SELECT dang FROM d{k}))
+                    // ({PR_DAMP_DEN} * (SELECT n_nodes FROM nn)))
+                 + COALESCE(c.contrib, 0) AS r
+          FROM nodes nd LEFT JOIN c{k} c USING (event_type)
+        )"""
+        )
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT nd.event_type AS event_type,
+               CAST(o.out_total AS BIGINT) AS out_total,
+               CAST(p.r AS BIGINT) AS rank_fp
+        FROM nodes nd
+        JOIN outt o USING (event_type)
+        JOIN r{PR_ITERS} p USING (event_type)
+        ORDER BY rank_fp DESC, event_type
+    """
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_tumbling_hourly": tumbling_hourly,
     "time_ohlc_bars": ohlc_bars,
     "events_markov_transitions": markov_transitions,
+    "events_pagerank": pagerank,
     "time_ewma": ewma_per_user,
     "time_sliding_window": sliding_window,
     "time_sessionize": sessionize,
@@ -745,6 +898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "events_pagerank": _pagerank_oracle_sql(),
     "events_markov_transitions": """
         WITH pairs AS (
           SELECT LAG(event_type) OVER (PARTITION BY user_id

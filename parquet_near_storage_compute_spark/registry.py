@@ -50,10 +50,10 @@ ALL 6 remaining r7-row contracts (closing the r7 backlog) and the oldest
 40 of the 46 contracts whose newest driver row is CORRECTNESS_r08, both
 in their round-file key order (computed from the r0*.json history
 exactly as tests/test_registry_window.py does — never hand-counted).
-The continuation session added 2 more new contracts (`text_dedup_scrub`,
-`train_dsir_resample`), displacing the 2 newest r8 slots. The 8 leftover
-r8 rows rotate in round 13; after this round no live contract's newest
-driver row is older than round 8.
+The continuation session added 3 more new contracts (`text_dedup_scrub`,
+`train_dsir_resample`, `events_pagerank`), displacing the 3 newest r8
+slots. The 9 leftover r8 rows rotate in round 13; after this round no
+live contract's newest driver row is older than round 8.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -111,11 +111,16 @@ _MODULES = [
 #: an exact fixed-point log2 lattice — two corpus passes + a 1024-row
 #: broadcast λ table; bit-exact vs the generated shift-and-square CTE
 #: chain in DuckDB.
+#: events_pagerank: exact-integer PageRank over the event-type
+#: transition graph (one corpus pass builds the ≤ types²-row matrix;
+#: the iteration runs driver-side in Python big-ints over that bounded
+#: frame; PR_ITERS unrolled MATERIALIZED CTEs in the oracle).
 NEW_IN_R12 = [
     "stream_minhash_ingest",
     "sim_mmr_select",
     "text_dedup_scrub",
     "train_dsir_resample",
+    "events_pagerank",
 ]
 
 #: Contracts round 12 modifies that already carry driver rows — the
@@ -133,13 +138,14 @@ MODIFIED_IN_R12 = [
     "train_bpe_merges",
 ]
 
-#: The round-12 driver correctness window (VERDICT r11 #1): the 4 new +
+#: The round-12 driver correctness window (VERDICT r11 #1): the 5 new +
 #: 2 modified contracts lead; then ALL 6 remaining round-7-row contracts
-#: (closing the r7 backlog) and the oldest 38 of the 46 round-8-row
-#: contracts, each cohort in its round-file key order. The 8 leftover r8
-#: rows rotate in round 13 (the continuation session's two new contracts
-#: displaced `train_curriculum_order` and `train_mixture_sample` — a
-#: never-checked contract outranks refreshing a green r8 row).
+#: (closing the r7 backlog) and the oldest 37 of the 46 round-8-row
+#: contracts, each cohort in its round-file key order. The 9 leftover r8
+#: rows rotate in round 13 (the continuation session's three new
+#: contracts displaced `train_curriculum_order`, `train_mixture_sample`
+#: and `train_contamination_check` — a never-checked contract outranks
+#: refreshing a green r8 row).
 _PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
     # the remaining 6 round-7-row contracts, CORRECTNESS_r07 key order
     "window_topk_per_group",
@@ -186,7 +192,6 @@ _PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
     "text_token_counts",
     "train_bpe_pair_counts",
     "train_chunk_documents",
-    "train_contamination_check",
 ]
 
 

@@ -133,6 +133,9 @@ GLOBAL_SORT_DECLARED = {
     "events_anomaly_mad",
     "events_cumulative_users",
     "events_funnel",
+    # ≤ #event-types-row frame in rank order (the driver-side exact
+    # PageRank's presentation sort, the sim_mmr_select class)
+    "events_pagerank",
     "events_markov_transitions",
     "events_retention_cohorts",
     "iter_kmeans_lite",

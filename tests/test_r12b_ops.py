@@ -1,7 +1,8 @@
 """Focused properties for the round-12 continuation operators, beyond the
 registry oracle compare: `text_dedup_scrub` (corpus-wide first-occurrence
-segment scrub with reassembly) and `train_dsir_resample` (DSIR importance
-resampling on the exact fixed-point log2 lattice)."""
+segment scrub with reassembly), `train_dsir_resample` (DSIR importance
+resampling on the exact fixed-point log2 lattice), and `events_pagerank`
+(exact-integer PageRank over the event-type transition graph)."""
 
 from __future__ import annotations
 
@@ -184,6 +185,79 @@ def test_dsir_prefers_target_vocabulary(spark, tmp_path):
     assert scores[5] == scores[2] == scores[3]
     assert scores[0] > scores[2]
     compare(dsir_resample(spark, sf), con, TRAIN_ORACLES["train_dsir_resample"])
+
+
+# --------------------------------------------- event-type PageRank
+def _events_dir(spark, tmp_path, rows) -> tuple[str, object]:
+    """Write a synthetic events table from (event_id, ts, user_id,
+    event_type) rows; return (sf_dir, duckdb con)."""
+    import datetime as dt
+
+    out = str(tmp_path / "evcorpus")
+    spark.createDataFrame(
+        [
+            (eid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), uid, et,
+             1.0, "{}")
+            for eid, s, uid, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(2).write.mode("overwrite").parquet(out + "/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{out}/events.parquet/*.parquet'"
+    )
+    return out, con
+
+
+def test_pagerank_hub_dangling_isolated(spark, tmp_path):
+    """Planted graph pinning the branches: three users each end at 'hub'
+    (hub has NO outgoing transition → dangling redistribution), one user
+    has a single 'iso' event (isolated node: in the node set, no pairs at
+    all). The hub must outrank every source node, ranks must conserve
+    PR_SCALE up to floor losses, and the oracle must agree exactly."""
+    from parquet_near_storage_compute_spark.operators.timeseries import (
+        ORACLE_SQL as TS_ORACLES,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank,
+    )
+
+    rows = [
+        (1, 0, 10, "a"), (2, 60, 10, "hub"),
+        (3, 0, 11, "b"), (4, 60, 11, "hub"),
+        (5, 0, 12, "c"), (6, 60, 12, "hub"),
+        (7, 0, 13, "iso"),
+        (8, 0, 14, "c"), (9, 60, 14, "a"),   # gives 'a' real in-mass
+    ]
+    sf, con = _events_dir(spark, tmp_path, rows)
+    res = {r["event_type"]: r for r in pagerank(spark, sf).collect()}
+    assert set(res) == {"a", "b", "c", "hub", "iso"}
+    assert res["hub"]["out_total"] == 0 and res["iso"]["out_total"] == 0
+    for v in ("a", "b", "c", "iso"):
+        assert res["hub"]["rank_fp"] > res[v]["rank_fp"]
+    # b and c are pure sources (in-mass = base + dangling share only), the
+    # same as the isolated node; 'a' additionally receives half of c's
+    # outflow each round and must outrank all three
+    assert res["b"]["rank_fp"] == res["c"]["rank_fp"] == res["iso"]["rank_fp"]
+    assert res["a"]["rank_fp"] > res["b"]["rank_fp"]
+    total = sum(r["rank_fp"] for r in res.values())
+    # each iteration loses < 2 units per node to the three floor divisions
+    assert PR_SCALE - 3 * 5 * (PR_ITERS + 1) <= total <= PR_SCALE
+    compare(pagerank(spark, sf), con, TS_ORACLES["events_pagerank"])
+
+
+def test_pagerank_rank_order_is_declared_total(spark, sf_dir):
+    """The report is one row per event type in (rank desc, type) order and
+    re-running reproduces it bit-for-bit."""
+    from parquet_near_storage_compute_spark.operators.timeseries import pagerank
+
+    a = [tuple(r) for r in pagerank(spark, sf_dir).collect()]
+    b = [tuple(r) for r in pagerank(spark, sf_dir).collect()]
+    assert a == b
+    key = [(-r[2], r[0]) for r in a]
+    assert key == sorted(key)
 
 
 def test_dsir_topk_is_deterministic_boundary(spark, sf_oracle_dir):

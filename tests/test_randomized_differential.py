@@ -32,6 +32,11 @@ CONTRACTS = [
     "time_ewma",
     "time_ohlc_bars",
     "events_markov_transitions",
+    # r12 continuation: PageRank on the random graph — hot users chain
+    # long transition runs, identical timestamps exercise the
+    # (ts, event_id) tiebreak inside the lag window, and sparse types
+    # can be dangling or isolated at random
+    "events_pagerank",
     "events_funnel",
     "sketch_kmv_distinct",
     "sketch_countmin",

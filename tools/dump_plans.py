@@ -136,6 +136,11 @@ HEADLINE = [
     # r11 continuation: fixed-bucket LTTB plot downsampling (centroid
     # aggregate + bucket-frame window + per-bucket argmax)
     "time_downsample_lttb",
+    # r12 continuation: first-occurrence segment scrub (argmin collapse +
+    # reassembly) and DSIR scoring (bucket-count pass at construction,
+    # broadcast-λ scoring pass + TakeOrderedAndProject)
+    "text_dedup_scrub",
+    "train_dsir_resample",
 ]
 
 

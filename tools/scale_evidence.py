@@ -1140,6 +1140,26 @@ def run_r12_rung(spark, sf_dir: str, n_reps: int) -> dict:
         "at any corpus size; the corpus sees one combinable bucket-count "
         "aggregate and one broadcast-join scoring pass",
     }
+
+    # events_pagerank — replicated events (strided event_id, verbatim
+    # user_id: replicas interleave into the same user timelines, pairs
+    # grow ×reps) while the transition matrix stays ≤ types² and the
+    # driver state ≤ N²+N rows: the bounded-probe law.
+    from parquet_near_storage_compute_spark.operators import timeseries as TS
+
+    _replicate_tabular(spark, sf_dir, big, n_reps)
+    n_events = load_table(spark, big, "events").count()
+    t0 = time.perf_counter()
+    pr = TS.pagerank(spark, big)
+    n_nodes = pr.count()
+    out["events_pagerank"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "input_events": int(n_events),
+        "nodes": int(n_nodes),
+        "law": "transition matrix ≤ types² and driver state ≤ N²+N rows "
+        "at any event volume; the corpus sees one lag-window pass + one "
+        "combinable matrix aggregate",
+    }
     return out
 
 

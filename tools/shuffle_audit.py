@@ -127,6 +127,11 @@ HEADLINE = [
     # r11 continuation: fixed-bucket LTTB plot downsampling (centroid
     # aggregate + bucket-frame window + per-bucket argmax)
     "time_downsample_lttb",
+    # r12 continuation: the segment-scrub argmin collapse (occurrence →
+    # distinct-segment shuffle ratio is the law) and DSIR scoring (the
+    # doc-keyed partial-agg exchange; the λ exchange is 1024 rows)
+    "text_dedup_scrub",
+    "train_dsir_resample",
 ]
 
 
