@@ -169,6 +169,13 @@ R12_ADDED: list[str] = [
     # the timed run is the ≤N-row ranked materialization, the
     # sim_mmr_select class)
     "events_pagerank",
+    # PSI drift report (checkpointed ≤10-row count table; the timed run
+    # is the dimension-sized log2 arithmetic — scheduling-bound, many
+    # tiny stages)
+    "train_drift_psi",
+    # Holt level+trend smoothing (the (user, bucket) mean aggregate +
+    # the per-user codegen fold — SF-scaling)
+    "time_holt_trend",
 ]
 
 #: cohort → members, in round order. The stdout headline reports ONE
@@ -351,6 +358,8 @@ BARS = {
     "text_dedup_scrub": 1.0130,
     "train_dsir_resample": 2.2728,
     "events_pagerank": 0.7568,
+    "train_drift_psi": 1.2056,
+    "time_holt_trend": 0.7977,
 }
 
 

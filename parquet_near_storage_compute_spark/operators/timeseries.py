@@ -725,6 +725,132 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Holt fixed point: level/trend are integers scaled by HOLT_SCALE;
+#: α = 1/2 and β = 1/4 are exact binary scales (the EWMA discipline),
+#: and every division in the recurrence is pinned to TRUNCATING integer
+#: division (toward zero) — the semantics Spark's `div` and DuckDB's
+#: `//` SHARE (measured: DuckDB (-7)//4 = -1, i.e. `//` truncates,
+#: it does not floor — the sign matters because trends go negative).
+HOLT_SCALE = 1 << 20
+
+
+def holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend; Holt 1957 — the
+    2-parameter tier of Holt-Winters) of each user's value series on the
+    regular 6-hour grid: the forecasting primitive behind capacity
+    planning and engagement-trend alerts, completing the smoothing
+    family next to EWMA (level only). Per user, bucket means fold
+    through the exact integer recurrence
+
+        l' = (l + b + m·S) div 2              (α = 1/2)
+        b' = (l' − l) div 4 + (3b) div 4      (β = 1/4)
+
+    (div = truncating integer division, identical in Spark `div` and
+    DuckDB `//`)
+
+    seeded l₁ = m₁·S, b₁ = 0, with S = HOLT_SCALE; the report carries
+    the final level/trend and the one-step forecast l + b.
+
+    Like EWMA the recurrence is inherently sequential, but unlike EWMA
+    the coupled (l, b) state breaks the suffix-decay chunk-stitch (the
+    truncations make the affine map non-linear), so the fold deliberately
+    runs UNCHUNKED — and stays bounded anyway because it folds over
+    BUCKET MEANS, not events: per-user state is ≤ the calendar bucket
+    count (68 at sf0.1; ~1.5k for a decade of 6-hour buckets), a
+    schema-level dimension independent of event volume. Shape: one
+    (user, bucket)-keyed combinable aggregate over the events, one
+    user-keyed fold over ≤ calendar-many summary rows inside
+    whole-stage codegen (F.aggregate, no UDF). The DuckDB oracle replays
+    the identical floor steps as a recursive CTE keyed (user, ordinal).
+    Citations: Holt 1957 / Hyndman & Athanasopoulos (fpp3) §8.2; the
+    bucket/cents devices are `time_downsample_lttb`'s."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("sec"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn(
+            "bucket", F.expr(f"sec div {LTTB_BUCKET_SEC}").cast("long")
+        )
+    )
+    means = ev.groupBy("user_id", "bucket").agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("m")
+    )
+
+    def _tdiv(x, d: int):
+        # truncating division (toward zero, = Spark `div` = DuckDB `//`)
+        # as Column algebra: x − x % d is the toward-zero multiple of d
+        # (Spark % follows the dividend's sign) and the final division
+        # of an exact multiple is exact in double for |x| < 2^53
+        return ((x - (x % F.lit(d))) / F.lit(d)).cast("long")
+
+    arr = F.sort_array(F.collect_list(F.struct("bucket", "m")))
+    ms = F.transform(arr, lambda s: s["m"])
+    seed = F.struct(
+        (F.element_at(ms, 1) * HOLT_SCALE).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    rest = F.slice(ms, 2, F.greatest(F.size(ms) - 1, F.lit(0)))
+
+    def step(acc, m):
+        lp = _tdiv(acc["l"] + acc["b"] + m * HOLT_SCALE, 2)
+        bn = _tdiv(lp - acc["l"], 4) + _tdiv(3 * acc["b"], 4)
+        return F.struct(lp.alias("l"), bn.alias("b"))
+
+    folded = means.groupBy("user_id").agg(
+        F.size(F.collect_list("m")).cast("long").alias("n_buckets"),
+        F.aggregate(rest, seed, step).alias("s"),
+    )
+    return folded.select(
+        "user_id",
+        "n_buckets",
+        F.col("s.l").alias("level_fp"),
+        F.col("s.b").alias("trend_fp"),
+        (F.col("s.l") + F.col("s.b")).cast("long").alias("forecast1_fp"),
+    )
+
+
+_HOLT_ORACLE = f"""
+        WITH RECURSIVE ev AS (
+          SELECT user_id,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, CAST(sec // {LTTB_BUCKET_SEC} AS BIGINT) AS bucket,
+                 CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mv
+          FROM ev GROUP BY user_id, bucket
+        ),
+        ord AS (
+          SELECT user_id, mv,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket)
+                   AS i,
+                 COUNT(*) OVER (PARTITION BY user_id) AS k
+          FROM m
+        ),
+        rec AS (
+          SELECT user_id, 1 AS i, k,
+                 CAST(mv * {HOLT_SCALE} AS BIGINT) AS l,
+                 CAST(0 AS BIGINT) AS b
+          FROM ord WHERE i = 1
+          UNION ALL
+          SELECT r.user_id, r.i + 1, r.k,
+                 CAST((r.l + r.b + o.mv * {HOLT_SCALE}) // 2 AS BIGINT),
+                 CAST((((r.l + r.b + o.mv * {HOLT_SCALE}) // 2) - r.l) // 4
+                      + (3 * r.b) // 4 AS BIGINT)
+          FROM rec r
+          JOIN ord o ON o.user_id = r.user_id AND o.i = r.i + 1
+        )
+        SELECT user_id, CAST(k AS BIGINT) AS n_buckets,
+               l AS level_fp, b AS trend_fp,
+               CAST(l + b AS BIGINT) AS forecast1_fp
+        FROM rec WHERE i = k
+    """
+
+
 #: PageRank fixed point: ranks are integers scaled by PR_SCALE, damping
 #: d = PR_DAMP_NUM/PR_DAMP_DEN, PR_ITERS synchronous iterations — every
 #: step a floor division, so the trajectory is engine-exact (Python
@@ -882,6 +1008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_ohlc_bars": ohlc_bars,
     "events_markov_transitions": markov_transitions,
     "events_pagerank": pagerank,
+    "time_holt_trend": holt_trend,
     "time_ewma": ewma_per_user,
     "time_sliding_window": sliding_window,
     "time_sessionize": sessionize,
@@ -899,6 +1026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "events_pagerank": _pagerank_oracle_sql(),
+    "time_holt_trend": _HOLT_ORACLE,
     "events_markov_transitions": """
         WITH pairs AS (
           SELECT LAG(event_type) OVER (PARTITION BY user_id

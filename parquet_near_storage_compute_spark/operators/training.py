@@ -1331,68 +1331,18 @@ def interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: synthetic tables afford).
 DSIR_DIM = 1024
 DSIR_TARGET_LANG = "en"
-#: Fixed-point fractional bits of the log2 importance weights: every
-#: λ_b and every document score is an exact int64 — no transcendental
+#: Fixed-point fractional bits of the log2 importance weights — the
+#: shared exact shift-and-square device (functions/intmath.py): every
+#: λ_b and every document score is an exact int64, no transcendental
 #: libm calls on either engine, so the oracle comparison is bit-exact.
-DSIR_FRAC_BITS = 20
+from parquet_near_storage_compute_spark.functions.intmath import (  # noqa: E402
+    LOG2_FRAC_BITS as DSIR_FRAC_BITS,
+    ilog2fp_ctes as _ilog2fp_ctes,
+    with_ilog2fp as _with_ilog2fp,
+)
+
 #: Report size: the top-K highest-importance documents.
 DSIR_TOPK = 100
-
-_TWO30 = 1 << 30
-_TWO31 = 1 << 31
-
-
-def _with_ilog2fp(df: DataFrame, src: str, dst: str) -> DataFrame:
-    """Append ``dst`` = floor(log2(src) · 2^DSIR_FRAC_BITS) for integer
-    ``src`` ≥ 1, in exact int64 arithmetic: m = len(bin(x)) − 1 is the
-    integer part; x is normalized into [2^30, 2^31) by one conditional
-    shift (left shifts only happen when m ≤ 30, so the product stays
-    < 2^31 — no overflow); DSIR_FRAC_BITS squaring steps then extract
-    fractional bits (y < 2^31 ⇒ y² < 2^62 fits int64). Identical loop in
-    the generated oracle CTE chain (`_ilog2fp_ctes`). Steps are chained
-    as NAMED columns, never nested Column expressions — each step's `y`
-    feeds the next through a projection, so the expression tree stays
-    linear in DSIR_FRAC_BITS (a pure-Column fold would double the tree
-    per step: the condition and both branches all reference y)."""
-    m = (F.length(F.bin(F.col(src))) - 1).cast("int")
-    df = (
-        df.withColumn("_m", m)
-        .withColumn(
-            "_y",
-            F.when(
-                F.col("_m") <= 30, F.expr(f"shiftleft({src}, 30 - _m)")
-            )
-            .otherwise(F.expr(f"shiftright({src}, _m - 30)"))
-            .cast("long"),
-        )
-        .withColumn("_acc", F.lit(0).cast("long"))
-    )
-    for _ in range(DSIR_FRAC_BITS):
-        df = (
-            df.withColumn(
-                "_y2", F.shiftright(F.col("_y") * F.col("_y"), 30)
-            )
-            .withColumn(
-                "_acc",
-                F.when(
-                    F.col("_y2") >= F.lit(_TWO31), F.col("_acc") * 2 + 1
-                ).otherwise(F.col("_acc") * 2),
-            )
-            .withColumn(
-                "_y",
-                F.when(
-                    F.col("_y2") >= F.lit(_TWO31),
-                    F.shiftright(F.col("_y2"), 1),
-                ).otherwise(F.col("_y2")),
-            )
-        )
-    return df.withColumn(
-        dst,
-        (
-            F.col("_m").cast("long") * F.lit(1 << DSIR_FRAC_BITS)
-            + F.col("_acc")
-        ).cast("long"),
-    ).drop("_m", "_y", "_acc", "_y2")
 
 
 def _dsir_bucket(col: F.Column) -> F.Column:
@@ -1511,36 +1461,191 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(DSIR_TOPK)
 
 
-def _ilog2fp_ctes(src_cte: str) -> str:
-    """Generated CTE chain mirroring `_with_ilog2fp` step for step over
-    rows of ``src_cte`` carrying (b, kind, val ≥ 1): n0 normalizes val
-    into [2^30, 2^31) with one conditional shift off len(bin(val))−1;
-    n1..nF are the squaring steps; `lgt` exposes (b, kind, lg)."""
-    msb = "(length(bin(val)) - 1)"
-    parts = [
-        f"""n0 AS (
-          SELECT b, kind, CAST({msb} AS BIGINT) AS m,
-                 CAST(CASE WHEN {msb} <= 30 THEN val << (30 - {msb})
-                      ELSE val >> ({msb} - 30) END AS BIGINT) AS y,
-                 CAST(0 AS BIGINT) AS acc
-          FROM {src_cte})"""
-    ]
-    for i in range(1, DSIR_FRAC_BITS + 1):
-        parts.append(
-            f"""n{i} AS (
-          SELECT b, kind, m,
-                 CASE WHEN ((y*y) >> 30) >= {_TWO31}
-                      THEN ((y*y) >> 30) >> 1 ELSE (y*y) >> 30 END AS y,
-                 CASE WHEN ((y*y) >> 30) >= {_TWO31}
-                      THEN acc*2 + 1 ELSE acc*2 END AS acc
-          FROM n{i-1})"""
+#: PSI drift report: fixed-width doc-length buckets (schema-level, not
+#: data-derived edges, so the bucketing is stable across snapshots).
+PSI_BUCKETS = 10
+PSI_BUCKET_WIDTH = 100
+#: Proportions are integers scaled by PSI_SCALE (parts-per-million).
+PSI_SCALE = 10**6
+
+
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report between the target slice
+    (lang = DSIR_TARGET_LANG, the DSIR reference distribution) and the
+    remainder of the corpus, over fixed-width document-length buckets —
+    the standard "did the distribution shift" monitor run between any
+    two corpus slices or snapshots before retraining a selection model.
+
+    Exact integer end to end on the shared fixed-point log2 lattice
+    (functions/intmath.py): per bucket i with Laplace-smoothed counts,
+
+        d_i  = (ref_i+1)·S // (R+B) − (cur_i+1)·S // (C+B)   (ppm)
+        lr_i = lg(ref_i+1) − lg(R+B) − lg(cur_i+1) + lg(C+B) (log2 fp)
+        psi_term_i = d_i · lr_i,   psi_total = Σ psi_term_i
+
+    — PSI in (ppm · 2^-20 · log2) units; multiply by ln 2 for nats.
+    |d| ≤ 10^6 and |lr| < 64·2^20, so every product fits int64.
+
+    Scale shape: ONE corpus pass builds the ≤ PSI_BUCKETS-row count
+    table (map-side combinable; localCheckpointed so the totals branch
+    and the final join don't re-run the corpus lineage); everything
+    after is dimension-sized arithmetic — the single log2 chain runs
+    over ≤ 2·B+2 rows, the 1-row constant attach is the whitelisted
+    scalar cross, and the output is B rows in bucket order."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.expr(f"CAST(length(text) AS BIGINT) div {PSI_BUCKET_WIDTH}"),
+        F.lit(PSI_BUCKETS - 1),
+    ).cast("long")
+    is_ref = (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+    counts = (
+        docs.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").cast("long").alias("n_ref"),
+            (F.count(F.lit(1)) - F.sum("is_ref")).cast("long").alias("n_cur"),
         )
-    parts.append(
-        f"""lgt AS (
-          SELECT b, kind, m * {1 << DSIR_FRAC_BITS} + acc AS lg
-          FROM n{DSIR_FRAC_BITS})"""
+        .localCheckpoint()
     )
-    return ",\n        ".join(parts)
+    totals = counts.agg(
+        (F.sum("n_ref") + PSI_BUCKETS).cast("long").alias("rt"),
+        (F.sum("n_cur") + PSI_BUCKETS).cast("long").alias("ct"),
+    )
+    vals = (
+        counts.select(
+            F.col("bucket").alias("b"),
+            F.lit("r").alias("kind"),
+            (F.col("n_ref") + 1).cast("long").alias("val"),
+        )
+        .unionByName(
+            counts.select(
+                F.col("bucket").alias("b"),
+                F.lit("c").alias("kind"),
+                (F.col("n_cur") + 1).cast("long").alias("val"),
+            )
+        )
+        .unionByName(
+            totals.select(
+                F.lit(None).cast("long").alias("b"),
+                F.lit("R").alias("kind"),
+                F.col("rt").alias("val"),
+            )
+        )
+        .unionByName(
+            totals.select(
+                F.lit(None).cast("long").alias("b"),
+                F.lit("C").alias("kind"),
+                F.col("ct").alias("val"),
+            )
+        )
+    )
+    lg = _with_ilog2fp(vals, "val", "lg")
+    lam = (
+        lg.filter(F.col("kind").isin("r", "c"))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.when(F.col("kind") == "r", F.col("lg")).otherwise(
+                    -F.col("lg")
+                )
+            ).alias("lr_base")
+        )
+    )
+    cons = lg.filter(F.col("kind").isin("R", "C")).agg(
+        F.sum(
+            F.when(F.col("kind") == "C", F.col("lg")).otherwise(-F.col("lg"))
+        ).alias("c")
+    )
+    terms = (
+        counts.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(lam), F.col("bucket") == F.col("b"))
+        .crossJoin(F.broadcast(cons))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            (
+                F.expr(f"((n_ref + 1) * {PSI_SCALE}) div rt")
+                - F.expr(f"((n_cur + 1) * {PSI_SCALE}) div ct")
+            )
+            .cast("long")
+            .alias("d_scaled"),
+            (F.col("lr_base") + F.col("c")).cast("long").alias("lr_fp"),
+        )
+        .withColumn(
+            "psi_term", (F.col("d_scaled") * F.col("lr_fp")).cast("long")
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    return (
+        terms.withColumn(
+            "psi_total",
+            F.sum("psi_term").over(_W.partitionBy(F.lit(1))).cast("long"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _drift_psi_oracle_sql() -> str:
+    from parquet_near_storage_compute_spark.functions.intmath import (
+        ilog2fp_ctes,
+    )
+
+    return f"""
+        WITH bkt AS (
+          SELECT LEAST(length(text) // {PSI_BUCKET_WIDTH},
+                       {PSI_BUCKETS - 1}) AS bucket,
+                 CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END
+                   AS is_ref
+          FROM documents
+        ),
+        cnt AS (
+          SELECT bucket, CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+                 CAST(COUNT(*) - SUM(is_ref) AS BIGINT) AS n_cur
+          FROM bkt GROUP BY bucket
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_ref) + {PSI_BUCKETS} AS BIGINT) AS rt,
+                 CAST(SUM(n_cur) + {PSI_BUCKETS} AS BIGINT) AS ct
+          FROM cnt
+        ),
+        vals AS (
+          SELECT bucket AS b, 'r' AS kind,
+                 CAST(n_ref + 1 AS BIGINT) AS val FROM cnt
+          UNION ALL
+          SELECT bucket AS b, 'c' AS kind,
+                 CAST(n_cur + 1 AS BIGINT) AS val FROM cnt
+          UNION ALL
+          SELECT CAST(NULL AS BIGINT) AS b, 'R' AS kind, rt AS val FROM tot
+          UNION ALL
+          SELECT CAST(NULL AS BIGINT) AS b, 'C' AS kind, ct AS val FROM tot
+        ),
+        {ilog2fp_ctes("vals")},
+        lam AS (
+          SELECT b AS bucket,
+                 SUM(CASE WHEN kind = 'r' THEN lg ELSE -lg END) AS lr_base
+          FROM lgt WHERE kind IN ('r', 'c') GROUP BY b
+        ),
+        cons AS (
+          SELECT SUM(CASE WHEN kind = 'C' THEN lg ELSE -lg END) AS c
+          FROM lgt WHERE kind IN ('R', 'C')
+        ),
+        terms AS (
+          SELECT c.bucket, c.n_ref, c.n_cur,
+                 CAST(((c.n_ref + 1) * {PSI_SCALE}) // t.rt
+                      - ((c.n_cur + 1) * {PSI_SCALE}) // t.ct
+                      AS BIGINT) AS d_scaled,
+                 CAST(l.lr_base + (SELECT cc.c FROM cons cc) AS BIGINT)
+                   AS lr_fp
+          FROM cnt c CROSS JOIN tot t
+          JOIN lam l ON l.bucket = c.bucket
+        )
+        SELECT bucket, n_ref, n_cur, d_scaled, lr_fp,
+               CAST(d_scaled * lr_fp AS BIGINT) AS psi_term,
+               CAST(SUM(d_scaled * lr_fp) OVER () AS BIGINT) AS psi_total
+        FROM terms ORDER BY bucket
+    """
 
 
 def _dsir_oracle_sql() -> str:
@@ -1621,6 +1726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_uniform_sample": uniform_sample,
     "train_quality_resample": quality_resample,
     "train_dsir_resample": dsir_resample,
+    "train_drift_psi": drift_psi,
 }
 
 from parquet_near_storage_compute_spark.operators.textops import (  # noqa: E402
@@ -2028,4 +2134,6 @@ ORACLE_SQL: dict[str, str] = {
     # chain is generated by _ilog2fp_ctes — the same loop _with_ilog2fp
     # runs on the Spark side, so scores compare bit-exact.
     "train_dsir_resample": _dsir_oracle_sql(),
+    # PSI drift report: same shared fixed-point log2 CTE chain.
+    "train_drift_psi": _drift_psi_oracle_sql(),
 }

@@ -50,10 +50,11 @@ ALL 6 remaining r7-row contracts (closing the r7 backlog) and the oldest
 40 of the 46 contracts whose newest driver row is CORRECTNESS_r08, both
 in their round-file key order (computed from the r0*.json history
 exactly as tests/test_registry_window.py does — never hand-counted).
-The continuation session added 3 more new contracts (`text_dedup_scrub`,
-`train_dsir_resample`, `events_pagerank`), displacing the 3 newest r8
-slots. The 9 leftover r8 rows rotate in round 13; after this round no
-live contract's newest driver row is older than round 8.
+The continuation session added 5 more new contracts (`text_dedup_scrub`,
+`train_dsir_resample`, `events_pagerank`, `train_drift_psi`,
+`time_holt_trend`), displacing the 5 newest r8 slots. The 11 leftover r8
+rows rotate in round 13; after this round no live contract's newest
+driver row is older than round 8.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -115,12 +116,23 @@ _MODULES = [
 #: transition graph (one corpus pass builds the ≤ types²-row matrix;
 #: the iteration runs driver-side in Python big-ints over that bounded
 #: frame; PR_ITERS unrolled MATERIALIZED CTEs in the oracle).
+#: train_drift_psi: Population-Stability-Index drift report between the
+#: DSIR target slice and the remainder over fixed-width length buckets —
+#: exact integer on the shared fixed-point log2 lattice
+#: (functions/intmath.py); one corpus pass, everything after
+#: dimension-sized.
+#: time_holt_trend: Holt level+trend smoothing on the 6-hour grid —
+#: exact integer recurrence (truncating division, the semantics Spark
+#: `div` and DuckDB `//` share) folded per user over BUCKET MEANS
+#: (calendar-bounded state), recursive-CTE oracle.
 NEW_IN_R12 = [
     "stream_minhash_ingest",
     "sim_mmr_select",
     "text_dedup_scrub",
     "train_dsir_resample",
     "events_pagerank",
+    "train_drift_psi",
+    "time_holt_trend",
 ]
 
 #: Contracts round 12 modifies that already carry driver rows — the
@@ -138,13 +150,14 @@ MODIFIED_IN_R12 = [
     "train_bpe_merges",
 ]
 
-#: The round-12 driver correctness window (VERDICT r11 #1): the 5 new +
+#: The round-12 driver correctness window (VERDICT r11 #1): the 7 new +
 #: 2 modified contracts lead; then ALL 6 remaining round-7-row contracts
-#: (closing the r7 backlog) and the oldest 37 of the 46 round-8-row
-#: contracts, each cohort in its round-file key order. The 9 leftover r8
-#: rows rotate in round 13 (the continuation session's three new
-#: contracts displaced `train_curriculum_order`, `train_mixture_sample`
-#: and `train_contamination_check` — a never-checked contract outranks
+#: (closing the r7 backlog) and the oldest 35 of the 46 round-8-row
+#: contracts, each cohort in its round-file key order. The 11 leftover
+#: r8 rows rotate in round 13 (the continuation session's five new
+#: contracts displaced `train_curriculum_order`, `train_mixture_sample`,
+#: `train_contamination_check`, `train_chunk_documents` and
+#: `train_bpe_pair_counts` — a never-checked contract outranks
 #: refreshing a green r8 row).
 _PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
     # the remaining 6 round-7-row contracts, CORRECTNESS_r07 key order
@@ -190,8 +203,6 @@ _PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
     "text_repetition_filter",
     "text_tfidf_topk",
     "text_token_counts",
-    "train_bpe_pair_counts",
-    "train_chunk_documents",
 ]
 
 

@@ -54,6 +54,9 @@ BNLJ_WHITELIST = {
     # onto the DSIR_DIM-row bucket table — both sides dimension-sized
     # forever (the corpus only ever sees equi-joins)
     "train_dsir_resample",
+    # PSI totals/constant attach: 1-row frames broadcast onto the
+    # ≤ PSI_BUCKETS-row count table — the same scalar-cross shape
+    "train_drift_psi",
     # per-round argmax: the 1-row best-pair frame broadcasts onto the
     # vocab-sized token frame, once per unrolled merge round
     "train_bpe_merges",
@@ -136,6 +139,8 @@ GLOBAL_SORT_DECLARED = {
     # ≤ #event-types-row frame in rank order (the driver-side exact
     # PageRank's presentation sort, the sim_mmr_select class)
     "events_pagerank",
+    # ≤ PSI_BUCKETS-row drift report in bucket order, dimension-sized
+    "train_drift_psi",
     "events_markov_transitions",
     "events_retention_cohorts",
     "iter_kmeans_lite",

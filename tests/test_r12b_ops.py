@@ -260,6 +260,128 @@ def test_pagerank_rank_order_is_declared_total(spark, sf_dir):
     assert key == sorted(key)
 
 
+# --------------------------------------------- Holt level+trend
+def test_holt_trend_matches_python_replay_and_signs(spark, tmp_path):
+    """Planted series pinning the trajectory three ways: an independent
+    Python replay of the truncating recurrence (the third engine), sign
+    structure (rising series → positive trend, falling series → negative
+    trend — the falling user hits NEGATIVE odd numerators, the exact
+    case where truncating (Spark div, DuckDB //) and flooring diverge),
+    and the DuckDB recursive-CTE oracle."""
+    import datetime as dt
+
+    from parquet_near_storage_compute_spark.operators.timeseries import (
+        HOLT_SCALE,
+        LTTB_BUCKET_SEC,
+        ORACLE_SQL as TS_ORACLES,
+        holt_trend,
+    )
+
+    rows = []
+    eid = 0
+    series = {
+        10: [1.0, 2.0, 3.0, 4.0],        # rising
+        11: [9.37, 7.11, 4.93, 1.07],    # falling, odd cents
+        12: [5.0],                       # single bucket
+    }
+    for uid, vals in series.items():
+        for i, v in enumerate(vals):
+            eid += 1
+            rows.append((eid, i * LTTB_BUCKET_SEC + 30, uid, "view", v))
+    out = str(tmp_path / "hw")
+    spark.createDataFrame(
+        [
+            (e, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, et,
+             v, "{}")
+            for e, s, u, et, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(2).write.mode("overwrite").parquet(out + "/events.parquet")
+    import duckdb as _dd
+
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{out}/events.parquet/*.parquet'"
+    )
+
+    def tdiv(a: int, d: int) -> int:
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    def replay(vals):
+        ms = [round(v * 100) for v in vals]  # one event per bucket
+        l, b = ms[0] * HOLT_SCALE, 0
+        for m in ms[1:]:
+            lp = tdiv(l + b + m * HOLT_SCALE, 2)
+            b = tdiv(lp - l, 4) + tdiv(3 * b, 4)
+            l = lp
+        return l, b
+
+    got = {r["user_id"]: r for r in holt_trend(spark, out).collect()}
+    for uid, vals in series.items():
+        l, b = replay(vals)
+        assert got[uid]["level_fp"] == l, (uid, got[uid], l)
+        assert got[uid]["trend_fp"] == b, (uid, got[uid], b)
+        assert got[uid]["forecast1_fp"] == l + b
+        assert got[uid]["n_buckets"] == len(vals)
+    assert got[10]["trend_fp"] > 0 and got[11]["trend_fp"] < 0
+    assert got[12]["trend_fp"] == 0
+    compare(holt_trend(spark, out), con, TS_ORACLES["time_holt_trend"])
+
+
+# --------------------------------------------- PSI drift report
+def test_drift_psi_identical_slices_score_zero_terms(spark, tmp_path):
+    """When ref and cur have IDENTICAL per-bucket counts, d_i = 0 and
+    lr_i = 0 exactly (same smoothed counts and totals on both sides), so
+    every psi_term and the total are exactly 0 — the no-drift fixed
+    point of the integer formula."""
+    from parquet_near_storage_compute_spark.operators.training import (
+        ORACLE_SQL as TRAIN_ORACLES,
+        drift_psi,
+    )
+
+    rows = []
+    for i in range(20):  # 10 en + 10 de docs with matched lengths
+        text = "x" * (50 + 100 * (i % 5))  # buckets 0..4, 2 docs each side
+        rows.append((2 * i, text, "en", "s0"))
+        rows.append((2 * i + 1, text, "de", "s0"))
+    sf, con = _docs_dir(spark, tmp_path, rows)
+    res = drift_psi(spark, sf).collect()
+    assert len(res) == 5
+    for r in res:
+        assert r["n_ref"] == r["n_cur"] == 4
+        assert r["d_scaled"] == 0 and r["lr_fp"] == 0
+        assert r["psi_term"] == 0 and r["psi_total"] == 0
+    compare(drift_psi(spark, sf), con, TRAIN_ORACLES["train_drift_psi"])
+
+
+def test_drift_psi_detects_planted_shift(spark, tmp_path):
+    """Plant a hard shift — ref mass in bucket 0, cur mass in bucket 9 —
+    and check the signs: the ref-heavy bucket has d > 0 and lr > 0 (term
+    > 0), the cur-heavy bucket d < 0 and lr < 0 (term > 0 again: PSI
+    terms are non-negative whenever d and lr share sign, which they do by
+    construction — both are monotone in p−q), and the total is large and
+    positive. Oracle agrees bit-for-bit."""
+    from parquet_near_storage_compute_spark.operators.training import (
+        ORACLE_SQL as TRAIN_ORACLES,
+        drift_psi,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "x" * 10, "en", "s0"))          # ref → bucket 0
+        rows.append((100 + i, "x" * 950, "de", "s0"))   # cur → bucket 9
+    sf, con = _docs_dir(spark, tmp_path, rows)
+    res = {r["bucket"]: r for r in drift_psi(spark, sf).collect()}
+    assert set(res) == {0, 9}
+    assert res[0]["d_scaled"] > 0 and res[0]["lr_fp"] > 0
+    assert res[9]["d_scaled"] < 0 and res[9]["lr_fp"] < 0
+    assert res[0]["psi_term"] > 0 and res[9]["psi_term"] > 0
+    assert res[0]["psi_total"] == res[0]["psi_term"] + res[9]["psi_term"]
+    compare(drift_psi(spark, sf), con, TRAIN_ORACLES["train_drift_psi"])
+
+
 def test_dsir_topk_is_deterministic_boundary(spark, sf_oracle_dir):
     """The report is exactly DSIR_TOPK rows with a total (score desc,
     doc_id asc) order — re-running yields the identical frame."""

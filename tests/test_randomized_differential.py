@@ -30,6 +30,11 @@ from tests.oracle import compare
 #: text) while staying cheap enough to run per seed.
 CONTRACTS = [
     "time_ewma",
+    # r12 continuation: Holt level+trend on the random shapes — NEGATIVE
+    # values drive negative fold numerators (the truncating-vs-floor
+    # division regression class), hot users stack many events per
+    # bucket, identical timestamps collapse into shared buckets
+    "time_holt_trend",
     "time_ohlc_bars",
     "events_markov_transitions",
     # r12 continuation: PageRank on the random graph — hot users chain
@@ -165,6 +170,10 @@ CONTRACTS = [
     # mass), empty docs scoring only the ''-token bucket, and the
     # duplicate cluster concentrating token mass in few buckets
     "train_dsir_resample",
+    # r12 continuation: PSI on the random shapes — empty docs land in
+    # bucket 0, random lang mix swings d_i signs, and a bucket observed
+    # on one side only exercises the +1 smoothing on the other
+    "train_drift_psi",
     # r9: domain capping under a skewed-source corpus (hot sources are
     # the two-phase k-min's whole reason) and the threshold curve under
     # duplicate-heavy texts (mass in the top deciles)

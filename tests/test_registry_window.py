@@ -1,14 +1,15 @@
 """Pin the driver correctness window: the driver hashes the FIRST 50 keys of
 ``all_queries()`` in iteration order, so the window contents are part of the
-contract. Round 12's window (VERDICT r11 #1) = 5 new contracts
+contract. Round 12's window (VERDICT r11 #1) = 7 new contracts
 (`stream_minhash_ingest`, `sim_mmr_select`, and the continuation session's
-`text_dedup_scrub` + `train_dsir_resample` + `events_pagerank`) + 2 modified
+`text_dedup_scrub` + `train_dsir_resample` + `events_pagerank` +
+`train_drift_psi` + `time_holt_trend`) + 2 modified
 (`time_downsample_lttb`'s decimal triangle-area products and
 `train_bpe_merges`' shared `_bpe_trained` loop invalidate their r11 rows),
 then ALL 6 contracts whose newest driver row is CORRECTNESS_r07 (closing the
-r7 backlog) and the oldest 37 of the 46 whose newest row is CORRECTNESS_r08 —
+r7 backlog) and the oldest 35 of the 46 whose newest row is CORRECTNESS_r08 —
 both computed from the r0*.json history (never hand-counted; the r7 miscount
-is the cautionary tale), in round-file key order. The 9 leftover r8 rows
+is the cautionary tale), in round-file key order. The 11 leftover r8 rows
 rotate in round 13."""
 
 from __future__ import annotations
@@ -74,7 +75,7 @@ def test_backlog_slots_are_the_stalest_rows_in_round_key_order():
     contract (6 — the backlog closes this round) in CORRECTNESS_r07 key
     order, then the OLDEST r8-row contracts in CORRECTNESS_r08 key order —
     a stable, history-derived order, so the pinned list is reproducible
-    and the 9 leftover r8 rows are a conscious r13 deferral."""
+    and the 11 leftover r8 rows are a conscious r13 deferral."""
     latest = _latest_row()
     live = set(all_queries())
     head = set(NEW_IN_R12 + MODIFIED_IN_R12)
@@ -94,7 +95,7 @@ def test_backlog_slots_are_the_stalest_rows_in_round_key_order():
     backlog = backlog_r7 + backlog_r8
     assert window_slots == backlog[: len(window_slots)]
     leftover = backlog[len(window_slots):]
-    assert len(leftover) == 9, leftover  # the r13 remainder
+    assert len(leftover) == 11, leftover  # the r13 remainder
 
 
 def test_every_registered_contract_has_a_row_or_a_slot():

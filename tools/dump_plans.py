@@ -141,6 +141,8 @@ HEADLINE = [
     # broadcast-λ scoring pass + TakeOrderedAndProject)
     "text_dedup_scrub",
     "train_dsir_resample",
+    "train_drift_psi",
+    "time_holt_trend",
 ]
 
 

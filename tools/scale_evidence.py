@@ -1141,6 +1141,41 @@ def run_r12_rung(spark, sf_dir: str, n_reps: int) -> dict:
         "aggregate and one broadcast-join scoring pass",
     }
 
+    # train_drift_psi — structural law: the count table is ≤ PSI_BUCKETS
+    # rows at any corpus size; one combinable corpus pass, then
+    # dimension-sized arithmetic (the shared fixed-point log2 chain).
+    t0 = time.perf_counter()
+    psi = TR.drift_psi(spark, big)
+    psi_rows = psi.count()
+    out["train_drift_psi"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "rows": int(psi_rows),
+        "bucket_cap": TR.PSI_BUCKETS,
+        "law": "count table ≤ PSI_BUCKETS rows at any corpus size; one "
+        "combinable bucket pass, then dimension-sized log2 arithmetic",
+    }
+
+    # time_holt_trend — replicated events multiply EVENTS per bucket but
+    # not buckets (user_id and ts verbatim), so the per-user fold input
+    # (bucket means) is CONSTANT while the corpus grows ×reps: the
+    # calendar-bounded-state law. (Uses the tabular replication below.)
+    from parquet_near_storage_compute_spark.operators import timeseries as TS
+
+    _replicate_tabular(spark, sf_dir, big, n_reps)
+    t0 = time.perf_counter()
+    ht = TS.holt_trend(spark, big)
+    ht_stats = ht.agg(
+        F.count(F.lit(1)).alias("users"), F.max("n_buckets").alias("maxb")
+    ).collect()[0]
+    out["time_holt_trend"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "users": int(ht_stats["users"]),
+        "max_buckets_per_user": int(ht_stats["maxb"]),
+        "law": "fold input = bucket means (users × calendar buckets), "
+        "constant under event replication; only the combinable "
+        "(user, bucket) mean aggregate sees the corpus",
+    }
+
     # events_pagerank — replicated events (strided event_id, verbatim
     # user_id: replicas interleave into the same user timelines, pairs
     # grow ×reps) while the transition matrix stays ≤ types² and the

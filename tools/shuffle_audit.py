@@ -132,6 +132,8 @@ HEADLINE = [
     # doc-keyed partial-agg exchange; the λ exchange is 1024 rows)
     "text_dedup_scrub",
     "train_dsir_resample",
+    "train_drift_psi",
+    "time_holt_trend",
 ]
 
 
