@@ -260,6 +260,46 @@ def test_pagerank_rank_order_is_declared_total(spark, sf_dir):
     assert key == sorted(key)
 
 
+def test_ilog2fp_three_engine_randomized_differential(spark):
+    """Seeded random sweep of the SHARED log2 device across all three
+    implementations — the Spark column chain (`with_ilog2fp`), the
+    generated DuckDB CTE chain (`ilog2fp_ctes`), and the independent
+    Python big-int loop — over 200 values spanning 1 .. 2^62 plus the
+    power-of-two boundaries (where the normalize shift and the first
+    squaring bit both flip)."""
+    import random
+
+    from parquet_near_storage_compute_spark.functions.intmath import (
+        ilog2fp_ctes,
+        with_ilog2fp,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    vals = sorted(
+        {rng.randrange(1, 1 << 62) for _ in range(180)}
+        | {1, 2, 3}
+        | {(1 << k) + d for k in (10, 30, 31, 40, 61) for d in (-1, 0, 1)}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "val long")
+    got_spark = {
+        r["val"]: r["lg"] for r in with_ilog2fp(df, "val", "lg").collect()
+    }
+    con = duckdb.connect()
+    values = ", ".join(f"({v})" for v in vals)
+    sql = f"""
+        WITH src AS (SELECT * FROM (VALUES {values}) AS t(val)),
+        vals AS (SELECT CAST(NULL AS BIGINT) AS b, 'x' AS kind,
+                        CAST(val AS BIGINT) AS val FROM src),
+        {ilog2fp_ctes("vals", key_cols="val")}
+        SELECT val, lg FROM lgt
+    """
+    got_duck = dict(con.execute(sql).fetchall())
+    for v in vals:
+        expect = _ilog2fp_py(v)
+        assert got_spark[v] == expect, (v, got_spark[v], expect)
+        assert got_duck[v] == expect, (v, got_duck[v], expect)
+
+
 # --------------------------------------------- Holt level+trend
 def test_holt_trend_matches_python_replay_and_signs(spark, tmp_path):
     """Planted series pinning the trajectory three ways: an independent
@@ -328,6 +368,85 @@ def test_holt_trend_matches_python_replay_and_signs(spark, tmp_path):
     assert got[10]["trend_fp"] > 0 and got[11]["trend_fp"] < 0
     assert got[12]["trend_fp"] == 0
     compare(holt_trend(spark, out), con, TS_ORACLES["time_holt_trend"])
+
+
+def test_holt_trend_random_series_match_python_replay(spark, tmp_path):
+    """Seeded random series (negative values, single-point users, many
+    buckets, duplicate in-bucket events) folded by Spark must equal the
+    independent Python replay user by user — the truncating-division
+    trajectory under adversarial signs."""
+    import datetime as dt
+    import random
+
+    from parquet_near_storage_compute_spark.operators.timeseries import (
+        HOLT_SCALE,
+        LTTB_BUCKET_SEC,
+        holt_trend,
+    )
+
+    rng = random.Random(0xBEEF)
+    rows, eid = [], 0
+    series = {}
+    for uid in range(20):
+        n_b = rng.choice([1, 2, 3, 8, 40])
+        buckets = sorted(rng.sample(range(100), n_b))
+        per_bucket = {}
+        for bkt in buckets:
+            vals = [round(rng.uniform(-500, 500), 2)
+                    for _ in range(rng.randint(1, 4))]
+            per_bucket[bkt] = vals
+            for j, v in enumerate(vals):
+                eid += 1
+                rows.append(
+                    (eid, bkt * LTTB_BUCKET_SEC + 17 * j + 5, uid, v)
+                )
+        series[uid] = per_bucket
+
+    out = str(tmp_path / "hwrand")
+    spark.createDataFrame(
+        [
+            (e, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u,
+             "view", v, "{}")
+            for e, s, u, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(2).write.mode("overwrite").parquet(out + "/events.parquet")
+
+    def tdiv(a: int, d: int) -> int:
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    base_sec = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+                   .timestamp())
+
+    def replay(per_bucket):
+        ms = []
+        for bkt in sorted(per_bucket):
+            cents = [
+                # replicate round(value*100) on the stored double
+                int(round(v * 100)) for v in per_bucket[bkt]
+            ]
+            # bucket of the first event: (base + bkt*B + off) div B; the
+            # planted offsets keep every event inside its bucket
+            ms.append(tdiv(sum(cents), len(cents)))
+        l, b = ms[0] * HOLT_SCALE, 0
+        for m in ms[1:]:
+            lp = tdiv(l + b + m * HOLT_SCALE, 2)
+            b = tdiv(lp - l, 4) + tdiv(3 * b, 4)
+            l = lp
+        return l, b
+
+    # the replay's bucket indices match Spark's absolute-epoch buckets
+    # only because 2024-01-01 UTC is exactly grid-aligned — pin that
+    assert base_sec % LTTB_BUCKET_SEC == 0
+    got = {r["user_id"]: r for r in holt_trend(spark, out).collect()}
+    mismatch = []
+    for uid, per_bucket in series.items():
+        l, b = replay(per_bucket)
+        if (got[uid]["level_fp"], got[uid]["trend_fp"]) != (l, b):
+            mismatch.append(uid)
+    assert not mismatch, mismatch
 
 
 # --------------------------------------------- PSI drift report
