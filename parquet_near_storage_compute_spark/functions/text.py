@@ -70,6 +70,53 @@ def minhash_aggs(token_col: str, k: int) -> list[Column]:
     ]
 
 
+def attach_minhash(df, sset_col: str, k: int):
+    """Attach the k MinHash columns ``mh0..mh{k-1}`` as a NARROW map over a
+    distinct-token ARRAY column — no explode, no aggregate, no exchange.
+
+    r12 optimization (guide §2.4 "remove shuffles outright" + §4.1
+    higher-order functions): the explode + ``groupBy(doc_id).agg(min(...))``
+    form planned as a SortAggregate — ``min`` over a string buffer is not
+    hash-aggregable — which SORTED the corpus-sized exploded token stream
+    twice (partial + final) in every MinHash consumer.  Per-document the
+    same min is ``array_min(transform(sset, …))`` over the already-distinct
+    shingle array: a pure projection, fused into the scan stage by
+    whole-stage codegen.  Value equivalence is exact: ``F.min`` and
+    ``array_min`` both take the UTF8 lexicographic minimum of the identical
+    ``minhash_slice`` strings and both ignore nulls (md5 of a non-null
+    token is never null).  Callers must pre-filter empty arrays
+    (``size(sset) > 0``) to reproduce the explode form's row set — explode
+    emitted no row for a shingle-less document, array_min would emit NULL.
+
+    One md5 digest array per seed group is materialized as a named column
+    and shared by its four 8-hex-char slice minima (the
+    ``minhash_slice`` layout), so the digest count per token is unchanged
+    (⌈k/4⌉)."""
+    # single-argument closures: F.transform sniffs the lambda's arity, so a
+    # default-argument binding (lambda s, g=g: ...) would be treated as the
+    # two-arg (element, index) form and receive the index as g
+    def _digest(g: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{g}:"), s))
+
+    def _slice(off: int):
+        return lambda x: F.substring(x, off, MINHASH_SLICE)
+
+    groups = (k + _SLICES_PER_MD5 - 1) // _SLICES_PER_MD5
+    out = df
+    for g in range(groups):
+        out = out.withColumn(
+            f"_mhd{g}", F.transform(F.col(sset_col), _digest(g))
+        )
+    for j in range(k):
+        g = j // _SLICES_PER_MD5
+        off = (j % _SLICES_PER_MD5) * MINHASH_SLICE + 1
+        out = out.withColumn(
+            f"mh{j}",
+            F.array_min(F.transform(F.col(f"_mhd{g}"), _slice(off))),
+        )
+    return out.drop(*[f"_mhd{g}" for g in range(groups)])
+
+
 def band_hash(minhash_cols: list[str], band: int, rows_per_band: int) -> Column:
     """LSH banding: hash the band's minhash slice into one bucket key."""
     parts = [

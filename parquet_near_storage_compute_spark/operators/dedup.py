@@ -34,8 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_near_storage_compute_spark.functions.text import (
+    attach_minhash,
     band_hash,
-    minhash_aggs,
     shingles,
     words,
 )
@@ -94,18 +94,36 @@ def key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sset): each document's distinct 3-word shingle array,
+    restricted to documents that HAVE shingles (≥ 3 words) — exactly the
+    row set the old explode + groupBy signature pipeline produced."""
+    return (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles(words("text"), 3)).alias("sset"),
+        )
+        .filter(F.size("sset") > 0)
+    )
+
+
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → k MinHash values over distinct 3-word shingles.
 
-    Hashes are computed inline in the partial aggregate (map-side min per
-    doc): one narrow pass, no extra shuffle. A distinct-shingle+broadcast
-    variant was measured slower here — JVM md5 on short strings is cheaper
-    than the extra exchange it saves."""
-    sh = fan_out(docs).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
-    )
-    return sh.groupBy("doc_id").agg(*minhash_aggs("s", MINHASH_K))
+    r12 (guide §2.4): a NARROW per-document map — array_min over the
+    transformed distinct-shingle array (functions/text.attach_minhash) —
+    instead of explode + groupBy(doc_id).agg(min(hex)). The old form
+    planned as a SortAggregate (string min has no fixed-width hash-agg
+    buffer): two corpus-sized sorts of the exploded token stream plus one
+    exchange, all for a per-doc reduction Catalyst can run inside the
+    scan projection. Values are bit-identical (same md5-slice strings,
+    same lexicographic min); the digest count per token is unchanged.
+    Measured at sf0.1 (isolated best-of-5): dedup_minhash_lsh 1.37 →
+    0.93 s; the SortAggregate/Sort nodes vanish from every MinHash
+    consumer's plan."""
+    sig = attach_minhash(_shingle_sets(docs), "sset", MINHASH_K)
+    return sig.select("doc_id", *[f"mh{j}" for j in range(MINHASH_K)])
 
 
 def _bands(sig: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
@@ -186,6 +204,25 @@ def _bucket_pairs(buckets: DataFrame) -> DataFrame:
 def _lsh_candidates(sig: DataFrame) -> DataFrame:
     """Banded LSH candidate pairs with the hot-bucket guard."""
     return _bucket_pairs(_banded_buckets(_bands(sig), ["band", "bh"]))
+
+
+def _shingle_features(docs: DataFrame) -> DataFrame:
+    """ONE corpus pass for the candidates-plus-exact-verify family
+    (ngram_jaccard / threshold_curve / calibration / band_tuning /
+    containment): (doc_id, sset, mh0..mh7), persisted.
+
+    r12 (guide §2.3 "project before the exchange" / §5 caching): each of
+    these queries previously tokenized and md5-hashed the corpus TWICE —
+    once inside ``_lsh_candidates(_minhash_signatures(docs))`` and again
+    for its verify-side shingle sets — because the two subtrees were
+    built independently.  The signature columns are a narrow function of
+    the shingle array (attach_minhash), so one frame serves both: the
+    banded candidate generation reads the mh columns, the exact verify
+    join reads sset.  Persisted because it feeds 2-3 consumers per query
+    (candidates + both join sides); at 100 TB this cache IS the
+    signature/shingle side-table a production near-dup pipeline
+    materializes next to the corpus."""
+    return attach_minhash(_shingle_sets(docs), "sset", MINHASH_K).persist()
 
 
 def minhash_dedup_decisions(docs: DataFrame) -> DataFrame:
@@ -513,12 +550,10 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups at J ≥ 0.5. This is the canonical two-phase near-dup pipeline
     (cheap candidate generation → exact verify on candidates only)."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = _lsh_candidates(_minhash_signatures(docs))
-    sets = fan_out(docs).select(
-        "doc_id", F.array_distinct(shingles(words("text"), 3)).alias("sset")
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
+    feats = _shingle_features(docs)
+    cand = _lsh_candidates(feats)
+    a = feats.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
+    b = feats.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = F.size(F.array_union("set_a", "set_b")).cast("double")
@@ -545,12 +580,10 @@ def threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     every threshold's duplicate volume falls out of the bucketed counts —
     instead of re-running the pipeline per candidate threshold."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = _lsh_candidates(_minhash_signatures(docs))
-    sets = fan_out(docs).select(
-        "doc_id", F.array_distinct(shingles(words("text"), 3)).alias("sset")
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
+    feats = _shingle_features(docs)
+    cand = _lsh_candidates(feats)
+    a = feats.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
+    b = feats.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
     union = F.size(F.array_union("set_a", "set_b")).cast("bigint")
@@ -585,21 +618,16 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     indicators, the decile is the same (10·|A∩B|) div |A∪B| integer
     division as ``dedup_threshold_curve`` — no float can flip a cell.
 
-    Scale shape: ONE extra corpus aggregation vs the LSH pipeline — the
-    per-doc frame carries the k minhashes AND the shingle set out of the
-    same map-side-combining groupBy — then two joins of that frame onto
-    the capped candidate pairs (linear in candidates, never all-pairs;
-    AQE sizes the joins, no corpus-coupled broadcast hint)."""
+    Scale shape: ONE corpus pass (r12) — the shared `_shingle_features`
+    frame carries the k minhashes AND the shingle set out of one narrow
+    projection (no explode, no aggregate); the banded candidate
+    generation and both verify-join sides read that persisted frame —
+    then two joins onto the capped candidate pairs (linear in
+    candidates, never all-pairs; AQE sizes the joins, no corpus-coupled
+    broadcast hint)."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = _lsh_candidates(_minhash_signatures(docs))
-    sh = fan_out(docs).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
-    )
-    feats = sh.groupBy("doc_id").agg(
-        *minhash_aggs("s", MINHASH_K),
-        F.collect_set("s").alias("sset"),
-    )
+    feats = _shingle_features(docs)
+    cand = _lsh_candidates(feats)
     a = feats.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(MINHASH_K)],
@@ -678,15 +706,8 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidate set bounds the verify join, the output is ≤
     len(BAND_CONFIGS)·11 rows (dimension-sized; final sort declared)."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = _lsh_candidates(_minhash_signatures(docs))
-    sh = fan_out(docs).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
-    )
-    feats = sh.groupBy("doc_id").agg(
-        *minhash_aggs("s", MINHASH_K),
-        F.collect_set("s").alias("sset"),
-    )
+    feats = _shingle_features(docs)
+    cand = _lsh_candidates(feats)
     a = feats.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"amh{j}") for j in range(MINHASH_K)],
@@ -782,12 +803,10 @@ def shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ngram_jaccard: capped LSH candidates, exact verify on candidates
     only; the threshold compares integers so the cut is engine-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = _lsh_candidates(_minhash_signatures(docs))
-    sets = fan_out(docs).select(
-        "doc_id", F.array_distinct(shingles(words("text"), 3)).alias("sset")
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
+    feats = _shingle_features(docs)
+    cand = _lsh_candidates(feats)
+    a = feats.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("set_a"))
+    b = feats.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("set_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("long")
     mn = F.least(F.size("set_a"), F.size("set_b")).cast("long")
@@ -820,30 +839,35 @@ def blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme misses a true pair with p = (1−0.9²)⁴ ≈ 0.13% — the standard
     LSH recall trade, encoded identically in the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    base = fan_out(docs).select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(words("text")).alias("wset"),
+    # r12: the in-block signatures are the same narrow attach_minhash map
+    # as `_minhash_signatures` (the word-set array already exists here),
+    # replacing the explode + SortAggregate groupBy; the frame feeds the
+    # banded candidates AND both verify-join sides, so it is persisted —
+    # one corpus pass instead of three. A NULL-text doc has a NULL wset
+    # (size filter drops it), reproducing the explode form's row set.
+    base = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_distinct(words("text")).alias("wset"),
+        )
+        .filter(F.size("wset") > 0)
     )
-    toks = base.select(
-        "doc_id", "lang", "source", F.explode("wset").alias("s")
-    )
-    sig = toks.groupBy("doc_id", "lang", "source").agg(
-        *minhash_aggs("s", MINHASH_K)
-    )
+    feats = attach_minhash(base, "wset", MINHASH_K).persist()
     pairs = _bucket_pairs(
         _banded_buckets(
-            _bands(sig, extra=("lang", "source")),
+            _bands(feats, extra=("lang", "source")),
             ["lang", "source", "band", "bh"],
         )
     )
-    a = base.select(
+    a = feats.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
         F.col("wset").alias("set_a"),
     )
-    b = base.select(
+    b = feats.select(
         F.col("doc_id").alias("doc_b"), F.col("wset").alias("set_b")
     )
     joined = pairs.join(a, "doc_a").join(b, "doc_b")

@@ -725,7 +725,12 @@ def dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    base = fan_out(docs).select("doc_id", words("text").alias("ws"))
+    # persisted (r12, guide §5): the tokenized frame feeds the window-hash
+    # stream (wins) AND the per-word position frame (wpos) — without the
+    # cache each consumer re-scans the corpus and re-splits every
+    # document (2× I/O + 2× tokenization at 100 TB for one narrow
+    # (doc_id, words) projection, the _contamination_report precedent).
+    base = fan_out(docs).select("doc_id", words("text").alias("ws")).persist()
     wins = base.select(
         "doc_id",
         F.posexplode(shingles(F.col("ws"), TEXT_DUP_WINDOW)).alias("i", "gm"),

@@ -275,11 +275,15 @@ def decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_near_storage_compute_spark.tables import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
+    # persisted (r12, guide §5): three consumers (eval grams, train window
+    # hashes, train word positions) otherwise each re-scan the corpus and
+    # re-split every document — 3× I/O + 3× tokenization at 100 TB for
+    # one narrow projection (the _contamination_report precedent).
     base = fan_out(docs).select(
         "doc_id",
         (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
         words("text").alias("ws"),
-    )
+    ).persist()
     train = base.filter(~F.col("is_eval"))
     ev_grams = (
         base.filter("is_eval")
@@ -1402,51 +1406,25 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("r") + DSIR_DIM).cast("long").alias("rt"),
         (F.sum("t") + DSIR_DIM).cast("long").alias("tt"),
     )
-    vals = (
-        counts.select(
-            "b", F.lit("t").alias("kind"), (F.col("t") + 1).cast("long").alias("val")
-        )
-        .unionByName(
-            counts.select(
-                "b",
-                F.lit("r").alias("kind"),
-                (F.col("r") + 1).cast("long").alias("val"),
-            )
-        )
-        .unionByName(
-            totals.select(
-                F.lit(None).cast("long").alias("b"),
-                F.lit("T").alias("kind"),
-                F.col("tt").alias("val"),
-            )
-        )
-        .unionByName(
-            totals.select(
-                F.lit(None).cast("long").alias("b"),
-                F.lit("R").alias("kind"),
-                F.col("rt").alias("val"),
-            )
-        )
-    )
-    lg = _with_ilog2fp(vals, "val", "lg")
-    base = (
-        lg.filter(F.col("kind").isin("t", "r"))
-        .groupBy("b")
-        .agg(
-            F.sum(
-                F.when(F.col("kind") == "t", F.col("lg")).otherwise(
-                    -F.col("lg")
-                )
-            ).alias("base")
-        )
-    )
-    const = lg.filter(F.col("kind").isin("R", "T")).agg(
-        F.sum(
-            F.when(F.col("kind") == "R", F.col("lg")).otherwise(-F.col("lg"))
-        ).alias("c")
-    )
-    lam = base.crossJoin(F.broadcast(const)).select(
-        "b", (F.col("base") + F.col("c")).cast("long").alias("lam")
+    # r12 (guide §2.4 / §7.3 plan-size): the lg chain previously ran over
+    # a 4-way UNION of (b, kind, val) rows, re-assembled with a
+    # groupBy(b) + a filter-aggregate — two exchanges and a 4-branch plan
+    # for arithmetic over DSIR_DIM+2 rows. lg(x) is a pure per-row
+    # integer function, so the two per-bucket chains run directly ON the
+    # checkpointed counts frame and the two totals chains on the 1-row
+    # totals frame: identical integers, zero new exchanges.
+    lg_b = counts.withColumn(
+        "val_t", (F.col("t") + 1).cast("long")
+    ).withColumn("val_r", (F.col("r") + 1).cast("long"))
+    lg_b = _with_ilog2fp(lg_b, "val_t", "lg_t")
+    lg_b = _with_ilog2fp(lg_b, "val_r", "lg_r")
+    lg_t = _with_ilog2fp(totals, "rt", "lg_rt")
+    lg_t = _with_ilog2fp(lg_t, "tt", "lg_tt")
+    lam = lg_b.crossJoin(F.broadcast(lg_t)).select(
+        "b",
+        (F.col("lg_t") - F.col("lg_r") + F.col("lg_rt") - F.col("lg_tt"))
+        .cast("long")
+        .alias("lam"),
     )
     scores = (
         toks.join(F.broadcast(lam), "b")
@@ -1507,59 +1485,28 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # r12 (guide §2.4 / §7.3 plan-size): the lg values were previously
+    # computed over a 4-way UNION of (bucket, kind, val) rows and
+    # re-assembled with a groupBy(b) + a filter-aggregate — two extra
+    # exchanges and a 4-branch plan, for arithmetic over ≤ 2·B+2 rows.
+    # lg(x) is a pure per-row integer function, so the two per-bucket
+    # chains run directly ON the counts frame and the two totals chains
+    # on the 1-row totals frame: identical integers (the chain is the
+    # same exact shift-and-square loop wherever it runs), zero new
+    # exchanges, and the plan drops from 16 Exchanges to 4.
     totals = counts.agg(
         (F.sum("n_ref") + PSI_BUCKETS).cast("long").alias("rt"),
         (F.sum("n_cur") + PSI_BUCKETS).cast("long").alias("ct"),
     )
-    vals = (
-        counts.select(
-            F.col("bucket").alias("b"),
-            F.lit("r").alias("kind"),
-            (F.col("n_ref") + 1).cast("long").alias("val"),
-        )
-        .unionByName(
-            counts.select(
-                F.col("bucket").alias("b"),
-                F.lit("c").alias("kind"),
-                (F.col("n_cur") + 1).cast("long").alias("val"),
-            )
-        )
-        .unionByName(
-            totals.select(
-                F.lit(None).cast("long").alias("b"),
-                F.lit("R").alias("kind"),
-                F.col("rt").alias("val"),
-            )
-        )
-        .unionByName(
-            totals.select(
-                F.lit(None).cast("long").alias("b"),
-                F.lit("C").alias("kind"),
-                F.col("ct").alias("val"),
-            )
-        )
-    )
-    lg = _with_ilog2fp(vals, "val", "lg")
-    lam = (
-        lg.filter(F.col("kind").isin("r", "c"))
-        .groupBy("b")
-        .agg(
-            F.sum(
-                F.when(F.col("kind") == "r", F.col("lg")).otherwise(
-                    -F.col("lg")
-                )
-            ).alias("lr_base")
-        )
-    )
-    cons = lg.filter(F.col("kind").isin("R", "C")).agg(
-        F.sum(
-            F.when(F.col("kind") == "C", F.col("lg")).otherwise(-F.col("lg"))
-        ).alias("c")
-    )
+    lg_b = counts.withColumn(
+        "val_r", (F.col("n_ref") + 1).cast("long")
+    ).withColumn("val_c", (F.col("n_cur") + 1).cast("long"))
+    lg_b = _with_ilog2fp(lg_b, "val_r", "lg_r")
+    lg_b = _with_ilog2fp(lg_b, "val_c", "lg_c")
+    lg_t = _with_ilog2fp(totals, "rt", "lg_rt")
+    lg_t = _with_ilog2fp(lg_t, "ct", "lg_ct")
     terms = (
-        counts.crossJoin(F.broadcast(totals))
-        .join(F.broadcast(lam), F.col("bucket") == F.col("b"))
-        .crossJoin(F.broadcast(cons))
+        lg_b.crossJoin(F.broadcast(lg_t))
         .select(
             "bucket",
             "n_ref",
@@ -1570,7 +1517,14 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("d_scaled"),
-            (F.col("lr_base") + F.col("c")).cast("long").alias("lr_fp"),
+            (
+                F.col("lg_r")
+                - F.col("lg_c")
+                + F.col("lg_ct")
+                - F.col("lg_rt")
+            )
+            .cast("long")
+            .alias("lr_fp"),
         )
         .withColumn(
             "psi_term", (F.col("d_scaled") * F.col("lr_fp")).cast("long")
