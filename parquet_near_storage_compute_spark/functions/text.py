@@ -74,14 +74,22 @@ def attach_minhash(df, sset_col: str, k: int):
     """Attach the k MinHash columns ``mh0..mh{k-1}`` as a NARROW map over a
     distinct-token ARRAY column — no explode, no aggregate, no exchange.
 
-    r12 optimization (guide §2.4 "remove shuffles outright" + §4.1
-    higher-order functions): the explode + ``groupBy(doc_id).agg(min(...))``
-    form planned as a SortAggregate — ``min`` over a string buffer is not
-    hash-aggregable — which SORTED the corpus-sized exploded token stream
-    twice (partial + final) in every MinHash consumer.  Per-document the
-    same min is ``array_min(transform(sset, …))`` over the already-distinct
-    shingle array: a pure projection, fused into the scan stage by
-    whole-stage codegen.  Value equivalence is exact: ``F.min`` and
+    Use ONLY to build frames that are PERSISTED for several consumers
+    (`_shingle_features`, `blocked_jaccard`): the per-row form keeps the
+    shingle array and its signatures in ONE cached row, so the banded
+    candidate generation and both exact-verify join sides share a single
+    materialization.  It is NOT a general replacement for the explode +
+    ``groupBy(doc_id).agg(min(substring(md5)))`` signature aggregate: the
+    r12 interleaved A/B at sf0.1 measured the projection form 0.94 →
+    2.22 s SLOWER end-to-end on the uncached LSH pipeline, because
+    higher-order functions (``transform``/``array_min``) evaluate outside
+    whole-stage codegen — interpreted per-row lambdas and ~k+⌈k/4⌉ boxed
+    array traversals per document — while the explode form's md5 +
+    ``min`` compile into the scan stage (its SortAggregate pair is
+    cheaper than the interpreted projection).  Plan shape is not the
+    whole story; measure (guide §1).
+
+    Value equivalence to the aggregate form is exact: ``F.min`` and
     ``array_min`` both take the UTF8 lexicographic minimum of the identical
     ``minhash_slice`` strings and both ignore nulls (md5 of a non-null
     token is never null).  Callers must pre-filter empty arrays

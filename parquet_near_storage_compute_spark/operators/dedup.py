@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from parquet_near_storage_compute_spark.functions.text import (
     attach_minhash,
     band_hash,
+    minhash_aggs,
     shingles,
     words,
 )
@@ -111,19 +112,25 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → k MinHash values over distinct 3-word shingles.
 
-    r12 (guide §2.4): a NARROW per-document map — array_min over the
-    transformed distinct-shingle array (functions/text.attach_minhash) —
-    instead of explode + groupBy(doc_id).agg(min(hex)). The old form
-    planned as a SortAggregate (string min has no fixed-width hash-agg
-    buffer): two corpus-sized sorts of the exploded token stream plus one
-    exchange, all for a per-doc reduction Catalyst can run inside the
-    scan projection. Values are bit-identical (same md5-slice strings,
-    same lexicographic min); the digest count per token is unchanged.
-    Measured at sf0.1 (isolated best-of-5): dedup_minhash_lsh 1.37 →
-    0.93 s; the SortAggregate/Sort nodes vanish from every MinHash
-    consumer's plan."""
-    sig = attach_minhash(_shingle_sets(docs), "sset", MINHASH_K)
-    return sig.select("doc_id", *[f"mh{j}" for j in range(MINHASH_K)])
+    Hashes are computed inline in the partial aggregate (map-side min per
+    doc): one narrow pass, no extra shuffle.  Two alternatives were
+    measured SLOWER here (r12 interleaved A/B at sf0.1, fresh plans under
+    the noop sink): (a) the narrow attach_minhash projection — array_min
+    over transformed digest arrays — removes the SortAggregate pair from
+    the plan but loses 0.94 → 2.22 s end-to-end on the LSH pipeline,
+    because higher-order functions evaluate OUTSIDE whole-stage codegen
+    (interpreted per-row lambdas + 10 boxed array traversals per doc)
+    while explode + min(substring(md5)) compiles into the scan stage; the
+    plan's extra Sort nodes are cheaper than the interpreted projection.
+    (b) a distinct-shingle+broadcast variant — JVM md5 on short strings
+    is cheaper than the extra exchange it saves.  The attach form remains
+    right where its output is PERSISTED for several consumers
+    (`_shingle_features`), where build cost is paid once."""
+    sh = fan_out(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
+    )
+    return sh.groupBy("doc_id").agg(*minhash_aggs("s", MINHASH_K))
 
 
 def _bands(sig: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:

@@ -324,24 +324,65 @@ def _ranked_cells(emb: DataFrame, max_rank: int = 1) -> DataFrame:
     (cosine desc, cell id). Columns: vec_id, v, nrm, cell, cell_cos, crk
     (≤ max_rank); callers select what they carry — Catalyst prunes the
     rest. ONE implementation so a fix to the tie-break or the cosine can
-    never leave the five consumers divergent."""
+    never leave the five consumers divergent.
+
+    r12 (guide §2.4 / §4.1): the ranking is a per-row array_sort over a
+    ONE-ROW broadcast codebook array instead of a |vectors|·|cells|
+    crossJoin fan-out followed by a row_number window (whose
+    partitionBy(vec_id) forced an Exchange + Sort of the fanned-out
+    product in every IVF consumer). The comparator replicates the
+    window's (cell_cos DESC NULLS LAST, cell ASC) ordering including
+    Spark's double total order (NaN greatest → first under DESC, NULLs
+    last); the cosine expression is built from the SAME dot/norm helpers,
+    so the floats are bit-identical."""
     cents = _label_centroids(emb)
+    cbk = cents.agg(F.collect_list(F.struct("cell", "centroid")).alias("cbk"))
     v = fan_out(emb).select(
         "vec_id", as_double("embedding").alias("v")
     ).withColumn("nrm", norm(F.col("v")))
-    scored_cells = v.crossJoin(F.broadcast(cents)).select(
+
+    def _score(c):
+        return F.struct(
+            (
+                dot(F.col("v"), c["centroid"])
+                / (F.col("nrm") * norm(c["centroid"]))
+            ).alias("cc"),
+            c["cell"].alias("cell"),
+        )
+
+    def _cmp(left, right):
+        lc, rc = left["cc"], right["cc"]
+        tie = (
+            F.when(left["cell"] < right["cell"], F.lit(-1))
+            .when(left["cell"] > right["cell"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        return (
+            F.when(lc.isNull() & rc.isNull(), tie)
+            .when(lc.isNull(), F.lit(1))
+            .when(rc.isNull(), F.lit(-1))
+            .when((lc == rc) | (F.isnan(lc) & F.isnan(rc)), tie)
+            .when(F.isnan(lc), F.lit(-1))
+            .when(F.isnan(rc), F.lit(1))
+            .when(lc > rc, F.lit(-1))
+            .otherwise(F.lit(1))
+        )
+
+    ranked = v.crossJoin(F.broadcast(cbk)).withColumn(
+        "rc",
+        F.slice(
+            F.array_sort(F.transform("cbk", _score), _cmp), 1, max_rank
+        ),
+    )
+    return ranked.select(
+        "vec_id", "v", "nrm", F.posexplode("rc").alias("i", "e")
+    ).select(
         "vec_id",
         "v",
         "nrm",
-        "cell",
-        (
-            dot(F.col("v"), F.col("centroid"))
-            / (F.col("nrm") * norm(F.col("centroid")))
-        ).alias("cell_cos"),
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("cell_cos").desc(), "cell")
-    return scored_cells.withColumn("crk", F.row_number().over(wc)).filter(
-        F.col("crk") <= max_rank
+        F.col("e.cell").alias("cell"),
+        F.col("e.cc").alias("cell_cos"),
+        (F.col("i") + 1).alias("crk"),
     )
 
 
@@ -1375,32 +1416,6 @@ def _pq_recon(v: DataFrame) -> DataFrame:
     256 B of float32), scored via codeword dot products; the codebook
     (≤ PQ_M·4^PQ_SUB rows) broadcasts for free."""
     vi = v.withColumn("vi", F.expr(_lattice_expr()))
-    sub = vi.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("vi", s * PQ_SUB + 1, PQ_SUB).alias("sv"),
-                    )
-                    for s in range(PQ_M)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
-    # 2-bit-per-dim cell id: level(x) = sign bit + 2·magnitude bit,
-    # packed base-4 over the subspace dims (0-based in Spark lambdas)
-    subo = sub.withColumn(
-        "orth",
-        F.expr(
-            f"aggregate(transform(sv, (x, i) -> "
-            f"(CASE WHEN x >= 0L THEN 1L ELSE 0L END "
-            f"+ CASE WHEN abs(x) >= {PQ_TMAG}L THEN 2L ELSE 0L END) "
-            f"* CAST(power(4, i) AS BIGINT)), "
-            f"0L, (acc, y) -> acc + y)"
-        ),
-    )
     # Bounded deterministic training set (VERDICT r8 #3): the PQ_TRAIN_N
     # smallest md5('pq:' || vec_id) draws — the train_uniform_sample k-min
     # device, a pure function of the keys so DuckDB re-derives the exact
@@ -1428,48 +1443,37 @@ def _pq_recon(v: DataFrame) -> DataFrame:
         .select("v")
         .collect()
     )
-    book = v.sparkSession.createDataFrame(
-        _lloyd_book([r["v"] for r in sample]),
-        "s INT, cw_orth BIGINT, cw ARRAY<BIGINT>",
+    # Nearest-codeword argmin as a PURE PROJECTION over a 1-row broadcast
+    # codebook (r12, guide §2.4 "remove shuffles outright" / §4.1
+    # higher-order functions — supersedes r9's min(struct) aggregate):
+    # the trained book is ALREADY a driver-side list, so shipping it as
+    # one nested-array row and folding the argmin into
+    # array_min(transform(...)) per (vector, subspace) removes the 16×
+    # subspace explode, the ≤256× codeword fan-out join, BOTH
+    # SortAggregates (struct-min has no fixed-width hash buffer), their
+    # corpus-sized Sorts, the (vec_id, s) Exchange AND the
+    # collect_list(struct) regroup — the encode fuses into the scan's
+    # projection. Bit-equivalence: array_min over struct(d2, co, cw)
+    # compares fields in order, and (d2, co) is the same unique total
+    # order the min(struct(d2, cw_orth, …)) aggregate used — the
+    # oracle's ROW_NUMBER() ORDER BY d2, co, unchanged.
+    trained = _lloyd_book([r["v"] for r in sample])
+    by_s: list[list] = [[] for _ in range(PQ_M)]
+    for s, co, cw in trained:
+        by_s[s].append((co, cw))
+    book_row = v.sparkSession.createDataFrame(
+        [(by_s,)], "bks ARRAY<ARRAY<STRUCT<co: BIGINT, cw: ARRAY<BIGINT>>>>"
     )
-    d2 = F.expr(
-        "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), "
-        "0L, (acc, x) -> acc + x)"
+    enc = (
+        f"flatten(transform(sequence(0, {PQ_M - 1}), s -> "
+        f"array_min(transform(element_at(bks, s + 1), b -> "
+        f"struct(aggregate(zip_with(slice(vi, s * {PQ_SUB} + 1, {PQ_SUB}), "
+        f"b.cw, (a, c) -> (a - c) * (a - c)), 0L, (acc, x) -> acc + x) "
+        f"AS d2, b.co AS co, b.cw AS cw))).cw))"
     )
-
-    def _assign(bk: DataFrame, frame: DataFrame = subo) -> DataFrame:
-        # Nearest-codeword argmin as a PARTIAL-AGGREGATING min(struct) (r9):
-        # the broadcast join fans each subvector out to every codeword of
-        # its subspace (|frame|·≤256 rows), and a window argmin would
-        # shuffle that whole product before sorting it. min(struct(d2,
-        # cw_orth, …)) instead combines map-side — one surviving row per
-        # (vec_id, s) per partition crosses the wire. The (d2, cw_orth)
-        # prefix is a total order (cw_orth is unique per book row), so the
-        # argmin is unique and the carried cw matches the oracle's
-        # ROW_NUMBER() ORDER BY d2, co — bit-for-bit.
-        j = frame.join(F.broadcast(bk), "s").withColumn("d2", d2)
-        return (
-            j.groupBy("vec_id", "s")
-            .agg(F.min(F.struct("d2", "cw_orth", "cw", "sv")).alias("m"))
-            .select(
-                "vec_id",
-                "s",
-                F.col("m.cw_orth").alias("cw_orth"),
-                F.col("m.cw").alias("cw"),
-                F.col("m.sv").alias("sv"),
-            )
-        )
-
-    best = _assign(book)
     return (
-        best.groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "cw"))).alias("sc"))
-        .select(
-            "vec_id",
-            F.flatten(F.transform("sc", lambda x: x.getField("cw"))).alias(
-                "r"
-            ),
-        )
+        vi.crossJoin(F.broadcast(book_row))
+        .select("vec_id", F.expr(enc).alias("r"))
         .withColumn("n2", F.expr("aggregate(r, 0L, (acc, x) -> acc + x * x)"))
         .select("vec_id", "r", "n2")
     )

@@ -804,10 +804,14 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect, nothing quadratic; docs with <3 words have no trigrams and
     drop out of the report on both engines."""
     docs = load_table(spark, sf_dir, "documents")
+    # persisted (r12, guide §5): the distinct-(doc, gram) stream feeds the
+    # global gram-frequency aggregate AND the join's probe side — without
+    # the cache each consumer re-scans the corpus and re-tokenizes every
+    # document (the lm_perplexity / duplicate_window_fraction discipline).
     sh = fan_out(docs).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(words("text"), 3))).alias("s"),
-    )
+    ).persist()
     gcnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs_with"))
     per_doc = (
         sh.join(gcnt, "s")
