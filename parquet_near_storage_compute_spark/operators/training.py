@@ -1485,28 +1485,72 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    # r12 (guide §2.4 / §7.3 plan-size): the lg values were previously
-    # computed over a 4-way UNION of (bucket, kind, val) rows and
-    # re-assembled with a groupBy(b) + a filter-aggregate — two extra
-    # exchanges and a 4-branch plan, for arithmetic over ≤ 2·B+2 rows.
-    # lg(x) is a pure per-row integer function, so the two per-bucket
-    # chains run directly ON the counts frame and the two totals chains
-    # on the 1-row totals frame: identical integers (the chain is the
-    # same exact shift-and-square loop wherever it runs), zero new
-    # exchanges, and the plan drops from 16 Exchanges to 4.
+    # The 4-way UNION + groupBy(b) λ-assembly below LOOKS wasteful (a
+    # 4-branch plan and 16 Exchanges for ≤ 2·B+2 rows) and r12 tried the
+    # "obvious" fix — run the lg chains directly on the counts/totals
+    # frames (6 Exchanges). The interleaved A/B at sf0.1 measured the
+    # direct-chain form consistently SLOWER (old best 1.32 s vs new
+    # 1.69 s over 5 alternating fresh-plan noop runs): this query's timed
+    # region is pure stage-scheduling over tiny frames, and the union's
+    # independent branches schedule in parallel while the chained form
+    # serializes two ilog2fp projections behind a broadcast build.
+    # Measured form kept (guide §1: plan shape is not the whole story).
+    # The sibling dsir_resample KEEPS the direct chains — its timed path
+    # is dominated by the corpus scoring pass, and its A/B read parity
+    # (2.23 vs 2.13 best).
     totals = counts.agg(
         (F.sum("n_ref") + PSI_BUCKETS).cast("long").alias("rt"),
         (F.sum("n_cur") + PSI_BUCKETS).cast("long").alias("ct"),
     )
-    lg_b = counts.withColumn(
-        "val_r", (F.col("n_ref") + 1).cast("long")
-    ).withColumn("val_c", (F.col("n_cur") + 1).cast("long"))
-    lg_b = _with_ilog2fp(lg_b, "val_r", "lg_r")
-    lg_b = _with_ilog2fp(lg_b, "val_c", "lg_c")
-    lg_t = _with_ilog2fp(totals, "rt", "lg_rt")
-    lg_t = _with_ilog2fp(lg_t, "ct", "lg_ct")
+    vals = (
+        counts.select(
+            F.col("bucket").alias("b"),
+            F.lit("r").alias("kind"),
+            (F.col("n_ref") + 1).cast("long").alias("val"),
+        )
+        .unionByName(
+            counts.select(
+                F.col("bucket").alias("b"),
+                F.lit("c").alias("kind"),
+                (F.col("n_cur") + 1).cast("long").alias("val"),
+            )
+        )
+        .unionByName(
+            totals.select(
+                F.lit(None).cast("long").alias("b"),
+                F.lit("R").alias("kind"),
+                F.col("rt").alias("val"),
+            )
+        )
+        .unionByName(
+            totals.select(
+                F.lit(None).cast("long").alias("b"),
+                F.lit("C").alias("kind"),
+                F.col("ct").alias("val"),
+            )
+        )
+    )
+    lg = _with_ilog2fp(vals, "val", "lg")
+    lam = (
+        lg.filter(F.col("kind").isin("r", "c"))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.when(F.col("kind") == "r", F.col("lg")).otherwise(
+                    -F.col("lg")
+                )
+            ).alias("lr_base")
+        )
+    )
+    cons = lg.filter(F.col("kind").isin("R", "C")).agg(
+        F.sum(
+            F.when(F.col("kind") == "C", F.col("lg")).otherwise(-F.col("lg"))
+        ).alias("c")
+    )
     terms = (
-        lg_b.crossJoin(F.broadcast(lg_t))
+        counts.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(lam), F.col("bucket") == F.col("b"))
+        .crossJoin(F.broadcast(cons))
         .select(
             "bucket",
             "n_ref",
@@ -1517,14 +1561,7 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("d_scaled"),
-            (
-                F.col("lg_r")
-                - F.col("lg_c")
-                + F.col("lg_ct")
-                - F.col("lg_rt")
-            )
-            .cast("long")
-            .alias("lr_fp"),
+            (F.col("lr_base") + F.col("c")).cast("long").alias("lr_fp"),
         )
         .withColumn(
             "psi_term", (F.col("d_scaled") * F.col("lr_fp")).cast("long")
