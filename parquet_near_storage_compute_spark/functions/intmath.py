@@ -3,8 +3,9 @@
 The centerpiece is the engine-exact base-2 logarithm
 ``lg(x) = floor(log2(x) · 2^LOG2_FRAC_BITS)`` for integer ``x ≥ 1``,
 computed by a shift-and-square loop with NO transcendental libm call on
-either engine — the same loop, step for step, as a Spark column chain
-(`with_ilog2fp`) and as a generated DuckDB CTE chain (`ilog2fp_ctes`),
+either engine — the same loop, step for step, as one Spark fold
+expression (`with_ilog2fp`) and as a generated DuckDB CTE chain
+(`ilog2fp_ctes`),
 so any contract built on it compares bit-exact. First used by
 `train_dsir_resample` (r12); `train_drift_psi` shares it.
 
@@ -30,51 +31,50 @@ _TWO31 = 1 << 31
 
 def with_ilog2fp(df: DataFrame, src: str, dst: str) -> DataFrame:
     """Append ``dst`` = floor(log2(src) · 2^LOG2_FRAC_BITS) for integer
-    ``src`` ≥ 1. Steps are chained as NAMED columns, never nested Column
-    expressions — each step's `y` feeds the next through a projection, so
-    the expression tree stays linear in LOG2_FRAC_BITS (a pure-Column
-    fold would double the tree per step: the condition and both branches
-    all reference y). Only ever applied to dimension-sized frames
-    (bucket tables, totals rows) — never the corpus."""
-    m = (F.length(F.bin(F.col(src))) - 1).cast("int")
-    df = (
-        df.withColumn("_m", m)
-        .withColumn(
-            "_y",
-            F.when(
-                F.col("_m") <= 30, F.expr(f"shiftleft({src}, 30 - _m)")
-            )
-            .otherwise(F.expr(f"shiftright({src}, _m - 30)"))
-            .cast("long"),
-        )
-        .withColumn("_acc", F.lit(0).cast("long"))
-    )
-    for _ in range(LOG2_FRAC_BITS):
-        df = (
-            df.withColumn(
-                "_y2", F.shiftright(F.col("_y") * F.col("_y"), 30)
-            )
-            .withColumn(
-                "_acc",
-                F.when(
-                    F.col("_y2") >= F.lit(_TWO31), F.col("_acc") * 2 + 1
-                ).otherwise(F.col("_acc") * 2),
-            )
-            .withColumn(
-                "_y",
-                F.when(
-                    F.col("_y2") >= F.lit(_TWO31),
-                    F.shiftright(F.col("_y2"), 1),
-                ).otherwise(F.col("_y2")),
-            )
-        )
+    ``src`` ≥ 1, as ONE ``aggregate()`` fold expression.
+
+    r12: the first form chained the squaring steps as ~64 named
+    ``withColumn`` projections per call — linear expression trees, but
+    each withColumn re-analyzes the whole accumulated plan, so a
+    4-chain consumer (dsir_resample) paid **6.4 s of driver-side plan
+    construction** for arithmetic over ≤1025 rows. Folding the loop
+    into a single ``aggregate(sequence(1, F), struct(y, acc), …)``
+    expression keeps the tree linear in LOG2_FRAC_BITS (the struct
+    state threads y through the iterations, so nothing doubles) and
+    builds in 0.22 s for the same 4 chains (29×). The fold body is
+    interpreted (higher-order functions run outside whole-stage
+    codegen — the §4.1 lesson), which is why this device is only ever
+    applied to dimension-sized frames (bucket tables, totals rows),
+    never the corpus: measured runtime on 1025 rows is ~0.5 s noop
+    wall including scheduling, same as the chain form. Bit-exactness
+    vs the chain form and the independent Python big-int reference is
+    pinned by tests/test_r12b_ops.py (310-value differential incl.
+    2^31/2^62/2^63−1 edges)."""
+    msb = f"(length(bin({src})) - 1)"
     return df.withColumn(
         dst,
-        (
-            F.col("_m").cast("long") * F.lit(1 << LOG2_FRAC_BITS)
-            + F.col("_acc")
-        ).cast("long"),
-    ).drop("_m", "_y", "_acc", "_y2")
+        F.expr(
+            f"""
+            CAST({msb} AS BIGINT) * {1 << LOG2_FRAC_BITS} + aggregate(
+              sequence(1, {LOG2_FRAC_BITS}),
+              named_struct(
+                'y', CAST(CASE WHEN {msb} <= 30
+                               THEN shiftleft({src}, 30 - {msb})
+                               ELSE shiftright({src}, {msb} - 30)
+                          END AS BIGINT),
+                'acc', CAST(0 AS BIGINT)),
+              (s, i) -> named_struct(
+                'y', CAST(CASE WHEN shiftright(s.y * s.y, 30) >= {_TWO31}
+                               THEN shiftright(shiftright(s.y * s.y, 30), 1)
+                               ELSE shiftright(s.y * s.y, 30)
+                          END AS BIGINT),
+                'acc', CAST(CASE WHEN shiftright(s.y * s.y, 30) >= {_TWO31}
+                                 THEN s.acc * 2 + 1 ELSE s.acc * 2
+                            END AS BIGINT)),
+              s -> s.acc)
+            """
+        ),
+    )
 
 
 def ilog2fp_ctes(src_cte: str, key_cols: str = "b, kind") -> str:
