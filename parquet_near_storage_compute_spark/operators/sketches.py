@@ -65,22 +65,35 @@ def _hash32(seed: F.Column, key: F.Column) -> F.Column:
 def countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min estimates vs exact counts for the probe keys.
 
-    Build: one pass over events, each row exploded into CM_DEPTH (d, bucket)
-    cells, hash-aggregated — partial aggregation collapses each task's rows
-    to ≤ D·W cells before the (tiny, bounded) shuffle. Probe: the sketch is
-    broadcast and each probe key reads its D cells, taking the min.
+    Build: one pass over events collapses to per-key counts FIRST (plain
+    map-side-combinable groupBy — no hashing on the corpus-sized stream),
+    then the ≤|keys|-row frame explodes into CM_DEPTH (d, bucket) cells
+    and the sketch sums the counts. Identical counters to hashing every
+    event row (Σ per-key counts = per-cell row count), but the md5-based
+    `_hash32` runs D× per DISTINCT KEY instead of D× per event — at
+    sf0.1 that is 6 K digests instead of 400 K (r12 wave 3; interleaved
+    best-of-9 at sf0.1: 1.166 → 0.687 s, every pair in favor). The
+    per-key frame is persisted: it feeds the sketch build AND the probe
+    side (which previously re-scanned and re-aggregated events), so one
+    corpus pass serves both. At 100 TB the pre-aggregate is exactly the
+    (bounded, key-cardinality-sized) frame a production CM build ships
+    to the hashers. Probe: the sketch is broadcast and each probe key
+    reads its D cells, taking the min.
     """
     ev = load_table(spark, sf_dir, "events")
-    d = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
-    cells = ev.select(F.col("user_id"), d).select(
-        "d", (_hash32(F.col("d"), F.col("user_id")) % CM_WIDTH).alias("bucket")
+    per_key = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).persist()
     )
-    sketch = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    d = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
+    cells = per_key.select("user_id", "n", d).select(
+        "d",
+        (_hash32(F.col("d"), F.col("user_id")) % CM_WIDTH).alias("bucket"),
+        "n",
+    )
+    sketch = cells.groupBy("d", "bucket").agg(F.sum("n").alias("cnt"))
 
-    probes = (
-        ev.filter(F.col("user_id") < CM_PROBE_MAX)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = per_key.filter(F.col("user_id") < CM_PROBE_MAX).select(
+        "user_id", F.col("n").alias("exact_count")
     )
     probe_cells = probes.select("user_id", "exact_count", d).select(
         "user_id",
