@@ -616,13 +616,24 @@ def _bpe_loop(toks: DataFrame) -> tuple[list[DataFrame], DataFrame]:
     """Run BPE_MERGE_ROUNDS greedy merge rounds over a packed vocab frame
     ``(word, n, t)``; returns (per-round 1-row best frames, final frame).
 
-    Each best frame always has EXACTLY one row — the argmax is a global
-    ``min(struct(-n, l, r))`` aggregate (n desc, then lexicographically
-    smallest pair), whose fields are NULL once the vocabulary is fully
-    merged — so the replace pass can guard with ``coalesce`` and the loop
-    stays total: exhausted rounds are no-ops instead of emptying the
-    frame. ``localCheckpoint`` truncates per-round lineage exactly like
-    ``iter_kmeans_lite``."""
+    Each round's argmax is a global ``min(struct(-n, l, r))`` aggregate
+    (n desc, then lexicographically smallest pair), whose fields are NULL
+    once the vocabulary is fully merged — exhausted rounds are no-ops
+    instead of emptying the frame, so the loop stays total.
+
+    The argmax comes back as ONE collected row (a bounded statistics
+    probe in the `_member_level_knn` / PQ-train class — 1 row regardless
+    of corpus size) and the merge is applied as a LITERAL ``replace``
+    projection, so each round costs exactly one eager job (the argmax
+    aggregate) instead of the r11 form's two (argmax localCheckpoint +
+    replace-crossJoin localCheckpoint): first-build construction measured
+    8.5 → 4.9 s fresh-session at sf0.1 (guide §5 driver latency; OPTIMIZATION_r12.md).
+    The lazy replace chain grows by one linear projection per round over
+    the vocab-sized frame — round r's argmax re-runs r−1 string replaces,
+    cheap against the pair-explode aggregate it feeds — and one final
+    ``localCheckpoint`` pins the trained vocabulary for the encode
+    consumers exactly as before."""
+    spark = toks.sparkSession
     rounds: list[DataFrame] = []
     for rnd in range(1, BPE_MERGE_ROUNDS + 1):
         # token list: strip the outer brackets, split on the '><' joints
@@ -644,7 +655,7 @@ def _bpe_loop(toks: DataFrame) -> tuple[list[DataFrame], DataFrame]:
             )
             .select("n", F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
         )
-        best = (
+        b = (
             prs.groupBy("l", "r")
             .agg(F.sum("n").alias("n_occurrences"))
             .agg(
@@ -655,30 +666,35 @@ def _bpe_loop(toks: DataFrame) -> tuple[list[DataFrame], DataFrame]:
                 ).alias("b")
             )
             .select(
-                F.lit(rnd).alias("merge_round"),
                 F.col("b.l").alias("l"),
                 F.col("b.r").alias("r"),
                 (-F.col("b.negn")).alias("n_occurrences"),
             )
-            .localCheckpoint()
+            .collect()[0]
         )
-        rounds.append(best)
-        pat = F.concat(
-            F.lit(BPE_L), "l", F.lit(BPE_R + BPE_L), "r", F.lit(BPE_R)
+        # literal 1-row frame as a pure JVM plan: range(1)+lit avoids the
+        # pickled-RDD relation createDataFrame builds for local data,
+        # whose every action pays a Python-worker launch per branch
+        # (measured 1.2-2.4 s on the 6-way merges union vs ~0.1 s here)
+        rounds.append(
+            spark.range(1).select(
+                F.lit(rnd).cast("int").alias("merge_round"),
+                F.lit(b["l"]).cast("string").alias("l"),
+                F.lit(b["r"]).cast("string").alias("r"),
+                F.lit(b["n_occurrences"])
+                .cast("bigint")
+                .alias("n_occurrences"),
+            )
         )
-        rep = F.concat(F.lit(BPE_L), "l", F.col("r"), F.lit(BPE_R))
-        toks = (
-            toks.crossJoin(F.broadcast(best.select("l", "r")))
-            .select(
+        if b["l"] is not None:
+            pat = BPE_L + b["l"] + BPE_R + BPE_L + b["r"] + BPE_R
+            rep = BPE_L + b["l"] + b["r"] + BPE_R
+            toks = toks.select(
                 "word",
                 "n",
-                F.coalesce(F.replace(F.col("t"), pat, rep), F.col("t")).alias(
-                    "t"
-                ),
+                F.replace(F.col("t"), F.lit(pat), F.lit(rep)).alias("t"),
             )
-            .localCheckpoint()
-        )
-    return rounds, toks
+    return rounds, toks.localCheckpoint()
 
 
 #: The merge loop (two eager checkpoints per round) was rebuilt by FOUR
