@@ -21,7 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_near_storage_compute_spark.tables import load_table
+from parquet_near_storage_compute_spark.tables import (
+    load_table,
+    local_literal_df,
+)
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -925,11 +928,12 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((v, out_total[v], rank[v]) for v in nodes),
         key=lambda r: (-r[2], r[0]),
     )
-    # declared ≤N-row presentation sort (the sim_mmr_select class: a
-    # coalesce(1) instead schedules ONE Python-RDD task and measured
-    # ~8× slower than the parallel range-sort of the tiny frame)
-    return spark.createDataFrame(
-        rows, "event_type string, out_total long, rank_fp long"
+    # declared ≤N-row presentation sort over a JVM-pure literal frame
+    # (local_literal_df: createDataFrame's pickled-RDD relation paid a
+    # Python-worker launch per action — 0.53 s noop runs for ≤20 rows;
+    # a coalesce(1) single-task form measured ~8× slower still)
+    return local_literal_df(
+        spark, rows, "event_type string, out_total long, rank_fp long"
     ).orderBy(F.col("rank_fp").desc(), "event_type")
 
 

@@ -101,6 +101,34 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def local_literal_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Small literal frame as a PURE JVM plan (explode of a struct-array
+    literal). ``spark.createDataFrame(list, ...)`` builds a pickled-RDD
+    relation whose EVERY action launches Python workers — measured
+    0.4-0.5 s per noop run on the ≤20-row pagerank / MMR result frames
+    and 1.2-2.4 s on the 6-branch BPE merge union, vs ~0.1 s for this
+    form (OPTIMIZATION_r12.md wave 4). Only for driver-computed literal
+    results bounded in the dozens of rows: each value becomes a plan
+    literal, so a corpus-sized list would explode the plan."""
+    st = T._parse_datatype_string(schema)
+    if not rows:
+        return spark.createDataFrame([], st)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, st.fields)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select("_r.*")
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register all tables as temp views (for the spark.sql surface)."""
     out: dict[str, DataFrame] = {}

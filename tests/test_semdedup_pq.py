@@ -374,5 +374,8 @@ def test_pq_three_engine_agreement(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = fan_out(emb).select("vec_id", as_double("embedding").alias("v"))
-    got = {r.vec_id: list(r.r) for r in S._pq_recon(v).collect()}
+    got = {
+        r.vec_id: list(r.r)
+        for r in S._pq_recon(v, S._pq_book(spark, sf_dir)).collect()
+    }
     assert got == want
