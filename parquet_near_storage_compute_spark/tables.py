@@ -110,7 +110,7 @@ def local_literal_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     form (OPTIMIZATION_r12.md wave 4). Only for driver-computed literal
     results bounded in the dozens of rows: each value becomes a plan
     literal, so a corpus-sized list would explode the plan."""
-    st = T._parse_datatype_string(schema)
+    st = T.StructType.fromDDL(schema)
     if not rows:
         return spark.createDataFrame([], st)
     structs = [
