@@ -757,14 +757,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right non-overlapping over non-sharing matches, which IS
     BPE's greedy within-word merge order (``<a><a><a><a>`` merging
     ``a a`` → ``<aa><aa>``; a shared-separator encoding gets this wrong,
-    see BPE_L). The per-round argmax is a 1-row frame brought back via a
-    broadcast cross join, so the loop stays fully declarative — no
-    driver-side data moves — with ``localCheckpoint`` truncating the
-    per-round lineage exactly like ``iter_kmeans_lite``. At 100 TB: one
-    corpus shuffle + R vocab-sized aggregations, the textbook distributed
-    BPE recipe. Since r12 the loop itself is the memoized `_bpe_trained`
-    pass shared with encode/fertility/pack (trajectory-equivalence note
-    there)."""
+    see BPE_L). The per-round argmax comes back as ONE collected row (a
+    bounded statistics probe, constant in corpus size — see `_bpe_loop`
+    for the job-count measurement) and is applied as a literal replace
+    projection; the trained vocabulary is checkpointed once after the
+    loop. At 100 TB: one corpus shuffle + R vocab-sized aggregations,
+    the textbook distributed BPE recipe. Since r12 the loop itself is
+    the memoized `_bpe_trained` pass shared with encode/fertility/pack
+    (trajectory-equivalence note there)."""
     rounds, _, _ = _bpe_trained(spark, sf_dir)
     out = rounds[0]
     for r in rounds[1:]:
