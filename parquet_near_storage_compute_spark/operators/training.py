@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from parquet_near_storage_compute_spark.functions.text import shingles, words
 from parquet_near_storage_compute_spark.plans.memo import PlanMemo
-from parquet_near_storage_compute_spark.tables import fan_out, load_table
+from parquet_near_storage_compute_spark.tables import (
+    fan_out,
+    load_table,
+    local_literal_df,
+)
 
 #: Tokens per packed training sequence (contract-pinned).
 PACK_CAPACITY = 2048
@@ -612,9 +616,10 @@ def _bpe_pack(word_col: str = "word"):
     )
 
 
-def _bpe_loop(toks: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+def _bpe_loop(toks: DataFrame) -> tuple[list[tuple], DataFrame]:
     """Run BPE_MERGE_ROUNDS greedy merge rounds over a packed vocab frame
-    ``(word, n, t)``; returns (per-round 1-row best frames, final frame).
+    ``(word, n, t)``; returns (per-round best tuples
+    ``(merge_round, l, r, n_occurrences)``, final frame).
 
     Each round's argmax is a global ``min(struct(-n, l, r))`` aggregate
     (n desc, then lexicographically smallest pair), whose fields are NULL
@@ -632,9 +637,15 @@ def _bpe_loop(toks: DataFrame) -> tuple[list[DataFrame], DataFrame]:
     the vocab-sized frame — round r's argmax re-runs r−1 string replaces,
     cheap against the pair-explode aggregate it feeds — and one final
     ``localCheckpoint`` pins the trained vocabulary for the encode
-    consumers exactly as before."""
-    spark = toks.sparkSession
-    rounds: list[DataFrame] = []
+    consumers exactly as before.
+
+    r13: the per-round bests come back as plain TUPLES, not 1-row
+    DataFrames — `bpe_merges` (their only consumer) renders all rounds as
+    ONE literal frame, replacing the 6-branch range(1) union whose every
+    branch planned with 32 splits (192 near-empty tasks per timed run —
+    the r12/r13 raw-bar breach; isolated best-of-7 0.125 s vs the
+    0.0546 s bar on a fast epoch)."""
+    rounds: list[tuple] = []
     for rnd in range(1, BPE_MERGE_ROUNDS + 1):
         # token list: strip the outer brackets, split on the '><' joints
         # ('>' and '<' are not regex metacharacters, so the literal split
@@ -672,20 +683,7 @@ def _bpe_loop(toks: DataFrame) -> tuple[list[DataFrame], DataFrame]:
             )
             .collect()[0]
         )
-        # literal 1-row frame as a pure JVM plan: range(1)+lit avoids the
-        # pickled-RDD relation createDataFrame builds for local data,
-        # whose every action pays a Python-worker launch per branch
-        # (measured 1.2-2.4 s on the 6-way merges union vs ~0.1 s here)
-        rounds.append(
-            spark.range(1).select(
-                F.lit(rnd).cast("int").alias("merge_round"),
-                F.lit(b["l"]).cast("string").alias("l"),
-                F.lit(b["r"]).cast("string").alias("r"),
-                F.lit(b["n_occurrences"])
-                .cast("bigint")
-                .alias("n_occurrences"),
-            )
-        )
+        rounds.append((rnd, b["l"], b["r"], b["n_occurrences"]))
         if b["l"] is not None:
             pat = BPE_L + b["l"] + BPE_R + BPE_L + b["r"] + BPE_R
             rep = BPE_L + b["l"] + b["r"] + BPE_R
@@ -764,14 +762,21 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop. At 100 TB: one corpus shuffle + R vocab-sized aggregations,
     the textbook distributed BPE recipe. Since r12 the loop itself is
     the memoized `_bpe_trained` pass shared with encode/fertility/pack
-    (trajectory-equivalence note there)."""
+    (trajectory-equivalence note there). r13: the merge table is ONE
+    literal frame over the collected rounds (single 1-partition task)
+    instead of a per-round range(1) union that planned 32 splits per
+    branch — 192 tasks → 1 for the same 6 rows; exhausted rounds carry
+    NULL pairs (the loop's total-function guard) and are dropped
+    driver-side, the same "no merge happened" semantics the old
+    in-plan filter applied."""
     rounds, _, _ = _bpe_trained(spark, sf_dir)
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionAll(r)
-    # exhausted rounds carry NULL pairs (the loop's total-function guard) —
-    # they are "no merge happened" and stay out of the merge table
-    return out.filter(F.col("l").isNotNull()).select(
+    kept = [r for r in rounds if r[1] is not None]
+    out = local_literal_df(
+        spark,
+        kept,
+        "merge_round int, l string, r string, n_occurrences bigint",
+    )
+    return out.select(
         "merge_round",
         F.col("l").alias("lhs"),
         F.col("r").alias("rhs"),
@@ -792,8 +797,9 @@ def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT word once, then joined back to the corpus word frame (a hash
     join on the word key; at 100 TB the vocab is sublinear in the corpus,
     the corpus is touched twice through one persisted narrow projection).
-    Exhausted merge rounds are no-ops (the loop's coalesce guard), so the
-    contract is total on any corpus."""
+    Exhausted merge rounds are no-ops (the loop skips the replace when the
+    collected argmax row is NULL), so the contract is total on any
+    corpus."""
     docs = load_table(spark, sf_dir, "documents")
     _, final, wordsf = _bpe_trained(spark, sf_dir)
     word_tokens = final.select(

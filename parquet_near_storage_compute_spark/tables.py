@@ -109,10 +109,24 @@ def local_literal_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     and 1.2-2.4 s on the 6-branch BPE merge union, vs ~0.1 s for this
     form (OPTIMIZATION_r12.md wave 4). Only for driver-computed literal
     results bounded in the dozens of rows: each value becomes a plan
-    literal, so a corpus-sized list would explode the plan."""
+    literal, so a corpus-sized list would explode the plan.
+
+    numPartitions=1 on the range seed (r13): the default
+    ``spark.range(1)`` splits one row across defaultParallelism
+    partitions, so every action on the literal frame scheduled 32 tasks
+    (31 empty) — measured as the whole cost of the sub-0.1 s consumers
+    (train_bpe_merges' 6-branch union ran 192 tasks for 6 rows)."""
     st = T.StructType.fromDDL(schema)
     if not rows:
         return spark.createDataFrame([], st)
+    for i, row in enumerate(rows):
+        # fail fast on caller schema drift (ADVICE r12): zip() below would
+        # silently truncate a short/long row into an opaque plan error
+        if len(row) != len(st.fields):
+            raise ValueError(
+                f"local_literal_df row {i} has {len(row)} values, "
+                f"schema has {len(st.fields)} fields"
+            )
     structs = [
         F.struct(
             *[
@@ -123,7 +137,7 @@ def local_literal_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
         for row in rows
     ]
     return (
-        spark.range(1)
+        spark.range(0, 1, numPartitions=1)
         .select(F.explode(F.array(*structs)).alias("_r"))
         .select("_r.*")
     )

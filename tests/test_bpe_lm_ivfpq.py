@@ -330,7 +330,7 @@ def test_bpe_encode_trains_the_same_merges(spark, sf_dir):
             "word", "n", _bpe_pack().alias("t")
         ).localCheckpoint()
         rounds, _ = _bpe_loop(toks)
-        out.append([tuple(r.collect()[0]) for r in rounds])
+        out.append([tuple(r) for r in rounds])
     assert out[0] == out[1]
 
 
