@@ -716,16 +716,32 @@ def dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the corpus collapses once to per-(doc, window-hash)
     multiplicities (map-side combinable — the same shuffle as
     duplicate_window_fraction); corpus occurrence counts re-aggregate
-    from that collapsed frame; dup flags join back to window STARTS by
+    from that collapsed frame; dup flags reach the per-word stream by
     re-deriving the (doc, position, hash) stream — MEASURED faster than
     carrying collect_list(position) through the collapse (interleaved
     best-of-5 at sf0.1: 1.97 s vs 2.17 s; the array payload on every
     collapsed row costs more than re-tokenizing, NOTES_r8 §13); a word
     is trimmed iff some dup window starts within the preceding W-1
-    positions — a single rolling-max window pass over the
-    per-doc position frame (positions are dense, so a ROWS frame is the
-    range), NOT a W× explode of covered spans. The only per-word state
-    is the one-row-per-token frame every token op already carries."""
+    positions — a single rolling-max window pass, NOT a W× explode of
+    covered spans.
+
+    r13: the `.distinct()` the flag frame used to carry was REDUNDANT —
+    `wins` has exactly one row per (doc_id, p) by construction (posexplode
+    emits each window start once; `occ` is one row per hash, so the inner
+    join preserves row identity) — and cost an extra Exchange + two
+    HashAggregates over the flagged frame, which on a duplicate-heavy
+    corpus (the sf≥1 rungs; any real near-dup workload) is itself
+    corpus-sized. Dropped; the left join's correctness now RELIES on that
+    uniqueness (a duplicated start would multiply word rows), so
+    tests/test_r13_opt.py pins it on an adversarial all-duplicate corpus.
+    A/B same-session isolated (best-of-7 at sf0.1 / best-of-3 at the sf3
+    rung, 32 cores): sf0.1 1.434 → 1.033 s (means 1.53 → 1.34); rung
+    7.84 → 7.48 s (means 9.69 → 8.92); oracle EQUAL at sf0.001 + sf0.01.
+    The UNION-the-flags-into-the-window variant (carry kind=1 rows under
+    a RANGE frame, no join at all) was A/B'd and REJECTED: better at
+    sf0.1 (−9/−22%) but 15-33% WORSE at the sf3 rung, where nearly every
+    window is flagged and the extra flag rows inflate the window's sort
+    input by more than the join they replace."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -744,7 +760,6 @@ def dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_starts = (
         wins.join(occ.filter(F.col("occ") >= 2), "h")
         .select("doc_id", "p")
-        .distinct()
         .withColumn("flag", F.lit(1))
     )
     wpos = base.select(

@@ -272,8 +272,9 @@ def decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     no matter how common the gram is on the eval side (boilerplate grams
     trim aggressively, which is the conservative direction for
     decontamination). Scale shape is `text_dedup_trim`'s: md5 window
-    hashes as shuffle keys, flags join back to window starts, coverage
-    is one rolling-max window over the dense per-doc position frame.
+    hashes as shuffle keys, flagged starts UNIONED into the per-word
+    stream as kind=1 rows, coverage one rolling-max RANGE window over
+    the dense per-doc positions (r13 — no (doc_id, p) equi-join).
     Output: train docs only, with before/after token accounting and the
     member-level kept-text md5."""
     from parquet_near_storage_compute_spark.tables import fan_out
@@ -305,10 +306,17 @@ def decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast would OOM at scale exactly when the eval split is large.
     # AQE sizes the semi join at runtime: broadcast while the frame is
     # small (every tested SF), shuffled hash join when it is not.
+    # r13 (the text_dedup_trim finding): the `.distinct()` on hit starts
+    # was redundant — wins has one row per (doc_id, p) by construction
+    # and left_semi preserves that — and cost an Exchange + two
+    # HashAggregates over a frame that is corpus-sized whenever
+    # contamination is heavy. Dropped; the left join now RELIES on the
+    # uniqueness (pinned by tests/test_r13_opt.py on an adversarial
+    # corpus). The union-the-flags window variant was A/B'd and rejected
+    # (worse at the sf3 rung — see text_dedup_trim's docstring).
     hit_starts = (
         wins.join(ev_grams, "h", "left_semi")
         .select("doc_id", "p")
-        .distinct()
         .withColumn("flag", F.lit(1))
     )
     wpos = train.select(
