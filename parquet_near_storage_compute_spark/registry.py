@@ -52,9 +52,20 @@ in their round-file key order (computed from the r0*.json history
 exactly as tests/test_registry_window.py does — never hand-counted).
 The continuation session added 5 more new contracts (`text_dedup_scrub`,
 `train_dsir_resample`, `events_pagerank`, `train_drift_psi`,
-`time_holt_trend`), displacing the 5 newest r8 slots. The 11 leftover r8
-rows rotate in round 13; after this round no live contract's newest
-driver row is older than round 8.
+`time_holt_trend`), displacing the 5 newest r8 slots.
+
+Round 13's window (VERDICT r12 #8, an optimization round — no new
+contracts): the 5 contracts whose r13 plan restructures invalidate their
+green rows lead (`train_bpe_merges` / `events_pagerank` /
+`sim_mmr_select` — the one-partition literal-frame rework;
+`text_dedup_trim` / `train_decontaminate_trim` — the flag-union RANGE
+window replacing the (doc_id, p) join; results proven EQUAL at
+sf0.001+sf0.01 this round, but the old rows verified different plans —
+see MODIFIED_IN_R13), then ALL 11 leftover r8-row contracts and the
+oldest 34 of the 47 r9-row contracts, each cohort in its round-file key
+order (computed from the r0*.json history exactly as
+tests/test_registry_window.py does). The 13 leftover r9 rows rotate in
+round 14.
 ``_PRIORITY`` pins the window explicitly; everything else follows in
 module order so the window can rotate again in later rounds without code
 churn elsewhere.
@@ -150,59 +161,79 @@ MODIFIED_IN_R12 = [
     "train_bpe_merges",
 ]
 
-#: The round-12 driver correctness window (VERDICT r11 #1): the 7 new +
-#: 2 modified contracts lead; then ALL 6 remaining round-7-row contracts
-#: (closing the r7 backlog) and the oldest 35 of the 46 round-8-row
-#: contracts, each cohort in its round-file key order. The 11 leftover
-#: r8 rows rotate in round 13 (the continuation session's five new
-#: contracts displaced `train_curriculum_order`, `train_mixture_sample`,
-#: `train_contamination_check`, `train_chunk_documents` and
-#: `train_bpe_pair_counts` — a never-checked contract outranks
-#: refreshing a green r8 row).
-_PRIORITY = NEW_IN_R12 + MODIFIED_IN_R12 + [
-    # the remaining 6 round-7-row contracts, CORRECTNESS_r07 key order
-    "window_topk_per_group",
-    "time_gap_fill",
-    "events_funnel",
-    "agg_histogram",
-    "window_range_frame",
-    "text_ngram_topk",
-    # the oldest 40 round-8-row contracts, CORRECTNESS_r08 key order
+#: Contracts round 13 (optimization round) restructures — results proven
+#: EQUAL at two SFs this round, but the plan changes invalidate the old
+#: driver rows, so they re-enter the window:
+#: train_bpe_merges / events_pagerank / sim_mmr_select: driver-computed
+#: literal results now render as ONE single-partition literal frame
+#: (spark.range(1) planned 32 splits per branch — 192 near-empty tasks
+#: for the 6-row merge table, the r12/r13 raw-bar breach);
+#: text_dedup_trim / train_decontaminate_trim: the redundant
+#: `.distinct()` on the flagged window starts is gone (one row per
+#: (doc_id, p) by construction — an Exchange + two HashAggregates over a
+#: frame that is corpus-sized on duplicate-heavy corpora), so the trim
+#: join now relies on that pinned uniqueness.
+MODIFIED_IN_R13 = [
+    "train_bpe_merges",
+    "events_pagerank",
+    "sim_mmr_select",
     "text_dedup_trim",
-    "dedup_semantic_clusters",
-    "train_pack_bpe",
-    "train_pack_sequences",
-    "dedup_blocked_jaccard",
-    "dedup_embedding_lsh",
-    "dedup_exact",
-    "dedup_key",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "dedup_simhash",
-    "events_anomaly_mad",
-    "events_cumulative_users",
-    "events_retention_cohorts",
-    "minhash_dedup_decisions",
-    "mm_resize",
-    "relational_lateral_topn",
-    "sim_label_centroid",
-    "sim_lsh_bucket_histogram",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "sim_topk_numpy",
-    "source_csv_scan",
-    "source_partitioned_scan",
-    "stream_append_closed_windows",
-    "stream_sliding_counts",
-    "text_language_id",
-    "text_pii_scrub",
-    "text_quality_filter",
-    "text_quality_scores",
-    "text_repetition_filter",
-    "text_tfidf_topk",
-    "text_token_counts",
+    "train_decontaminate_trim",
+]
+
+#: The round-13 driver correctness window (VERDICT r12 #8): the 5
+#: restructured contracts lead; then ALL 11 leftover round-8-row
+#: contracts (closing the r8 backlog) and the oldest 34 of the 47
+#: round-9-row contracts, each cohort in its round-file key order. The
+#: 13 leftover r9 rows rotate in round 14.
+_PRIORITY = MODIFIED_IN_R13 + [
+    # the remaining 11 round-8-row contracts, CORRECTNESS_r08 key order
+    "train_bpe_pair_counts",
+    "train_chunk_documents",
+    "train_contamination_check",
+    "train_curriculum_order",
+    "train_mixture_sample",
+    "udtf_tokenize",
+    "agg_approx_distinct",
+    "agg_collect",
+    "agg_reaggregate",
+    "mm_binary_metadata",
+    "mm_feature_extract",
+    # the oldest 34 round-9-row contracts, CORRECTNESS_r09 key order
+    "v1_wide92_flagship",
+    "train_source_cap",
+    "dedup_threshold_curve",
+    "dedup_connected_components",
+    "dedup_keep_best",
+    "sim_topk_pq",
+    "sim_topk_ivf_pq",
+    "mm_frame_sample",
+    "pipeline_training_data",
+    "relational_correlated_subquery",
+    "relational_distinct_rows",
+    "relational_pivot",
+    "relational_unpivot",
+    "scalar_arithmetic_chain",
+    "scalar_array_ops",
+    "scalar_case_bucket",
+    "scalar_string_ops",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "sort_limit_topk",
+    "source_glob_scan",
+    "time_datetime_parts",
+    "time_json_extract",
+    "time_sliding_window",
+    "time_tumbling_hourly",
+    "types_unsigned_decimal",
+    "udaf_geomean",
+    "udf_grouped_map_zscore",
+    "udf_readability",
+    "udf_sql_surface",
+    "join_outer_full",
+    "text_dedup_segments",
+    "pipeline_curation_report",
 ]
 
 
