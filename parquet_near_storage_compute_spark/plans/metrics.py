@@ -204,19 +204,77 @@ def wait_for_metrics(spark: SparkSession, timeout_s: float = 5.0) -> None:
         prev = cur
 
 
+def _stages_input_bytes(spark: SparkSession, stage_ids: set[int]) -> int:
+    """Sum ``inputMetrics.bytesRead`` over exactly the given stages (all
+    attempts). Bounded py4j traffic: O(len(stage_ids)), independent of how
+    many stages the session has retained."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    total = 0
+    for sid in stage_ids:
+        # AppStatusStore.stageData(stageId, details, taskStatus,
+        # withSummaries, unsortedQuantiles) — fetch Scala default args via
+        # their synthesized accessors so only the first arg is pinned.
+        attempts = store.stageData(
+            int(sid),
+            getattr(store, "stageData$default$2")(),
+            getattr(store, "stageData$default$3")(),
+            getattr(store, "stageData$default$4")(),
+            getattr(store, "stageData$default$5")(),
+        )
+        it = attempts.iterator()
+        while it.hasNext():
+            total += it.next().inputBytes()
+    return total
+
+
 def measure_runtime_bytes(spark: SparkSession, action) -> int:
     """Run ``action()`` and return the physical bytes its stages read.
 
-    Attribution requires the session to be otherwise idle: any concurrent
-    job on the same SparkSession (parallel tests, background streams)
-    lands in the same counters and pollutes the diff. Clamped at 0 —
-    stage eviction past ``spark.ui.retainedStages`` can make the raw diff
-    negative in a long-lived session (see ``runtime_input_bytes``)."""
-    wait_for_metrics(spark)
-    before = runtime_input_bytes(spark)
-    action()
-    wait_for_metrics(spark)
-    return max(0, runtime_input_bytes(spark) - before)
+    r13: attribution is per JOB GROUP — the action runs under a unique
+    group id, its job ids come back from the status tracker, and only
+    THOSE jobs' stages are read from the status store. The previous
+    whole-store diff iterated every retained stage through one py4j call
+    each, so its cost grew with session age (83 s for one measurement
+    after ~30 k suite stages with retainedStages=100000) and shrank when
+    eviction dropped history mid-measurement. Bounded attribution is
+    O(action stages) at any session age and immune to eviction of OTHER
+    stages (a stage evicted mid-measurement would need 100 k stages run
+    by the action itself). Skipped stages (reused exchanges) carry no
+    metrics entry and correctly contribute 0 new bytes.
+
+    Attribution still requires the session to be otherwise idle only in
+    the weak sense that concurrent jobs must not share the group id —
+    unrelated concurrent work no longer pollutes the counter."""
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"runtime-bytes-{uuid.uuid4().hex[:12]}"
+    sc.setJobGroup(group, "runtime-bytes measurement")
+    try:
+        action()
+    finally:
+        sc._jsc.clearJobGroup()
+    tracker = sc.statusTracker()
+    stage_ids: set[int] = set()
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            stage_ids.update(info.stageIds)
+    # the async listener bus delivers task-end events after the action
+    # returns: wait for two consecutive stable readings of the bounded sum
+    deadline = time.perf_counter() + 5.0
+    while time.perf_counter() < deadline and tracker.getActiveJobsIds():
+        time.sleep(0.1)
+    stable = 0
+    prev = _stages_input_bytes(spark, stage_ids)
+    while time.perf_counter() < deadline:
+        time.sleep(0.2)
+        cur = _stages_input_bytes(spark, stage_ids)
+        stable = stable + 1 if cur == prev else 0
+        if stable >= 2:
+            break
+        prev = cur
+    return prev
 
 
 @dataclass
